@@ -1,0 +1,138 @@
+"""End-to-end image-path pipeline: render -> hash-drop -> split -> store.
+
+Reproduces the reference's pinned generated/dropped/stored counts through
+the ACTUAL image path (not just coordinate math): empty children are
+byte-identical constant tiles eliminated by the sha2 hash dropper, exactly
+like the reference's empty_tile_detection (HashDropper,
+tilecloud_chain/__init__.py:2442-2493; golden counts
+tests/test_generate.py:935-977,1474-1499).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tilecloud_chain_spark import geometry as G
+from tilecloud_chain_spark.config import LAYERS, SWISSGRID_5
+from tilecloud_chain_spark.functions import image as IMG
+from tilecloud_chain_spark.operators import filters as FL
+from tilecloud_chain_spark.operators import raster as R
+from tilecloud_chain_spark.sources import enumerate as EN
+from tilecloud_chain_spark.sources.images import synth_images
+
+TS = 256  # must equal grid.tile_size: pixel spans are world-anchored
+MB = 128  # reference meta_buffer default (configuration.py:1117)
+
+
+def _sha256(b: bytes) -> str:
+    import hashlib
+
+    return hashlib.sha256(b).hexdigest()
+
+
+def test_line_image_pipeline_golden_counts(spark):
+    """line z0: 1 metatile -> 64 generated, 58 hash-dropped, 6 stored, and
+    the stored set matches the reference's pinned tile coordinates."""
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    geoms = {0: geom}
+    metas = EN.sparse_metatiles(spark, SWISSGRID_5, geoms, [0], n=8)
+    metas = FL.geom_intersect_filter(
+        metas, SWISSGRID_5, geoms, buffer_px=LAYERS["line"].filter_buffer_px(), n="n"
+    )
+    rendered = R.render_metatiles(metas, SWISSGRID_5, geoms, tile_size=TS, meta_buffer=MB)
+    children = R.split_metatile_images(
+        rendered, tile_size=TS, meta_buffer=MB, clamp_matrix=SWISSGRID_5.matrix_size(0)
+    )
+    children = children.cache()
+    assert children.count() == 64
+
+    empty_hash = _sha256(R.empty_tile_bytes(TS))
+    stored = FL.hash_drop(children, empty_hash)
+    rows = stored.select("x", "y").collect()
+    got = {(r.x, r.y) for r in rows}
+    assert got == {(6, 5), (7, 5), (5, 6), (6, 6), (4, 7), (5, 7)}
+    children.unpersist()
+
+
+def test_point_hash_image_pipeline_golden(spark):
+    """point_hash z0: 64 generated, 62 dropped, stored (x,y) {(7,5),(4,7)}."""
+    geom = G.parse_wkt(LAYERS["point_hash"].geom_wkt)
+    geoms = {0: geom}
+    metas = EN.sparse_metatiles(spark, SWISSGRID_5, geoms, [0], n=8)
+    rendered = R.render_metatiles(metas, SWISSGRID_5, geoms, tile_size=TS, meta_buffer=MB)
+    children = R.split_metatile_images(
+        rendered, tile_size=TS, meta_buffer=MB, clamp_matrix=SWISSGRID_5.matrix_size(0)
+    ).cache()
+    assert children.count() == 64
+    stored = FL.hash_drop(children, _sha256(R.empty_tile_bytes(TS)))
+    got = {(r.x, r.y) for r in stored.collect()}
+    assert got == {(7, 5), (4, 7)}
+    children.unpersist()
+
+
+def test_metatile_drop_before_split_ordering(spark):
+    """Empty-METATILE detection must run before the split (drop-before-split
+    ordering, generate.py:305-322): an all-empty metatile contributes 0
+    generated children."""
+    geoms = {0: G.Geom([])}  # nothing to paint -> every metatile empty
+    metas = EN.dense_metatiles(spark, SWISSGRID_5, [0], n=8)
+    rendered = R.render_metatiles(metas, SWISSGRID_5, geoms, tile_size=TS, meta_buffer=MB)
+    meta_px = 8 * TS + 2 * MB
+    empty_meta_hash = _sha256(R.empty_tile_bytes(meta_px))
+    kept = FL.hash_drop(rendered, empty_meta_hash)
+    assert kept.count() == 0  # all metatiles dropped -> no children generated
+
+
+def test_split_slices_match_direct_render_psnr(spark):
+    """meta_buffer halo correctness: each child sliced from the metatile
+    interior equals a direct render of the child's extent (PSNR inf for
+    png; >=40dB requirement trivially satisfied)."""
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    geoms = {0: geom}
+    metas = EN.sparse_metatiles(spark, SWISSGRID_5, geoms, [0], n=8)
+    rendered = R.render_metatiles(metas, SWISSGRID_5, geoms, tile_size=TS, meta_buffer=MB)
+    children = R.split_metatile_images(
+        rendered, tile_size=TS, meta_buffer=MB, clamp_matrix=SWISSGRID_5.matrix_size(0)
+    )
+    audited = R.psnr_vs_rerender(children, SWISSGRID_5, geoms, tile_size=TS)
+    mins = audited.agg(F.min("psnr").alias("m")).collect()[0].m
+    assert mins == 999.0  # bit-exact for lossless
+
+
+def test_split_fidelity_lossy_qpng(spark):
+    """Same halo check through the lossy codec: PSNR >= 40 dB per child."""
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    geoms = {0: geom}
+    metas = EN.sparse_metatiles(spark, SWISSGRID_5, geoms, [0], n=8)
+    rendered = R.render_metatiles(
+        metas, SWISSGRID_5, geoms, tile_size=TS, meta_buffer=MB, fmt="qpng"
+    )
+    children = R.split_metatile_images(
+        rendered, tile_size=TS, meta_buffer=MB, fmt="qpng",
+        clamp_matrix=SWISSGRID_5.matrix_size(0),
+    )
+    audited = R.psnr_vs_rerender(children, SWISSGRID_5, geoms, tile_size=TS, fmt="qpng")
+    mins = audited.agg(F.min("psnr").alias("m")).collect()[0].m
+    assert mins >= 40.0, mins
+
+
+def test_synth_images_table_invariants(spark):
+    """Image table: schema per BASELINE input_hint; per-row invariant:
+    decoded pixels match the deterministic reference synthesis exactly
+    (allclose), captions equal, phash consistent."""
+    df = synth_images(spark, 64, SWISSGRID_5, size=16)
+    rows = df.collect()
+    assert len(rows) == 64
+    assert set(df.columns) == {
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "x", "y"
+    }
+    import numpy as np
+
+    for r in rows[:10]:
+        i = int(r.image_id[3:])
+        ref_px = IMG.synth_pixels(i, 16, 16)
+        got_px = IMG.png_decode(bytes(r.bytes))
+        assert np.array_equal(got_px, ref_px)  # lossless: exact
+        assert r.caption == IMG.synth_caption(r.image_id, i)
+        assert r.phash == IMG.phash64(ref_px)
+        assert SWISSGRID_5.bbox[0] <= r.x <= SWISSGRID_5.bbox[2]
+        assert SWISSGRID_5.bbox[1] <= r.y <= SWISSGRID_5.bbox[3]

@@ -1,0 +1,243 @@
+"""Raster operators: vector→raster render, metatile image split, fidelity
+(SURVEY.md §2.2 F2, §2.3 P1; BASELINE.json raster↔vector + PSNR≥40dB).
+
+The reference renders a metatile image per WMS/Mapnik request (extent +
+meta_buffer halo — /root/reference/store/mapnik_.py:67-97, buffer border
+``tilegrid.extent(tilecoord, border)``) then splits it into n² children by
+cropping tile_size×tile_size windows offset by meta_buffer
+(``MetaTileSplitterTileStore`` construction,
+tilecloud_chain/__init__.py:1494-1517; driven by ``_process_metatile``
+:1556-1588). Empty children equal a constant background image, which the
+HashDropper eliminates (tilecloud_chain/__init__.py:2442-2493).
+
+Here the renderer is a deterministic vector rasterizer (no MapServer):
+pixels whose center falls inside/near the broadcast geometry are painted on
+a constant transparent background. That preserves the reference's observable
+semantics exactly:
+
+- one decode per metatile (batched I/O amortization == the reference's
+  metatiling optimization, SURVEY.md §4),
+- meta_buffer halo = over-render, children sliced from the interior,
+- empty child == byte-identical constant tile -> dropped by sha2 hash,
+  reproducing the pinned generated/dropped/stored counts end-to-end through
+  the actual image path.
+
+All pixel work is numpy inside ``mapInPandas`` (Arrow batches; zero per-row
+Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark.config import Grid
+from tilecloud_chain_spark.functions import image as IMG
+from tilecloud_chain_spark.geometry import Geom
+
+
+# --------------------------------------------------------------------------
+# numpy kernels
+# --------------------------------------------------------------------------
+
+
+def render_extent(
+    geom: Geom,
+    extent: tuple[float, float, float, float],
+    w: int,
+    h: int,
+    line_width_px: float = 2.0,
+) -> np.ndarray:
+    """Rasterize ``geom`` over ``extent`` to an (h, w, 4) RGBA uint8 image.
+
+    Pixel (row i, col j) samples the world at its center; overlapping
+    renders of aligned extents therefore agree bit-for-bit, which makes the
+    metatile-slice == direct-child-render invariant exact for lossless
+    formats (and ≥40 dB for the lossy codec).
+    """
+    minx, miny, maxx, maxy = extent
+    res_x = (maxx - minx) / w
+    res_y = (maxy - miny) / h
+    cx = minx + (np.arange(w) + 0.5) * res_x
+    cy = maxy - (np.arange(h) + 0.5) * res_y
+    px, py = np.meshgrid(cx, cy)
+    mask = np.zeros((h, w), dtype=bool)
+    half = 0.5 * line_width_px * res_x
+    for kind, payload in geom.parts:
+        if kind == "polygon":
+            sub = Geom([(kind, payload)])
+            mask |= sub.contains_points(px, py)
+        elif kind == "line":
+            for i in range(len(payload) - 1):
+                mask |= _near_segment(px, py, payload[i], payload[i + 1], half)
+        else:  # point: square marker
+            mask |= (np.abs(px - payload[0]) <= half * 2) & (
+                np.abs(py - payload[1]) <= half * 2
+            )
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[mask] = (255, 20, 20, 255)
+    return img
+
+
+def _near_segment(px, py, a, b, dist):
+    ax, ay = float(a[0]), float(a[1])
+    bx, by = float(b[0]), float(b[1])
+    dx, dy = bx - ax, by - ay
+    ln2 = dx * dx + dy * dy
+    if ln2 == 0:
+        return (np.abs(px - ax) <= dist) & (np.abs(py - ay) <= dist)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / ln2, 0.0, 1.0)
+    qx = ax + t * dx
+    qy = ay + t * dy
+    return (px - qx) ** 2 + (py - qy) ** 2 <= dist * dist
+
+
+def empty_tile_bytes(tile_size: int, fmt: str = "png") -> bytes:
+    """The constant background tile — its digest is the layer's
+    ``empty_tile_detection`` fingerprint (FL2)."""
+    img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
+    return IMG.png_encode(img) if fmt == "png" else IMG.qpng_encode(img)
+
+
+# --------------------------------------------------------------------------
+# DataFrame operators
+# --------------------------------------------------------------------------
+
+
+def render_metatiles(
+    df: DataFrame,
+    grid: Grid,
+    geoms: dict[int, Geom],
+    tile_size: int | None = None,
+    meta_buffer: int = 0,
+    fmt: str = "png",
+    line_width_px: float = 2.0,
+) -> DataFrame:
+    """F2 — add a ``data`` column: the rendered metatile image
+    (``(n*tile_size + 2*meta_buffer)²`` RGBA) for rows [z, x, y, n]."""
+    ts = tile_size or grid.tile_size
+    geoms_l = {int(k): v for k, v in geoms.items()}
+    out_schema = ", ".join(f"{c} {t}" for c, t in _schema_of(df)) + ", data binary"
+
+    def render(batches):
+        for pdf in batches:
+            datas = []
+            for z, x, y, n in zip(pdf["z"], pdf["x"], pdf["y"], pdf["n"]):
+                z, x, y, n = int(z), int(x), int(y), int(n)
+                res = float(grid.resolutions[z])
+                span = res * ts
+                b = meta_buffer * res
+                extent = (
+                    grid.bbox[0] + x * span - b,
+                    grid.bbox[3] - (y + n) * span - b,
+                    grid.bbox[0] + (x + n) * span + b,
+                    grid.bbox[3] - y * span + b,
+                )
+                px = n * ts + 2 * meta_buffer
+                img = render_extent(
+                    geoms_l.get(z, Geom([])), extent, px, px, line_width_px
+                )
+                datas.append(IMG.png_encode(img) if fmt == "png" else IMG.qpng_encode(img))
+            pdf = pdf.copy()
+            pdf["data"] = datas
+            yield pdf
+
+    return df.mapInPandas(render, out_schema)
+
+
+def split_metatile_images(
+    df: DataFrame,
+    tile_size: int,
+    meta_buffer: int = 0,
+    fmt: str = "png",
+    clamp_matrix: tuple[int, int] | None = None,
+) -> DataFrame:
+    """P1 — metatile rows [z, x, y, n, data] -> n² child rows
+    [z, x, y, meta_x, meta_y, data]: decode ONCE per metatile, slice
+    tile_size² interior windows offset by ``meta_buffer``, re-encode each.
+    """
+
+    def split(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("z", "x", "y", "meta_x", "meta_y", "data")}
+            for z, x, y, n, data in zip(pdf["z"], pdf["x"], pdf["y"], pdf["n"], pdf["data"]):
+                z, x, y, n = int(z), int(x), int(y), int(n)
+                img = IMG.decode(bytes(data), fmt)
+                for dy in range(n):
+                    for dx in range(n):
+                        r0 = meta_buffer + dy * tile_size
+                        c0 = meta_buffer + dx * tile_size
+                        child = img[r0 : r0 + tile_size, c0 : c0 + tile_size]
+                        enc = (
+                            IMG.png_encode(np.ascontiguousarray(child))
+                            if fmt == "png"
+                            else IMG.qpng_encode(np.ascontiguousarray(child))
+                        )
+                        out["z"].append(z)
+                        out["x"].append(x + dx)
+                        out["y"].append(y + dy)
+                        out["meta_x"].append(x)
+                        out["meta_y"].append(y)
+                        out["data"].append(enc)
+            yield pd.DataFrame(
+                {
+                    "z": pd.array(out["z"], dtype="int32"),
+                    "x": pd.array(out["x"], dtype="int32"),
+                    "y": pd.array(out["y"], dtype="int32"),
+                    "meta_x": pd.array(out["meta_x"], dtype="int32"),
+                    "meta_y": pd.array(out["meta_y"], dtype="int32"),
+                    "data": out["data"],
+                }
+            )
+
+    out = df.mapInPandas(
+        split, "z int, x int, y int, meta_x int, meta_y int, data binary"
+    )
+    if clamp_matrix is not None:
+        w, h = clamp_matrix
+        out = out.filter((F.col("x") < w) & (F.col("y") < h))
+    return out
+
+
+def psnr_vs_rerender(
+    df: DataFrame,
+    grid: Grid,
+    geoms: dict[int, Geom],
+    tile_size: int,
+    fmt: str = "png",
+    line_width_px: float = 2.0,
+) -> DataFrame:
+    """Fidelity audit: decode each child tile and compare against a direct
+    render of its extent — adds ``psnr`` (dB, +inf -> 999.0). The
+    BASELINE invariant is psnr >= 40 for lossy codecs."""
+    geoms_l = {int(k): v for k, v in geoms.items()}
+    out_schema = ", ".join(f"{c} {t}" for c, t in _schema_of(df)) + ", psnr double"
+
+    def audit(batches):
+        for pdf in batches:
+            vals = []
+            for z, x, y, data in zip(pdf["z"], pdf["x"], pdf["y"], pdf["data"]):
+                z, x, y = int(z), int(x), int(y)
+                res = float(grid.resolutions[z])
+                span = res * tile_size
+                extent = (
+                    grid.bbox[0] + x * span,
+                    grid.bbox[3] - (y + 1) * span,
+                    grid.bbox[0] + (x + 1) * span,
+                    grid.bbox[3] - y * span,
+                )
+                ref = render_extent(geoms_l.get(z, Geom([])), extent, tile_size, tile_size, line_width_px)
+                got = IMG.decode(bytes(data), fmt)
+                p = IMG.psnr(ref, got)
+                vals.append(999.0 if p == float("inf") else p)
+            pdf = pdf.copy()
+            pdf["psnr"] = vals
+            yield pdf
+
+    return df.mapInPandas(audit, out_schema)
+
+
+def _schema_of(df: DataFrame) -> list[tuple[str, str]]:
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
