@@ -1,0 +1,78 @@
+"""Spatial join / kNN / cell index tests."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark.config import SWISSGRID_5
+from tilecloud_chain_spark.functions import gridmath as GM
+from tilecloud_chain_spark.operators import spatial as SP
+from tilecloud_chain_spark.sources.images import synth_images
+
+
+def test_assign_tiles_matches_driver_math(spark):
+    df = synth_images(spark, 200, SWISSGRID_5, size=8)
+    assigned = SP.assign_tiles(df, SWISSGRID_5, [0, 2])
+    rows = assigned.select("image_id", "x", "y", "z", "tx", "ty").collect()
+    assert len(rows) == 400
+    for r in rows:
+        ex, ey = SWISSGRID_5.tile_at(r.z, r.x, r.y)
+        w, h = SWISSGRID_5.matrix_size(r.z)
+        assert r.tx == min(max(ex, 0), w - 1)
+        assert r.ty == min(max(ey, 0), h - 1)
+
+
+def test_cell_key_roundtrip(spark):
+    df = synth_images(spark, 50, SWISSGRID_5, size=8)
+    a = SP.assign_tiles(df, SWISSGRID_5, [3])
+    z, x, y = GM.cell_unpack(F.col("cell"))
+    back = a.select("tx", "ty", z, x, y).collect()
+    for r in back:
+        assert (r.z, r.x, r.y) == (3, r.tx, r.ty)
+
+
+def test_knn_bruteforce_exact(spark):
+    pts = synth_images(spark, 300, SWISSGRID_5, size=8).select("image_id", "x", "y").cache()
+    queries = spark.createDataFrame(
+        [("q0", 600000.0, 200000.0), ("q1", 450000.0, 100000.0)], "qid string, x double, y double"
+    )
+    got = SP.knn_bruteforce(pts, queries, k=5).collect()
+    rows = pts.collect()
+    for qid, qx, qy in (("q0", 600000.0, 200000.0), ("q1", 450000.0, 100000.0)):
+        dists = sorted(
+            (math.hypot(r.x - qx, r.y - qy), r.image_id) for r in rows
+        )[:5]
+        expect = [i for _, i in dists]
+        mine = [r.image_id for r in sorted(got, key=lambda r: r.rank) if r.qid == qid]
+        assert mine == expect, qid
+    pts.unpersist()
+
+
+def test_knn_cells_matches_bruteforce(spark):
+    pts = synth_images(spark, 400, SWISSGRID_5, size=8).select("image_id", "x", "y").cache()
+    queries = spark.createDataFrame(
+        [("q0", 600000.0, 200000.0), ("q1", 500000.0, 250000.0)],
+        "qid string, x double, y double",
+    )
+    bf = {(r.qid, r.rank): r.image_id for r in SP.knn_bruteforce(pts, queries, k=3).collect()}
+    # z0 span=25600m; 400 points over the bbox -> k=3 well within ring 2
+    cl = {(r.qid, r.rank): r.image_id for r in SP.knn_cells(pts, queries, SWISSGRID_5, 0, 3, ring=2).collect()}
+    assert cl == bf
+    pts.unpersist()
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.range(0, 10000).select(F.lit(42).alias("cell"), F.col("id"))
+    out = SP.salted_repartition(df, 8, 8, ["cell"], salt_from=["id"])
+    sizes = out.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    nonempty = [r for r in sizes if r["count"] > 0]
+    assert len(nonempty) >= 4  # one hot key spread over multiple partitions
+    assert out.count() == 10000
+
+
+def test_tiles_per_cell_agg(spark):
+    df = synth_images(spark, 500, SWISSGRID_5, size=8)
+    a = SP.assign_tiles(df, SWISSGRID_5, [1])
+    agg = SP.tiles_per_cell(a)
+    total = agg.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == 500

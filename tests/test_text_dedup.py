@@ -1,0 +1,152 @@
+"""Text analysis, dedup, similarity operator tests on driver testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark.operators import dedup as DD
+from tilecloud_chain_spark.operators import similarity as SIM
+from tilecloud_chain_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_text_profile_sane(docs):
+    prof = TX.profile(docs).collect()
+    assert len(prof) == docs.count()
+    for r in prof[:50]:
+        assert r.n_tokens > 0
+        assert r.n_subtokens >= r.n_tokens  # subwords >= words
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.quality <= 1.0
+        assert len(r.fingerprint) == 32
+
+
+def test_token_count_matches_python(docs):
+    rows = docs.select("doc_id", "text", TX.token_count(F.col("text")).alias("n")).collect()
+    for r in rows[:100]:
+        assert r.n == len(r.text.split())
+
+
+def test_exact_dedup_with_injected_dups(spark, docs):
+    base = docs.select("doc_id", "text")
+    dup = base.limit(5).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    d = DD.exact_dedup(base.unionAll(dup))
+    assert d.count() == base.count()  # 5 dup groups collapse
+    assert d.filter(F.col("dup_count") == 2).count() == 5
+    # keeper is the smaller id
+    assert d.filter((F.col("dup_count") == 2) & (F.col("keep_id") >= 100000)).count() == 0
+
+
+def test_jaccard_pairs_symmetric_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),  # high overlap with 1
+            (3, "q w e r t y u i"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.jaccard_pairs(df, threshold=0.3, k=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert 0.3 <= pairs[0].jaccard <= 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    """Inject near-duplicates (one token changed) and require LSH+verify to
+    recover them; verified output must be a subset of exact all-pairs."""
+    base = docs.select("doc_id", "text").limit(100)
+    near = base.limit(8).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    df = base.unionAll(near)
+    got = DD.minhash_dedup_pairs(df, threshold=0.6, num_hashes=16, bands=8, rows_per_band=2)
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    expected = {(i, i + 200000) for (i,) in base.limit(8).select("doc_id").collect()}
+    assert expected <= got_pairs
+    exact = {(r.id_a, r.id_b) for r in DD.jaccard_pairs(df, 0.6).collect()}
+    assert got_pairs <= exact
+
+
+def test_simhash_near_pairs(spark, docs):
+    """Chunk blocking (4×16-bit) guarantees recall for hamming<=3
+    (pigeonhole); beyond that it is best-effort. Require the guaranteed
+    pairs plus a majority of looser injected near-dups."""
+    base = docs.select("doc_id", "text").limit(60)
+    near = base.limit(6).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    df = base.unionAll(near)
+    sh = {r.doc_id: r.simhash for r in DD.simhash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    injected = {(i, i + 300000) for (i,) in base.limit(6).select("doc_id").collect()}
+    got = DD.simhash_near_pairs(df, max_hamming=12)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    guaranteed = {p for p in injected if ham(sh[p[0]], sh[p[1]]) <= 3}
+    assert guaranteed <= pairs
+    assert len(pairs & injected) >= 4  # best-effort recall on looser pairs
+    # no pair in the output exceeds the radius
+    assert got.filter(F.col("hamming") > 12).count() == 0
+
+
+def test_cosine_topk_exact(embs, spark):
+    q = embs.limit(2).select(
+        F.col("vec_id").cast("string").alias("qid"), "embedding"
+    )
+    got = SIM.cosine_topk(embs, q, k=5)
+    rows = got.collect()
+    assert len(rows) == 10
+    # self is always rank 1 with cos == 1
+    top = {r.qid: (r.vec_id, r.cos) for r in rows if r.rank == 1}
+    for qid, (vid, cos) in top.items():
+        assert str(vid) == qid
+        assert cos == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ann_recall_vs_bruteforce(embs, spark):
+    q = embs.limit(5).select(F.col("vec_id").cast("string").alias("qid"), "embedding")
+    bf = SIM.cosine_topk(embs, q, k=10)
+    ann = SIM.ann_topk(embs, q, dim=64, k=10, bits=8, probe_hamming=3)
+    bf_sets = {}
+    for r in bf.collect():
+        bf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    ann_sets = {}
+    for r in ann.collect():
+        ann_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(bf_sets[qid] & ann_sets.get(qid, set())) / 10 for qid in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_cosine_near_dup_pairs_finds_injected(spark, embs):
+    base = embs.limit(50).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dup = base.limit(4).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda v: v * 1.000001).alias("embedding"),
+    )
+    got = SIM.cosine_near_dup_pairs(base.unionAll(dup), threshold=0.999, dim=64, bits=8)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    expected = {(i, i + 900000) for (i,) in base.limit(4).select("vec_id").collect()}
+    assert expected <= pairs
+
+
+def test_minhash_udf_matches_sql_version(spark, docs):
+    """Scale-path (python-worker) MinHash == SQL-expressible MinHash."""
+    base = docs.select("doc_id", "text").limit(80)
+    a = {r.id: list(r.sig) for r in DD.minhash_signatures(base, num_hashes=6).collect()}
+    b = {r.id: list(r.sig) for r in DD.minhash_signatures_udf(base, num_hashes=6).collect()}
+    assert a == b
