@@ -1,0 +1,155 @@
+"""Checkpoint / lineage / exact-resume tests (BASELINE.json mandate)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark import geometry as G
+from tilecloud_chain_spark.checkpoint import CheckpointStore, with_lineage
+from tilecloud_chain_spark.config import LAYERS, SWISSGRID_5
+from tilecloud_chain_spark.plans import pipeline as P
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def test_with_lineage_single_pass(spark):
+    df = spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("cell"), F.lit(b"xx").alias("data")
+    )
+    mixed = with_lineage(df, cell_col="cell", bytes_col="data")
+    rows = mixed.collect()
+    data = [r for r in rows if r._lineage is None]
+    lin = [r._lineage for r in rows if r._lineage is not None]
+    assert len(data) == 1000
+    assert len(lin) == 4  # one per partition
+    assert sum(l.row_count for l in lin) == 1000
+    assert sum(l.bytes for l in lin) == 2000
+    assert min(l.cell_min for l in lin) == 0
+    assert max(l.cell_max for l in lin) == 999
+    assert all(l.wall_ms >= 0 for l in lin)
+
+
+def _run_line_job(spark, root):
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    geoms = {0: geom, 1: geom}
+    store = CheckpointStore(spark, root)
+    job_id = P.generate_tiles(
+        spark, SWISSGRID_5, LAYERS["line"], geoms, store, zooms=[0, 1], meta_buffer=32
+    )
+    return store, job_id
+
+
+def test_pipeline_checkpoint_golden_and_lineage(spark, root):
+    store, job_id = _run_line_job(spark, root)
+    out = store.output(job_id, "tiles", 0)
+    got = {(r.x, r.y) for r in out.select("x", "y").collect()}
+    assert got == {(6, 5), (7, 5), (5, 6), (6, 6), (4, 7), (5, 7)}  # reference golden
+
+    lin = store.lineage(job_id)
+    assert lin.count() >= 2  # at least one partition row per zoom stage
+    tot = lin.agg(F.sum("row_count")).collect()[0][0]
+    assert tot == store.output(job_id, "tiles").count()
+    rep = store.report(job_id)
+    assert rep["rows"] == tot and rep["bytes"] > 0
+
+    # queue bookkeeping: meta_tiles_total recorded (postgresql.py:285-290)
+    assert store.job(job_id)["meta_tiles_total"] == store.queue(job_id).count()
+
+
+def test_exact_resume_skips_done_stages(spark, root):
+    store, job_id = _run_line_job(spark, root)
+    before = {(r.z, r.x, r.y) for r in store.output(job_id, "tiles").collect()}
+
+    # simulate a restarted run: same stages re-submitted -> all skipped
+    calls = []
+
+    def build_should_not_run():
+        calls.append(1)
+        raise AssertionError("stage must be skipped on resume")
+
+    for z in (0, 1):
+        res = store.run_stage(job_id, "tiles", z, build_should_not_run)
+        assert res["skipped"] is True
+    assert not calls
+    after = {(r.z, r.x, r.y) for r in store.output(job_id, "tiles").collect()}
+    assert after == before
+
+
+def test_kill_mid_run_resumes_exactly(spark, root):
+    """Run only zoom 0, 'crash', then resume both zooms: zoom 0 is not
+    recomputed, zoom 1 completes, outputs equal a fresh full run."""
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    geoms = {0: geom, 1: geom}
+    store = CheckpointStore(spark, root)
+    job_id = store.create_job("line")
+    metas = P.plan_metatiles(spark, SWISSGRID_5, LAYERS["line"], geoms, [0, 1])
+    from tilecloud_chain_spark.functions import gridmath as GM
+
+    metas = metas.withColumn("cell", GM.cell_key(F.col("z"), F.col("x"), F.col("y")))
+    store.enqueue(job_id, metas)
+
+    # partial run: drive stage z0 only, then "kill"
+    from tilecloud_chain_spark.operators import raster as R
+    from tilecloud_chain_spark.operators import filters as FL
+    import hashlib
+
+    def build_z(z):
+        def build():
+            m = store.queue(job_id, z).select("z", "x", "y", "n")
+            rendered = R.render_metatiles(m, SWISSGRID_5, geoms, meta_buffer=32)
+            rendered = FL.hash_drop(
+                rendered,
+                hashlib.sha256(R.empty_tile_bytes(8 * 256 + 64)).hexdigest(),
+            )
+            ch = R.split_metatile_images(rendered, 256, 32,
+                                         clamp_matrix=SWISSGRID_5.matrix_size(z))
+            st = FL.hash_drop(
+                ch, hashlib.sha256(R.empty_tile_bytes(256)).hexdigest()
+            )
+            return st.withColumn("cell", GM.cell_key(F.col("z"), F.col("x"), F.col("y")))
+
+        return build
+
+    store.run_stage(job_id, "tiles", 0, build_z(0), bytes_col="data")
+    assert store.stage_status(job_id, "tiles", 0) == "done"
+    assert store.stage_status(job_id, "tiles", 1) == "created"
+
+    # resume: a new store instance (fresh process analog) finishes the job
+    store2 = CheckpointStore(spark, root)
+    assert store2.run_stage(job_id, "tiles", 0, build_z(0), bytes_col="data")["skipped"]
+    store2.run_stage(job_id, "tiles", 1, build_z(1), bytes_col="data")
+    out = store2.output(job_id, "tiles")
+    assert out.filter(F.col("z") == 0).count() == 6
+    assert out.filter(F.col("z") == 1).count() > 0
+
+
+def test_error_stage_retry_only_errors(spark, root):
+    """Failed stage -> marker error; retry_errors reopens ONLY it
+    (reference retry parity, store/postgresql.py:443-477)."""
+    store = CheckpointStore(spark, root)
+    job_id = store.create_job("errjob")
+    df = spark.range(10).select(F.col("id").alias("cell"))
+    store.enqueue(job_id, df.withColumn("z", F.lit(0)).withColumn("x", F.lit(0))
+                  .withColumn("y", F.lit(0)).withColumn("n", F.lit(1)))
+
+    store.run_stage(job_id, "s", 0, lambda: df)  # ok
+
+    def boom():
+        raise RuntimeError("synthetic failure")
+
+    with pytest.raises(RuntimeError):
+        store.run_stage(job_id, "s", 1, boom)
+    assert store.stage_status(job_id, "s", 0) == "done"
+    assert store.stage_status(job_id, "s", 1) == "error"
+
+    reopened = store.retry_errors(job_id)
+    assert reopened == [("s", 1)]
+    assert store.stage_status(job_id, "s", 1) == "created"
+    # done stage untouched, error stage now runs
+    assert store.run_stage(job_id, "s", 0, boom)["skipped"]
+    store.run_stage(job_id, "s", 1, lambda: df)
+    assert store.stage_status(job_id, "s", 1) == "done"

@@ -1,0 +1,127 @@
+"""Tiles-file source, cache listing round-trip, queue streaming semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark.checkpoint import CheckpointStore
+from tilecloud_chain_spark.sources.tiles_file import (
+    invalid_lines,
+    list_cache,
+    read_tiles_file,
+    write_cache,
+)
+from tilecloud_chain_spark.streaming import queue_stream as QS
+
+
+def test_read_tiles_file(spark, tmp_path):
+    p = tmp_path / "tiles.txt"
+    p.write_text(
+        "0/5/6\n"
+        "1/10/12:+8/+8 layer=line dimension_DATE=2012\n"
+        "\n"
+        "garbage line\n"
+        "4/100/200 host=example.com\n"
+    )
+    df = read_tiles_file(spark, str(p))
+    rows = {(r.z, r.x, r.y, r.n): dict(r.metadata) for r in df.collect()}
+    assert rows[(0, 5, 6, 1)] == {}
+    assert rows[(1, 10, 12, 8)] == {"layer": "line", "dimension_DATE": "2012"}
+    assert rows[(4, 100, 200, 1)] == {"host": "example.com"}
+    assert invalid_lines(spark, str(p)).count() == 1  # 'garbage line'
+
+
+def test_cache_write_list_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "cache")
+    df = spark.createDataFrame(
+        [
+            ("line", "default", "2012", 0, 5, 6, "png", bytearray(b"abc")),
+            ("line", "default", "2012", 0, 7, 4, "png", bytearray(b"xyz")),
+        ],
+        "layer string, style string, dims string, z int, x int, y int, ext string, data binary",
+    )
+    write_cache(df, root, "swissgrid_5")
+    # reference layout: 1.0.0/{layer}/{style}/{dims}/{matrixset}/{z}/{y}/{x}.{ext}
+    assert os.path.exists(os.path.join(root, "1.0.0/line/default/2012/swissgrid_5/0/6/5.png"))
+    back = list_cache(spark, root)
+    rows = {(r.z, r.x, r.y): bytes(r.data) for r in back.collect()}
+    assert rows == {(0, 5, 6): b"abc", (0, 7, 4): b"xyz"}
+    r0 = back.collect()[0]
+    assert (r0.layer, r0.style, r0.dims, r0.matrixset) == ("line", "default", "2012", "swissgrid_5")
+
+
+@pytest.fixture()
+def store_job(spark, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    job_id = store.create_job("stream-test")
+    q = spark.createDataFrame(
+        [(z, 0, 0, 1, z) for z in range(3)], "z int, x int, y int, n int, cell long"
+    )
+    store.enqueue(job_id, q)
+    return store, job_id
+
+
+def test_drain_processes_all_then_stops(spark, store_job):
+    store, job_id = store_job
+
+    def build_for_zoom(z):
+        return lambda: store.queue(job_id, z).select("z", "x", "y", "cell")
+
+    res = QS.drain(store, job_id, "tiles", build_for_zoom)
+    assert res["done"] == [0, 1, 2]
+    assert QS.pending_stages(store, job_id, "tiles") == []
+    # a second drain is a no-op
+    res2 = QS.drain(store, job_id, "tiles", build_for_zoom)
+    assert res2["done"] == []
+
+
+def test_drain_retries_errors_bounded(spark, store_job):
+    store, job_id = store_job
+    fails = {"n": 0}
+
+    def build_for_zoom(z):
+        def build():
+            if z == 1 and fails["n"] < 2:
+                fails["n"] += 1
+                raise RuntimeError("flaky")
+            return store.queue(job_id, z).select("z", "x", "y", "cell")
+
+        return build
+
+    res = QS.drain(store, job_id, "tiles", build_for_zoom, max_retries=5)
+    assert fails["n"] == 2  # failed twice, then succeeded
+    assert set(res["done"]) == {0, 1, 2}
+
+
+def test_circuit_breaker(spark, store_job):
+    store, job_id = store_job
+
+    def build_for_zoom(z):
+        def build():
+            raise RuntimeError("always broken")
+
+        return build
+
+    with pytest.raises(QS.TooManyErrorsError):
+        QS.drain(store, job_id, "tiles", build_for_zoom,
+                 max_retries=50, max_consecutive_errors=4)
+
+
+def test_structured_streaming_drain(spark, store_job, tmp_path):
+    """Genuine Structured Streaming over the queue dir: availableNow drains
+    the existing files through foreachBatch, then stops."""
+    store, job_id = store_job
+    seen = []
+
+    def handler(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    QS.stream_queue_files(
+        spark,
+        os.path.join(store.root, "queue", f"job={job_id}"),
+        str(tmp_path / "stream-ckpt"),
+        handler,
+        schema="x int, y int, n int, cell long",  # z is a partition dir
+    )
+    assert sum(seen) == 3
