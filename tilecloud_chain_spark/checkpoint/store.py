@@ -215,6 +215,28 @@ class CheckpointStore:
         )
         return {"skipped": False, "status": "done", "wall_s": wall}
 
+    def requeue_stale_pending(self, job_id: str, max_pending_minutes: float = 10.0) -> list[tuple[str, int]]:
+        """ST2 — lost-worker recovery: pending markers older than
+        ``max_pending_minutes`` (reference default 10, configuration.py:2348;
+        maintenance loop store/postgresql.py:700-713) reset to created so a
+        later run re-executes the stage."""
+        reopened = []
+        mdir = os.path.join(self.root, "markers")
+        if not os.path.isdir(mdir):
+            return reopened
+        cutoff = time.time() - max_pending_minutes * 60
+        for name in os.listdir(mdir):
+            if not name.startswith(f"{job_id}.") or not name.endswith(".json"):
+                continue
+            p = os.path.join(mdir, name)
+            with open(p) as f:
+                payload = json.load(f)
+            if payload.get("status") == "pending" and payload.get("started_at", 0) < cutoff:
+                os.remove(p)
+                _, stage, zpart = name[: -len(".json")].rsplit(".", 2)
+                reopened.append((stage, int(zpart[1:])))
+        return reopened
+
     def retry_errors(self, job_id: str) -> list[tuple[str, int]]:
         """Reset error stages to created (requeue-only-errors). Returns the
         (stage, zoom) pairs reopened."""

@@ -1,0 +1,100 @@
+"""Per-zoom geometry-restriction resolution (SURVEY.md §1.3, §2.1 S7).
+
+Port of the reference's ``get_geoms`` semantics
+(/root/reference/tilecloud_chain/__init__.py:1678-1813):
+
+1. base extent = CLI bbox / near-window, else layer bbox, else grid bbox —
+   always a rectangle Polygon assigned to EVERY zoom (:1757-1768);
+2. optionally refined per zoom by geometry rows loaded from a table
+   (PostGIS ``ST_AsBinary`` scan :1838-1910 / OGR datasource :1944-2014 in
+   the reference; here any DataFrame/iterable of WKT rows — e.g. a JDBC
+   read — since geoms are small and broadcast), unioned (:1910),
+   intersected with the extent (:1792-1802), and gated by per-source
+   ``min_resolution``/``max_resolution`` (:1803-1807);
+3. reprojection between layer and grid CRS when they differ (:1887-1903):
+   implemented for the Swiss LV03<->LV95 pair the fixtures use (an exact
+   +2'000'000/+1'000'000 translation by definition of EPSG:2056); arbitrary
+   CRS pairs require pyproj, which this environment does not ship —
+   ``transform_bbox`` raises NotImplementedError for those (clearly-marked
+   stub per the driver instruction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from tilecloud_chain_spark.config import Grid, Layer
+from tilecloud_chain_spark.geometry import Geom, box_geom, parse_wkt, union
+
+
+def transform_bbox(
+    src_srs: str, dst_srs: str, bbox: tuple[float, float, float, float]
+) -> tuple[float, float, float, float]:
+    """SC2 — bbox reprojection. Exact for the LV03<->LV95 pair; other pairs
+    need pyproj (import-try gated)."""
+    if src_srs == dst_srs:
+        return bbox
+    pair = (src_srs.upper(), dst_srs.upper())
+    if pair == ("EPSG:21781", "EPSG:2056"):
+        return (bbox[0] + 2_000_000, bbox[1] + 1_000_000, bbox[2] + 2_000_000, bbox[3] + 1_000_000)
+    if pair == ("EPSG:2056", "EPSG:21781"):
+        return (bbox[0] - 2_000_000, bbox[1] - 1_000_000, bbox[2] - 2_000_000, bbox[3] - 1_000_000)
+    try:
+        from pyproj import Transformer  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"transform_bbox {src_srs}->{dst_srs} requires pyproj "
+            "(not available in this environment)"
+        ) from exc
+    transformer = Transformer.from_crs(src_srs, dst_srs, always_xy=True)
+    return transformer.transform_bounds(*bbox)  # pragma: no cover
+
+
+def resolve_geoms(
+    grid: Grid,
+    layer: Layer,
+    geom_rows: Iterable[dict] | None = None,
+    cli_bbox: tuple[float, float, float, float] | None = None,
+    zooms: Iterable[int] | None = None,
+) -> dict[int, Geom]:
+    """Build the per-zoom restriction geometry dict.
+
+    ``geom_rows``: iterable of {"wkt": str, "min_resolution": float|None,
+    "max_resolution": float|None} (the collected result of a PostGIS/OGR/
+    JDBC scan — geoms are small, loaded driver-side and broadcast, like the
+    reference's mtime-cached geoms).
+    """
+    zooms = list(zooms if zooms is not None else range(len(grid.resolutions)))
+    extent_bbox = cli_bbox or layer.bbox or grid.bbox
+    extent = box_geom(*extent_bbox)
+
+    out: dict[int, Geom] = {z: extent for z in zooms}
+    rows = list(geom_rows) if geom_rows is not None else (
+        [{"wkt": layer.geom_wkt}] if layer.geom_wkt else []
+    )
+    if not rows:
+        return out
+
+    for z in zooms:
+        res = float(grid.resolutions[z])
+        applicable = [
+            parse_wkt(r["wkt"])
+            for r in rows
+            if (r.get("min_resolution") is None or res >= r["min_resolution"])
+            and (r.get("max_resolution") is None or res <= r["max_resolution"])
+        ]
+        if not applicable:
+            continue  # zoom keeps the plain extent rectangle
+        merged = union(*applicable)
+        out[z] = merged.clip_to_box(extent_bbox)
+    return out
+
+
+def near_window(
+    grid: Grid, layer: Layer, zoom_ref: int, x_m: float, y_m: float, n_metatiles: float = 8
+) -> tuple[float, float, float, float]:
+    """FL6 ``--near``: an N-metatile window centered on a point
+    (tilecloud_chain/__init__.py:1707-1755 bbox branch)."""
+    span = grid.span(zoom_ref, layer.meta_size if layer.meta else 1)
+    half = n_metatiles * span / 2
+    return (x_m - half, y_m - half, x_m + half, y_m + half)

@@ -1,0 +1,67 @@
+"""Store/action routing + dimension fan-out (SURVEY.md §2.5 J1/J2, §2.3 P3,
+§2.9 SE3).
+
+The reference routes each tile to a per-(config, layer, grid) TileStore /
+action via mtime-cached lookup maps (``MultiTileStore``
+/root/reference/multitilestore.py:23-139; ``MultiAction``
+tilecloud_chain/__init__.py:2505-2557). Under Spark the lookup map is a tiny
+layer-config dimension DataFrame broadcast-joined onto the tile stream —
+Catalyst keeps it a BroadcastHashJoin, so routing adds no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from tilecloud_chain_spark.config import Layer
+
+# WMS params the reference strips before forwarding (generate.py:536-545)
+RESERVED_PARAMS = {
+    "SERVICE", "VERSION", "REQUEST", "LAYERS", "STYLES", "SRS", "CRS",
+    "BBOX", "WIDTH", "HEIGHT", "FORMAT", "TRANSPARENT", "BGCOLOR",
+}
+
+
+def layer_config_df(spark: SparkSession, layers: dict[str, Layer]) -> DataFrame:
+    """The routing dimension table: one row per layer with the parameters
+    each downstream stage needs (J1's lookup map as data)."""
+    rows = [
+        (
+            lay.name, lay.grid, lay.meta, lay.meta_size, lay.meta_buffer,
+            float(lay.px_buffer), lay.empty_tile_hash, lay.empty_metatile_hash,
+        )
+        for lay in layers.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "layer string, grid string, meta boolean, meta_size int, meta_buffer int,"
+        " px_buffer double, empty_tile_hash string, empty_metatile_hash string",
+    )
+
+
+def route(tiles: DataFrame, config: DataFrame, on: str = "layer") -> DataFrame:
+    """J1 — broadcast-hash join of the tile stream against the layer-config
+    dimension; rows with no matching layer are dropped with a warning
+    channel (FL7's layer-metadata guard: tilecloud_chain/generate.py:278-283
+    drops queue messages without a known layer)."""
+    return tiles.join(broadcast(config), on, "inner")
+
+
+def dimension_fanout(tiles: DataFrame, dimensions: dict[str, tuple[str, ...]]) -> DataFrame:
+    """P3/J2 — cartesian product with declared dimension values
+    (``get_all_dimensions`` tilecloud_chain/__init__.py:1321-1338); each
+    dimension becomes a ``dimension_<name>`` column."""
+    out = tiles
+    for name, values in dimensions.items():
+        out = out.withColumn(
+            f"dimension_{name}", F.explode(F.array(*[F.lit(v) for v in values]))
+        )
+    return out
+
+
+def strip_reserved_params(params: F.Column) -> F.Column:
+    """SE3 — remove reserved WMS keys from a MAP<STRING,STRING> column
+    (generate.py:536-545) via map_filter (JVM-side)."""
+    return F.map_filter(params, lambda k, _: ~F.upper(k).isin(*RESERVED_PARAMS))
