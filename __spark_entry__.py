@@ -375,6 +375,71 @@ def q_sparse_metatiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EN.sparse_metatiles(spark, GRID, geoms, range(4), n=8)
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic engine capability — TPC-H Q1-style pricing summary over
+    lineitem (sums/averages/counts with map-side partial aggregation)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic join — orders x customer (broadcast dim) rollup by segment."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    from pyspark.sql.functions import broadcast
+
+    j = orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_hash_drop_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FL2 shape on a table: drop rows whose content digest matches the
+    configured fingerprint class (here: md5 starting '0' — deterministic
+    ~1/16 subset), keep the rest with their digest."""
+    docs = _read(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return docs.select("doc_id", h.alias("content_hash")).filter(
+        ~F.col("content_hash").startswith("0")
+    )
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC-text — rolling-shingle document fingerprint (min md5 3-gram)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_multi_grid_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grid parity — swissgrid_01 uses matrix_identifier='resolution'
+    ('1', '0_2', '0_1' — get_tile_matrix_identifier) + per-grid dims."""
+    from tilecloud_chain_spark.config import SWISSGRID_01
+
+    z = F.col("id").cast("int").alias("z")
+    df = spark.range(3).select(z)
+    return df.select(
+        "z",
+        GM.matrix_identifier(SWISSGRID_01, F.col("z")).alias("matrix_id"),
+        GM.matrix_width(SWISSGRID_01, F.col("z")).alias("matrix_w"),
+        GM.matrix_height(SWISSGRID_01, F.col("z")).alias("matrix_h"),
+        F.round(GM.scale_denominator(SWISSGRID_01, F.col("z")), 4).alias("scale_denom"),
+    )
+
+
 # ---- rows-only (non-SQL-expressible: image codecs / LSH) ------------------
 
 
@@ -461,6 +526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_docs": q_knn_docs,
         "text_profile": q_text_profile,
         "sparse_metatiles": q_sparse_metatiles,
+        "pricing_summary": q_pricing_summary,
+        "orders_rollup": q_orders_rollup,
+        "hash_drop_docs": q_hash_drop_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "multi_grid_identifiers": q_multi_grid_identifiers,
         # rows-only (no oracle possible):
         "image_pipeline_stored": q_image_pipeline_stored,
         "ann_topk": q_ann_topk,
@@ -796,7 +866,62 @@ def oracle_sql() -> dict[str, str]:
 
     dense_enum_z0 = _enum_sql([0])
 
+    pricing_summary = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(avg(l_quantity), 6) AS DOUBLE) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """
+
+    orders_rollup = """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """
+
+    hash_drop_docs = """
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+        WHERE md5(text) NOT LIKE '0%'
+    """
+
+    fingerprint_docs = """
+        WITH sh AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+                   i -> concat(string_split(lower(text), ' ')[i], ' ',
+                               string_split(lower(text), ' ')[i+1], ' ',
+                               string_split(lower(text), ' ')[i+2]))) AS shingle
+          FROM documents
+        )
+        SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+    """
+
+    # swissgrid_01: resolutions [1, 0.2, 0.1], identifier by resolution
+    mg_rows = []
+    from tilecloud_chain_spark.config import SWISSGRID_01 as _G01
+
+    for z, r in enumerate(_G01.resolutions):
+        ident = str(int(r)) if float(r).is_integer() else str(r).replace(".", "_")
+        w, h = _G01.matrix_size(z)
+        sd = round(r / 0.00028, 4)
+        mg_rows.append(
+            f"SELECT {z} AS z, '{ident}' AS matrix_id, {w} AS matrix_w,"
+            f" {h} AS matrix_h, CAST({sd} AS DOUBLE) AS scale_denom"
+        )
+    multi_grid_identifiers = " UNION ALL ".join(mg_rows)
+
     return {
+        "pricing_summary": pricing_summary,
+        "orders_rollup": orders_rollup,
+        "hash_drop_docs": hash_drop_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "multi_grid_identifiers": multi_grid_identifiers,
         "pyramid_matrix": pyramid_matrix,
         "dense_enum_z0": dense_enum_z0,
         "bbox_ranges": bbox_ranges,
