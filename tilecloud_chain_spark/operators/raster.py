@@ -201,6 +201,89 @@ def split_metatile_images(
     return out
 
 
+def render_split_metatiles(
+    df: DataFrame,
+    grid: Grid,
+    geoms: dict[int, Geom],
+    tile_size: int | None = None,
+    meta_buffer: int = 0,
+    fmt: str = "png",
+    line_width_px: float = 2.0,
+    clamp_matrix: bool = True,
+    drop_empty_children: bool = False,
+) -> DataFrame:
+    """Fused F2+P1: render each metatile and slice its children in ONE
+    python stage, skipping the intermediate metatile PNG encode/decode.
+
+    The reference cannot fuse (WMS returns encoded bytes over HTTP); we own
+    the renderer, so the fusion is free and halves image-path CPU. Pixel
+    output is bit-identical to render_metatiles→split_metatile_images
+    (property-tested). ``drop_empty_children`` short-circuits FL2 for fully
+    transparent children without encoding them (drop-before-encode — the
+    encode cost of empty tiles is pure waste; their hash-drop equivalence is
+    pinned by the golden tests).
+    """
+    ts = tile_size or grid.tile_size
+    geoms_l = {int(k): v for k, v in geoms.items()}
+
+    def render_split(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("z", "x", "y", "meta_x", "meta_y", "data")}
+            for z, x, y, n in zip(pdf["z"], pdf["x"], pdf["y"], pdf["n"]):
+                z, x, y, n = int(z), int(x), int(y), int(n)
+                res = float(grid.resolutions[z])
+                span = res * ts
+                b = meta_buffer * res
+                extent = (
+                    grid.bbox[0] + x * span - b,
+                    grid.bbox[3] - (y + n) * span - b,
+                    grid.bbox[0] + (x + n) * span + b,
+                    grid.bbox[3] - y * span + b,
+                )
+                px = n * ts + 2 * meta_buffer
+                img = render_extent(geoms_l.get(z, Geom([])), extent, px, px, line_width_px)
+                if drop_empty_children and not img[..., 3].any():
+                    # empty-METATILE drop before split (generate.py:305-322):
+                    # skip the n² child loop entirely
+                    continue
+                w_m, h_m = grid.matrix_size(z)
+                for dy in range(n):
+                    for dx in range(n):
+                        cx, cy = x + dx, y + dy
+                        if clamp_matrix and (cx >= w_m or cy >= h_m):
+                            continue
+                        r0 = meta_buffer + dy * ts
+                        c0 = meta_buffer + dx * ts
+                        child = img[r0 : r0 + ts, c0 : c0 + ts]
+                        if drop_empty_children and not child[..., 3].any():
+                            continue
+                        enc = (
+                            IMG.png_encode(np.ascontiguousarray(child))
+                            if fmt == "png"
+                            else IMG.qpng_encode(np.ascontiguousarray(child))
+                        )
+                        out["z"].append(z)
+                        out["x"].append(cx)
+                        out["y"].append(cy)
+                        out["meta_x"].append(x)
+                        out["meta_y"].append(y)
+                        out["data"].append(enc)
+            yield pd.DataFrame(
+                {
+                    "z": pd.array(out["z"], dtype="int32"),
+                    "x": pd.array(out["x"], dtype="int32"),
+                    "y": pd.array(out["y"], dtype="int32"),
+                    "meta_x": pd.array(out["meta_x"], dtype="int32"),
+                    "meta_y": pd.array(out["meta_y"], dtype="int32"),
+                    "data": out["data"],
+                }
+            )
+
+    return df.mapInPandas(
+        render_split, "z int, x int, y int, meta_x int, meta_y int, data binary"
+    )
+
+
 def psnr_vs_rerender(
     df: DataFrame,
     grid: Grid,

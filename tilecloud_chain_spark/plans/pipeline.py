@@ -10,7 +10,6 @@ reference's physical tricks (drop-before-split, filter-before-expensive).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,21 +93,19 @@ def run_zoom_stages(
     the queue (each zoom = one checkpointed stage, BASELINE.json mandate)."""
     mb = layer.meta_buffer if meta_buffer is None else meta_buffer
     zooms = [r.z for r in store.queue(job_id).select("z").distinct().collect()]
-    empty_tile = hashlib.sha256(R.empty_tile_bytes(grid.tile_size, fmt)).hexdigest()
-    meta_px = (layer.meta_size if layer.meta else 1) * grid.tile_size + 2 * mb
-    empty_meta = hashlib.sha256(R.empty_tile_bytes(meta_px, fmt)).hexdigest()
 
     for z in sorted(zooms):
 
         def build(z=z):
             metas = store.queue(job_id, z).select("z", "x", "y", "n")
-            rendered = R.render_metatiles(metas, grid, geoms, meta_buffer=mb, fmt=fmt)
-            # empty-METATILE drop BEFORE split (generate.py:305-322)
-            rendered = FL.hash_drop(rendered, empty_meta)
-            children = R.split_metatile_images(
-                rendered, grid.tile_size, mb, fmt=fmt, clamp_matrix=grid.matrix_size(z)
+            # fused render+split with drop-empty short-circuit: pixel-exact
+            # equivalent of render -> empty-metatile hash-drop (before split,
+            # generate.py:305-322) -> split -> empty-tile hash-drop; the
+            # equivalence is pinned by tests/test_multigrid_fused.py
+            stored = R.render_split_metatiles(
+                metas, grid, geoms, meta_buffer=mb, fmt=fmt,
+                drop_empty_children=True,
             )
-            stored = FL.hash_drop(children, empty_tile)
             return stored.withColumn(
                 "cell", GM.cell_key(F.col("z"), F.col("x"), F.col("y"))
             )
