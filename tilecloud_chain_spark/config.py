@@ -20,6 +20,40 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from fractions import Fraction
+
+
+class ConfigError(ValueError):
+    """Invalid grid/layer configuration (the reference fails validation with
+    errors for wrong SRS/resolutions/bbox — tests/test_error.py:30-246)."""
+
+
+def _prime_factors(x: int) -> list[int]:
+    out, loop = [], 2
+    while loop <= x:
+        if x % loop == 0:
+            x = round(x / loop)
+            out.append(loop)
+        else:
+            loop += 1
+    return out
+
+
+def resolution_scale(resolutions: tuple[float, ...]) -> int:
+    """SC9 — smallest integer scale making every resolution integral:
+    prime-factor LCM of the resolutions' denominators (port of
+    ``_resolution_scale``, /root/reference/tilecloud_chain/__init__.py:1293-1319).
+    """
+    prime_fact: dict[int, int] = {}
+    for r in resolutions:
+        denom = Fraction(str(r)).denominator
+        factors = _prime_factors(denom)
+        for f in set(factors):
+            prime_fact[f] = max(prime_fact.get(f, 0), factors.count(f))
+    result = 1
+    for f, n in prime_fact.items():
+        result *= f**n
+    return result
 
 
 @dataclass(frozen=True)
@@ -37,6 +71,36 @@ class Grid:
     tile_size: int = 256
     srs: str = "EPSG:2056"
     matrix_identifier: str = "zoom"
+
+    def validate(self) -> "Grid":
+        """Config validation (parity with the reference's schema + runtime
+        checks: descending resolutions, sane bbox, integral scaled
+        resolutions — tilecloud_chain/__init__.py:1244-1260 and the
+        wrong_*.yaml error fixtures)."""
+        if not self.resolutions:
+            raise ConfigError(f"grid {self.name}: empty resolutions")
+        if list(self.resolutions) != sorted(self.resolutions, reverse=True):
+            raise ConfigError(
+                f"grid {self.name}: resolutions must be strictly descending"
+            )
+        if len(set(self.resolutions)) != len(self.resolutions):
+            raise ConfigError(f"grid {self.name}: duplicate resolutions")
+        if self.bbox[0] >= self.bbox[2] or self.bbox[1] >= self.bbox[3]:
+            raise ConfigError(f"grid {self.name}: invalid bbox {self.bbox}")
+        if self.tile_size <= 0:
+            raise ConfigError(f"grid {self.name}: tile_size must be positive")
+        scale = resolution_scale(self.resolutions)
+        for r in self.resolutions:
+            if (r * scale) % 1 != 0.0:
+                raise ConfigError(
+                    f"grid {self.name}: resolution {r} * resolution_scale "
+                    f"{scale} is not an integer"
+                )
+        if self.matrix_identifier not in ("zoom", "resolution"):
+            raise ConfigError(
+                f"grid {self.name}: matrix_identifier must be zoom|resolution"
+            )
+        return self
 
     def span(self, zoom: int, n: int = 1) -> float:
         """Tile (or metatile, n>1) edge length in grid meters at ``zoom``."""
