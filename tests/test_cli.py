@@ -1,0 +1,93 @@
+"""CLI + YAML-config loader tests — reference UX parity (generate-tiles /
+generate-cost / get-limits console scripts)."""
+
+import os
+
+import pytest
+
+from tilecloud_chain_spark.config_yaml import parse_config
+
+REF_STYLE_YAML = {
+    "grids": {
+        "swissgrid_5": {
+            "resolutions": [100, 50, 20, 10, 5],
+            "bbox": [420000, 30000, 900000, 350000],
+            "tile_size": 256,
+            "srs": "EPSG:21781",
+        }
+    },
+    "caches": {"local": {"type": "filesystem", "folder": "/tmp/tiles"}},
+    "layers": {
+        "line": {
+            "grids": ["swissgrid_5"],
+            "meta": True,
+            "meta_size": 8,
+            "meta_buffer": 128,
+            "dimensions": [
+                {"name": "DATE", "default": "2012", "generate": ["2012"],
+                 "values": ["2005", "2010", "2012"]}
+            ],
+            "geom_wkt": "LINESTRING (600000 200000, 530000 150000)",
+            "url": "http://mapserver:8080/",  # backend key -> ignored
+        },
+        "all": {"grids": ["swissgrid_5"], "meta": False,
+                "bbox": [550000, 170000, 560000, 180000]},
+        "pg": {"grids": ["swissgrid_5"],
+               "geoms": [{"sql": "the_geom FROM tests.point", "connection": "x"}]},
+    },
+}
+
+
+def test_parse_reference_style_config():
+    cfg = parse_config(REF_STYLE_YAML)
+    g = cfg.grids["swissgrid_5"]
+    assert g.resolutions == (100, 50, 20, 10, 5) and g.tile_size == 256
+    line = cfg.layers["line"]
+    assert line.meta and line.meta_size == 8 and line.meta_buffer == 128
+    assert line.dimensions == {"DATE": ("2012",)}
+    assert cfg.layers["all"].bbox == (550000, 170000, 560000, 180000)
+    # backend keys surfaced, sql geoms flagged
+    assert any("layers.line.url" in u for u in cfg.unsupported)
+    assert any("caches" == u for u in cfg.unsupported)
+    assert any("sql entry" in u for u in cfg.unsupported)
+
+
+def test_cli_end_to_end_golden_paths(spark, tmp_path):
+    """generate-tiles via the CLI writes EXACTLY the reference's golden
+    tile paths (tests/test_generate.py:935-977 asserts these same files)."""
+    import yaml
+
+    from tilecloud_chain_spark import cli
+
+    cfg_path = tmp_path / "test.yaml"
+    cfg_path.write_text(yaml.safe_dump(REF_STYLE_YAML))
+    cache = str(tmp_path / "cache")
+    rc = cli.main([
+        "generate-tiles", "--config", str(cfg_path), "--layer", "line",
+        "--zooms", "0", "--checkpoint", str(tmp_path / "ckpt"),
+        "--cache", cache, "--meta-buffer", "32",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ])
+    assert rc == 0
+    found = set()
+    for root, _, files in os.walk(cache):
+        for f in files:
+            found.add(os.path.relpath(os.path.join(root, f), cache))
+    assert found == {
+        f"1.0.0/line/default/2012/swissgrid_5/0/{y}/{x}.png"
+        for y, x in [(5, 6), (5, 7), (6, 5), (6, 6), (7, 4), (7, 5)]
+    }
+
+
+def test_cli_get_limits(tmp_path, capsys):
+    import yaml
+
+    from tilecloud_chain_spark import cli
+
+    cfg_path = tmp_path / "test.yaml"
+    cfg_path.write_text(yaml.safe_dump(REF_STYLE_YAML))
+    rc = cli.main(["get-limits", "--config", str(cfg_path), "--layer", "all"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TileMatrix 0: 19x13" in out
+    assert "limits 0: col 5-5 row 6-7" in out  # reference golden range

@@ -1,0 +1,186 @@
+"""CLI — the generate-tiles / generate-cost console-script analog
+(SURVEY.md §3.1; reference entry points pyproject.toml:118).
+
+Usage (via spark-submit, the production launch path per BASELINE.json):
+
+    spark-submit --py-files pkg.zip -m ... # or:
+    python -m tilecloud_chain_spark.cli generate-tiles \
+        --config config.yaml --layer line --zooms 0,1 \
+        --checkpoint /tmp/ckpt --cache /tmp/tiles [--bbox minx miny maxx maxy]
+
+    python -m tilecloud_chain_spark.cli generate-cost \
+        --config config.yaml --layer line --cost-algo count
+
+    python -m tilecloud_chain_spark.cli get-limits --config config.yaml \
+        --layer all
+
+Output format mirrors the reference's end-of-run report
+(generate.py:410-482: "Nb generated tiles: …", "Time per tile: … ms").
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from tilecloud_chain_spark.session import get_spark
+
+    return get_spark("tilecloud_chain_spark-cli", cores=args.cores)
+
+
+def _load(args):
+    from tilecloud_chain_spark.config_yaml import load_config
+    from tilecloud_chain_spark.geoms import resolve_geoms
+
+    cfg = load_config(args.config)
+    if cfg.unsupported:
+        print(
+            "ignored config sections (replaced by this engine): "
+            + ", ".join(cfg.unsupported),
+            file=sys.stderr,
+        )
+    layer = cfg.layers[args.layer]
+    grid = cfg.grids[layer.grid]
+    zooms = [int(z) for z in args.zooms.split(",")] if args.zooms else None
+    bbox = tuple(args.bbox) if args.bbox else None
+    geoms = resolve_geoms(
+        grid, layer, cfg.geom_rows.get(args.layer), cli_bbox=bbox, zooms=zooms
+    )
+    return cfg, grid, layer, geoms, zooms
+
+
+def cmd_generate_tiles(args) -> int:
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+    from tilecloud_chain_spark.operators.postprocess import duration_format, size_format
+    from tilecloud_chain_spark.plans.pipeline import generate_tiles
+    from tilecloud_chain_spark.sources.tiles_file import write_cache
+
+    from tilecloud_chain_spark.plans.pipeline import run_zoom_stages
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    _, grid, layer, geoms, zooms = _load(args)
+    store = CheckpointStore(spark, args.checkpoint)
+    t0 = time.time()
+    if args.job_id:
+        # exact resume: requeue stale/error stages, re-run only uncommitted
+        job_id = args.job_id
+        store.requeue_stale_pending(job_id)
+        store.retry_errors(job_id)
+        run_zoom_stages(spark, grid, layer, geoms, store, job_id,
+                        meta_buffer=args.meta_buffer)
+    else:
+        job_id = generate_tiles(spark, grid, layer, geoms, store, zooms=zooms,
+                                meta_buffer=args.meta_buffer)
+    out = store.output(job_id, "tiles")
+    n_meta = store.queue(job_id).count()
+    rep = store.report(job_id)
+    if args.cache:
+        dims = next(iter(layer.dimensions.values()), ("",))
+        tiles = out.select(
+            F.lit(layer.name).alias("layer"), F.lit("default").alias("style"),
+            F.lit(dims[0]).alias("dims"), "z", "x", "y",
+            F.lit("png").alias("ext"), "data",
+        )
+        write_cache(tiles, args.cache, grid.name)
+    wall = time.time() - t0
+    n = rep["rows"]
+    print(f"The tile generation of layer '{layer.name}' is finish")
+    print(f"Nb generated metatiles: {n_meta}")
+    print(f"Nb tiles stored: {n}")
+    print(f"Total time: {duration_format(wall * 1000)}")
+    print(f"Total size: {size_format(rep['bytes'])}")
+    if n:
+        print(f"Time per tile: {int(wall * 1000 / n)} ms")
+        print(f"Size per tile: {rep['bytes'] // n} o")
+    print(f"Job id: {job_id} (resume a killed run: add --job-id {job_id})")
+    spark.stop()
+    return 0
+
+
+def cmd_generate_cost(args) -> int:
+    from tilecloud_chain_spark.plans.cost import cost_area, cost_count
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    _, grid, layer, geoms, zooms = _load(args)
+    if args.cost_algo == "count":
+        rows = sorted(
+            (r.z, r.n_metatiles, r.n_tiles)
+            for r in cost_count(spark, grid, layer, geoms, zooms).collect()
+        )
+    else:
+        rows = [
+            (d["z"], d.get("n_metatiles", 0), d["n_tiles"])
+            for d in cost_area(grid, layer, geoms, zooms)
+        ]
+    total = 0
+    for z, nm, nt in rows:
+        if layer.meta:
+            print(f"{nm} meta tiles in zoom {z}.")
+        print(f"{nt} tiles in zoom {z}.")
+        total += nt
+    print(f"Number of tiles: {total}")
+    spark.stop()
+    return 0
+
+
+def cmd_get_limits(args) -> int:
+    from tilecloud_chain_spark.config_yaml import load_config
+    from tilecloud_chain_spark.plans.wmts import capabilities_matrices, tile_matrix_limits
+
+    cfg = load_config(args.config)
+    layer = cfg.layers[args.layer]
+    grid = cfg.grids[layer.grid]
+    for m in capabilities_matrices(grid):
+        print(
+            f"TileMatrix {m['identifier']}: {m['matrix_width']}x{m['matrix_height']}"
+            f" scale 1:{m['scale_denominator']:.0f}"
+        )
+    for lim in tile_matrix_limits(grid, layer):
+        print(
+            f"limits {lim['tile_matrix']}: col {lim['min_tile_col']}-{lim['max_tile_col']}"
+            f" row {lim['min_tile_row']}-{lim['max_tile_row']}"
+        )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tilecloud_chain_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", required=True)
+        sp.add_argument("--layer", required=True)
+        sp.add_argument("--zooms", default=None, help="comma-separated")
+        sp.add_argument("--bbox", nargs=4, type=float, default=None)
+        sp.add_argument("--cores", type=int, default=None)
+
+    g = sub.add_parser("generate-tiles")
+    common(g)
+    g.add_argument("--checkpoint", required=True)
+    g.add_argument("--cache", default=None)
+    g.add_argument("--meta-buffer", type=int, default=None)
+    g.add_argument("--job-id", default=None, help="resume an existing job exactly")
+    g.set_defaults(fn=cmd_generate_tiles)
+
+    c = sub.add_parser("generate-cost")
+    common(c)
+    c.add_argument("--cost-algo", choices=("count", "area"), default="count")
+    c.set_defaults(fn=cmd_generate_cost)
+
+    li = sub.add_parser("get-limits")
+    common(li)
+    li.set_defaults(fn=cmd_get_limits)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
