@@ -28,9 +28,14 @@ from pyspark.sql import functions as F
 
 
 def _spark(args):
+    """getOrCreate; remember whether WE created the session so embedded use
+    (tests, notebooks) keeps its session alive."""
+    from pyspark.sql import SparkSession
+
     from tilecloud_chain_spark.session import get_spark
 
-    return get_spark("tilecloud_chain_spark-cli", cores=args.cores)
+    owned = SparkSession.getActiveSession() is None
+    return get_spark("tilecloud_chain_spark-cli", cores=args.cores), owned
 
 
 def _load(args):
@@ -62,7 +67,7 @@ def cmd_generate_tiles(args) -> int:
 
     from tilecloud_chain_spark.plans.pipeline import run_zoom_stages
 
-    spark = _spark(args)
+    spark, owned = _spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     _, grid, layer, geoms, zooms = _load(args)
     store = CheckpointStore(spark, args.checkpoint)
@@ -99,14 +104,15 @@ def cmd_generate_tiles(args) -> int:
         print(f"Time per tile: {int(wall * 1000 / n)} ms")
         print(f"Size per tile: {rep['bytes'] // n} o")
     print(f"Job id: {job_id} (resume a killed run: add --job-id {job_id})")
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
 def cmd_generate_cost(args) -> int:
     from tilecloud_chain_spark.plans.cost import cost_area, cost_count
 
-    spark = _spark(args)
+    spark, owned = _spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     _, grid, layer, geoms, zooms = _load(args)
     if args.cost_algo == "count":
@@ -126,7 +132,8 @@ def cmd_generate_cost(args) -> int:
         print(f"{nt} tiles in zoom {z}.")
         total += nt
     print(f"Number of tiles: {total}")
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
