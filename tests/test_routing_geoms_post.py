@@ -17,19 +17,24 @@ from tilecloud_chain_spark.plans import serving as SV
 from tilecloud_chain_spark.sources import enumerate as EN
 
 
-def test_resolve_geoms_extent_and_gating():
+def test_resolve_geoms_last_applicable_entry_wins():
+    """Reference semantics (tilecloud_chain/__init__.py:1803-1807): each
+    applicable geom source REPLACES geoms[z] — last one wins, no union
+    (pinned by the multigeom golden: polygon entry is overridden by the
+    point entry at the zooms the point entry covers)."""
     lay = Layer(name="l", grid="swissgrid_5", bbox=(500000, 100000, 700000, 300000))
     rows = [
+        {"wkt": "POLYGON ((600000 200000, 600000 150000, 530000 150000, 530000 200000, 600000 200000))"},
         {"wkt": "POINT (600000 200000)", "min_resolution": 10, "max_resolution": 50},
-        {"wkt": "POINT (530000 150000)"},
     ]
     geoms = GEO.resolve_geoms(SWISSGRID_5, lay, rows)
-    # z0 (res 100): first geom gated out -> only point2
-    assert len(geoms[0].parts) == 1
-    # z1 (res 50): both apply
-    assert len(geoms[1].parts) == 2
-    # z4 (res 5): first gated out again
-    assert len(geoms[4].parts) == 1
+    # z0 (res 100): point gated out -> polygon
+    assert geoms[0].parts[0][0] == "polygon"
+    # z1..z3 (res 50..10): point entry REPLACES the polygon
+    for z in (1, 2, 3):
+        assert [p[0] for p in geoms[z].parts] == ["point"], z
+    # z4 (res 5): point gated out again -> polygon
+    assert geoms[4].parts[0][0] == "polygon"
     # geometry outside the extent bbox is clipped away
     rows2 = [{"wkt": "POINT (420500 30500)"}]  # outside layer bbox
     geoms2 = GEO.resolve_geoms(SWISSGRID_5, lay, rows2)

@@ -75,18 +75,24 @@ def resolve_geoms(
     if not rows:
         return out
 
+    # Reference semantics (tilecloud_chain/__init__.py:1803-1807): each
+    # applicable source REPLACES geoms[z] — the LAST applicable entry wins
+    # per zoom, it is NOT a union across entries. (A single entry may still
+    # be a multi-part geometry.) Zooms with no applicable entry keep the
+    # plain extent rectangle.
+    parsed = [
+        (
+            parse_wkt(r["wkt"]).clip_to_box(extent_bbox),
+            r.get("min_resolution"),
+            r.get("max_resolution"),
+        )
+        for r in rows
+    ]
     for z in zooms:
         res = float(grid.resolutions[z])
-        applicable = [
-            parse_wkt(r["wkt"])
-            for r in rows
-            if (r.get("min_resolution") is None or res >= r["min_resolution"])
-            and (r.get("max_resolution") is None or res <= r["max_resolution"])
-        ]
-        if not applicable:
-            continue  # zoom keeps the plain extent rectangle
-        merged = union(*applicable)
-        out[z] = merged.clip_to_box(extent_bbox)
+        for geom, min_r, max_r in parsed:
+            if (min_r is None or min_r <= res) and (max_r is None or max_r >= res):
+                out[z] = geom
     return out
 
 

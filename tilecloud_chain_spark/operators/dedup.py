@@ -49,15 +49,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """k-token shingle table: (id, shingle) distinct."""
+    """k-token shingle table: (id, shingle) distinct.
+
+    Docs with fewer than k tokens contribute one whole-text shingle (same
+    rule as the python-worker twin) — guarded with a CASE so ANSI mode's
+    strict ``element_at`` never sees an out-of-bounds index."""
     toks = tokens(F.lower(F.col(text_col)))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
         ),
-    )
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
         .distinct()
