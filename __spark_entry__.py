@@ -424,6 +424,37 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (embedding-cosine) — exact near-duplicate pairs with injected
+    duplicates (vec_id%100==0 re-added under new ids); the LSH-bucketed
+    variant (operators/similarity.py:cosine_near_dup_pairs) is the scale
+    path, recall-tested in pytest."""
+    embs = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = embs.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    allv = embs.unionAll(dup).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    from tilecloud_chain_spark.operators.similarity import _cosine
+
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    return pairs.select("id_a", "id_b", cos).filter(F.col("cos") >= 0.45)
+
+
+def q_daily_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (engine capability; streaming twin with
+    watermark property-tested equal in tests/test_streaming_windows.py).
+    Calendar day buckets via date_trunc (timezone-stable in both engines)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("window_day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
 def q_multi_grid_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grid parity — swissgrid_01 uses matrix_identifier='resolution'
     ('1', '0_2', '0_1' — get_tile_matrix_identifier) + per-grid dims."""
@@ -531,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_drop_docs": q_hash_drop_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "multi_grid_identifiers": q_multi_grid_identifiers,
+        "daily_event_windows": q_daily_event_windows,
+        "embedding_near_dups": q_embedding_near_dups,
         # rows-only (no oracle possible):
         "image_pipeline_stored": q_image_pipeline_stored,
         "ann_topk": q_ann_topk,
@@ -916,7 +949,28 @@ def oracle_sql() -> dict[str, str]:
         )
     multi_grid_identifiers = " UNION ALL ".join(mg_rows)
 
+    daily_event_windows = """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
+               count(*) AS n, CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+    embedding_near_dups = """
+        WITH allv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id % 100 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cos
+        FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+    """
+
     return {
+        "embedding_near_dups": embedding_near_dups,
+        "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,
         "orders_rollup": orders_rollup,
         "hash_drop_docs": hash_drop_docs,

@@ -150,3 +150,21 @@ def test_minhash_udf_matches_sql_version(spark, docs):
     a = {r.id: list(r.sig) for r in DD.minhash_signatures(base, num_hashes=6).collect()}
     b = {r.id: list(r.sig) for r in DD.minhash_signatures_udf(base, num_hashes=6).collect()}
     assert a == b
+
+
+def test_ivf_recall_vs_bruteforce(embs, spark):
+    q = embs.limit(5).select(F.col("vec_id").cast("string").alias("qid"), "embedding")
+    bf = SIM.cosine_topk(embs, q, k=10)
+    ivf = SIM.ivf_topk(embs, q, k=10, n_centroids=16, nprobe=6)
+    bf_sets, ivf_sets = {}, {}
+    for r in bf.collect():
+        bf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(bf_sets[k2] & ivf_sets.get(k2, set())) / 10 for k2 in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # determinism: same seed -> same result
+    ivf2 = SIM.ivf_topk(embs, q, k=10, n_centroids=16, nprobe=6)
+    a = sorted((r.qid, r.vec_id, r.rank) for r in ivf.collect())
+    b = sorted((r.qid, r.vec_id, r.rank) for r in ivf2.collect())
+    assert a == b

@@ -114,6 +114,86 @@ def ann_topk(
     )
 
 
+def kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int = 8, seed: int = 11
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (normalized rows
+    -> spherical k-means). At production scale the sample comes from
+    ``df.sample(...)`` — centroids are tiny and broadcast."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    c = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Add the IVF ``cluster`` column: argmax cosine against the broadcast
+    centroid matrix (one numpy matmul per Arrow batch)."""
+    c = centroids
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("cluster", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """IVF ANN: partition vectors into ``n_centroids`` inverted lists, probe
+    each query's ``nprobe`` nearest lists, exact cosine re-rank inside the
+    probed lists. The scale path alternative to hyperplane LSH: candidate
+    cost ~ nprobe/n_centroids of the data per query."""
+    sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    cents = kmeans_centroids(sample, n_centroids, seed=seed)
+
+    e = ivf_assign(embeddings, cents, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "cluster"
+    )
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(qid_col), F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(probes(F.col(vec_col))).alias("cluster"),
+    )
+    j = e.join(broadcast(q), "cluster")
+    cos = F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos")
+    win = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        j.select(qid_col, id_col, cos)
+        .dropDuplicates([qid_col, id_col])
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
