@@ -445,6 +445,15 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", cos).filter(F.col("cos") >= 0.45)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — batch gaps-and-islands; the
+    applyInPandasWithState streaming twin is property-tested equal in
+    tests/test_sessions.py."""
+    from tilecloud_chain_spark.streaming.sessions import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_daily_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (engine capability; streaming twin with
     watermark property-tested equal in tests/test_streaming_windows.py).
@@ -564,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_grid_identifiers": q_multi_grid_identifiers,
         "daily_event_windows": q_daily_event_windows,
         "embedding_near_dups": q_embedding_near_dups,
+        "sessionize": q_sessionize,
         # rows-only (no oracle possible):
         "image_pipeline_stored": q_image_pipeline_stored,
         "ann_topk": q_ann_topk,
@@ -968,7 +978,27 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
     """
 
+    sessionize_sql = """
+        WITH o AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS f
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+        FROM s GROUP BY user_id, sid
+    """
+
     return {
+        "sessionize": sessionize_sql,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,
