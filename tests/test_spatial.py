@@ -76,3 +76,21 @@ def test_tiles_per_cell_agg(spark):
     agg = SP.tiles_per_cell(a)
     total = agg.agg(F.sum("n_rows")).collect()[0][0]
     assert total == 500
+
+
+def test_salting_balances_hot_cell_partitions(spark):
+    """Skew evidence: a hot cell (90% of rows on one key) concentrates on a
+    single partition under plain hash partitioning; salted repartition
+    spreads it, cutting the max-partition share by >2x."""
+    hot = spark.range(0, 90000).select(F.lit(42).alias("cell"), F.col("id"))
+    cold = spark.range(0, 10000).select((F.col("id") % 500).alias("cell"), F.col("id"))
+    df = hot.unionAll(cold)
+
+    plain = df.repartition(8, F.col("cell"))
+    plain_sizes = [r["count"] for r in plain.groupBy(F.spark_partition_id()).count().collect()]
+    salted = SP.salted_repartition(df, 8, 8, ["cell"], salt_from=["id"])
+    salted_sizes = [r["count"] for r in salted.groupBy(F.spark_partition_id()).count().collect()]
+
+    assert max(plain_sizes) >= 90000  # the hot key owns one partition
+    assert max(salted_sizes) < max(plain_sizes) / 2
+    assert sum(salted_sizes) == 100000
