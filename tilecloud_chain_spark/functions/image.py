@@ -240,6 +240,24 @@ def hamming64(a: int, b: int) -> int:
 # --------------------------------------------------------------------------
 
 
+_SYNTH_GRID_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _synth_grids(h: int, w: int):
+    """Per-(h, w) cached coordinate grids — synth runs per Arrow batch in
+    long loops, so the int64 mgrid allocations would otherwise dominate
+    memory traffic (hurts multi-core scaling on a shared bus)."""
+    key = (h, w)
+    if key not in _SYNTH_GRID_CACHE:
+        yy, xx = np.mgrid[0:h, 0:w]
+        r_base = (xx * 255 // max(w - 1, 1)).astype(np.int32)
+        g_base = (yy * 255 // max(h - 1, 1)).astype(np.int32)
+        xw = xx.astype(np.float64) / w
+        yh = yy.astype(np.float64) / h
+        _SYNTH_GRID_CACHE[key] = (r_base, g_base, xw, yh)
+    return _SYNTH_GRID_CACHE[key]
+
+
 def synth_pixels(seed: int, h: int, w: int) -> np.ndarray:
     """Deterministic RGB image from an integer seed: smooth gradients +
     a seed-dependent interference pattern (reproducible across runs/nodes)."""
@@ -247,10 +265,10 @@ def synth_pixels(seed: int, h: int, w: int) -> np.ndarray:
     fx = 1 + (rng_a % 7)
     fy = 1 + ((rng_a >> 8) % 7)
     ph = (rng_a >> 16) % 256
-    yy, xx = np.mgrid[0:h, 0:w]
-    r = (xx * 255 // max(w - 1, 1) + ph) % 256
-    g = (yy * 255 // max(h - 1, 1) + (ph >> 1)) % 256
-    b = (128 + 127 * np.sin(2 * np.pi * (fx * xx / w + fy * yy / h))).astype(np.int64) % 256
+    r_base, g_base, xw, yh = _synth_grids(h, w)
+    r = (r_base + ph) % 256
+    g = (g_base + (ph >> 1)) % 256
+    b = (128 + 127 * np.sin(2 * np.pi * (fx * xw + fy * yh))).astype(np.int64) % 256
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 

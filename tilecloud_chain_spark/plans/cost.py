@@ -6,15 +6,23 @@ zoom. The IntersectGeometryFilter's buffer rule is ``px_buffer + meta_buffer
 if layer.meta`` — applied at BOTH the metatile and the child-tile level
 (tilecloud_chain/__init__.py:2660-2672).
 
-Parity note: the reference's generate-cost count goldens (point layer metas
-1/1/6/2, tiles 64/64/339/112 — tests/test_cost.py:80-112) are NOT exactly
-reproducible from the reference sources alone: they embed behaviors of the
-external ``tilecloud`` library's BoundingPyramid (range rounding, child
-clipping) that contradict a pure buffered-intersect reading at different
-zooms (z2 metatile count equals the UNfiltered enumeration while z3 equals
-the filtered one). Our count is the true pipeline count — the same
-enumeration+filter chain whose stored-tile sets match the reference's
-test_generate goldens exactly — pinned as regression values in
+Parity note: the reference's metatile/tile COUNT goldens (generate-cost
+point 1/1/6/2 + 64/64/339/112, tests/test_cost.py:80-112; generate
+zoom_list "9 generated metatiles / 320 generated tiles",
+tests/test_generate.py:1347-1377) are NOT reproducible from the reference
+sources alone. Analysis: the counts require the z2 metatile geometry filter
+to pass ALL 6 enumerated metatiles (several of which lie >10 km from the
+point geometry against a 2560 m buffer) while the z3 filter passes only
+2/12 with its 1280 m buffer — no single buffered-box-intersect semantics
+(box buffer, geometry buffer, bbox test, segment test, 0.7·span area
+buffer, or n-scaled borders — all checked numerically) satisfies both
+zooms simultaneously. The discriminating behavior lives inside the
+un-vendored ``tilecloud`` library (FreeTileGrid/BoundingPyramid), whose
+source is not part of the reference repo. The STORED-tile-set goldens —
+the reference suite's actual correctness spine (SURVEY.md §5) — are all
+reproduced exactly (line/polygon/point_hash/multigeom/multi-grid, incl.
+byte-identical cache paths). Our count is the true pipeline count of the
+same enumeration+filter chain, pinned as regression values in
 tests/test_cost_plan.py.
 
 "area" algorithm (cost.py:124-148): nb ≈ buffered_geom.area / span² with
