@@ -137,6 +137,29 @@ def cmd_generate_cost(args) -> int:
     return 0
 
 
+def cmd_get_bbox(args) -> int:
+    """--get-bbox parity (reference golden: '4/4/4' ->
+    [425120,343600,426400,344880]; tests/test_generate.py:813-839).
+    Coordinate syntax z/x/y[:+n/+n] (parse_tilecoord,
+    tilecloud_chain/__init__.py:2735-2754)."""
+    import re
+
+    from tilecloud_chain_spark.config_yaml import load_config
+
+    cfg = load_config(args.config)
+    layer = cfg.layers[args.layer]
+    grid = cfg.grids[layer.grid]
+    m = re.match(r"^(\d+)/(\d+)/(\d+)(?::\+(\d+)/\+(\d+))?$", args.coord)
+    if not m:
+        print(f"invalid tile coordinate: {args.coord}", file=sys.stderr)
+        return 2
+    z, x, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    n = int(m.group(4)) if m.group(4) else 1
+    minx, miny, maxx, maxy = grid.tile_extent(z, x, y, n)
+    print(f"Tile bounds: [{minx:.0f},{miny:.0f},{maxx:.0f},{maxy:.0f}]")
+    return 0
+
+
 def cmd_get_limits(args) -> int:
     from tilecloud_chain_spark.config_yaml import load_config
     from tilecloud_chain_spark.plans.wmts import capabilities_matrices, tile_matrix_limits
@@ -184,6 +207,11 @@ def main(argv=None) -> int:
     li = sub.add_parser("get-limits")
     common(li)
     li.set_defaults(fn=cmd_get_limits)
+
+    gb = sub.add_parser("get-bbox")
+    common(gb)
+    gb.add_argument("--coord", required=True, help="z/x/y[:+n/+n]")
+    gb.set_defaults(fn=cmd_get_bbox)
 
     args = p.parse_args(argv)
     return args.fn(args)
