@@ -51,6 +51,32 @@ def test_cache_write_list_roundtrip(spark, tmp_path):
     assert (r0.layer, r0.style, r0.dims, r0.matrixset) == ("line", "default", "2012", "swissgrid_5")
 
 
+def test_cache_roundtrip_resolution_matrix_identifier(spark, tmp_path):
+    """Grids with matrix_identifier='resolution' store non-numeric TileMatrix
+    path segments (e.g. '0_1'); write_cache must emit them and list_cache must
+    map them back to the zoom index through the grid's identifier table."""
+    from tilecloud_chain_spark.config import GRIDS
+
+    grid = GRIDS["swissgrid_01"]
+    idents = grid.matrix_identifiers()
+    assert idents[-1] == "0_1" and "." not in "".join(idents)
+
+    root = str(tmp_path / "cache01")
+    zmax = len(grid.resolutions) - 1
+    df = spark.createDataFrame(
+        [("point", "default", "", zmax, 11, 22, "png", bytearray(b"p1")),
+         ("point", "default", "", 0, 1, 2, "png", bytearray(b"p2"))],
+        "layer string, style string, dims string, z int, x int, y int, ext string, data binary",
+    )
+    write_cache(df, root, grid)
+    assert os.path.exists(
+        os.path.join(root, "1.0.0/point/default/swissgrid_01/0_1/22/11.png")
+    )
+    back = list_cache(spark, root, grid=grid)
+    rows = {(r.z, r.x, r.y): r.matrix for r in back.collect()}
+    assert rows == {(zmax, 11, 22): "0_1", (0, 1, 2): idents[0]}
+
+
 @pytest.fixture()
 def store_job(spark, tmp_path):
     store = CheckpointStore(spark, str(tmp_path / "ck"))

@@ -77,29 +77,31 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert got_pairs <= exact
 
 
-def test_simhash_near_pairs(spark, docs):
-    """Chunk blocking (4×16-bit) guarantees recall for hamming<=3
-    (pigeonhole); beyond that it is best-effort. Require the guaranteed
-    pairs plus a majority of looser injected near-dups."""
+@pytest.mark.parametrize("radius", [0, 3, 12, 21])
+def test_simhash_near_pairs_exact_recall(spark, docs, radius):
+    """simhash_near_pairs slices into max_hamming+1 blocks, so by pigeonhole
+    it must return EXACTLY the brute-force popcount pair set at every radius
+    — injected mutants (hamming typically 4-15, which the old 4x16-bit
+    blocking missed) AND random cross pairs."""
     base = docs.select("doc_id", "text").limit(60)
-    near = base.limit(6).select(
+    near = base.limit(8).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq")).alias("text"),
     )
     df = base.unionAll(near)
-    sh = {r.doc_id: r.simhash for r in DD.simhash(df).collect()}
-
-    def ham(a, b):
-        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
-
-    injected = {(i, i + 300000) for (i,) in base.limit(6).select("doc_id").collect()}
-    got = DD.simhash_near_pairs(df, max_hamming=12)
-    pairs = {(r.id_a, r.id_b) for r in got.collect()}
-    guaranteed = {p for p in injected if ham(sh[p[0]], sh[p[1]]) <= 3}
-    assert guaranteed <= pairs
-    assert len(pairs & injected) >= 4  # best-effort recall on looser pairs
-    # no pair in the output exceeds the radius
-    assert got.filter(F.col("hamming") > 12).count() == 0
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_near_pairs(df, max_hamming=radius).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_pairs_bruteforce(df, max_hamming=radius).collect()
+    }
+    assert got == want
+    if radius >= 12:
+        # the fixture must actually exercise the hamming 4..radius band the
+        # old blocking missed, otherwise this test proves nothing
+        assert any(4 <= h <= radius for _, _, h in want)
 
 
 def test_cosine_topk_exact(embs, spark):

@@ -92,7 +92,7 @@ def cmd_generate_tiles(args) -> int:
             F.lit(dims[0]).alias("dims"), "z", "x", "y",
             F.lit("png").alias("ext"), "data",
         )
-        write_cache(tiles, args.cache, grid.name)
+        write_cache(tiles, args.cache, grid)
     wall = time.time() - t0
     n = rep["rows"]
     print(f"The tile generation of layer '{layer.name}' is finish")

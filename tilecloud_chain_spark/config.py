@@ -102,6 +102,18 @@ class Grid:
             )
         return self
 
+    def matrix_identifiers(self) -> tuple[str, ...]:
+        """Per-zoom WMTS TileMatrix identifier strings — zoom index, or the
+        resolution formatted like the reference ``get_tile_matrix_identifier``
+        (tilecloud_chain/__init__.py:239-252: trailing '.0' stripped, '.'
+        replaced by '_'; e.g. swissgrid_01 z4 -> '0_1')."""
+        if self.matrix_identifier == "zoom":
+            return tuple(str(z) for z in range(len(self.resolutions)))
+        return tuple(
+            str(int(r)) if float(r).is_integer() else str(r).replace(".", "_")
+            for r in self.resolutions
+        )
+
     def span(self, zoom: int, n: int = 1) -> float:
         """Tile (or metatile, n>1) edge length in grid meters at ``zoom``."""
         return float(self.resolutions[zoom]) * self.tile_size * n
@@ -193,11 +205,12 @@ class Layer:
     dimensions: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
     def filter_buffer_px(self) -> float:
-        """Pixel buffer applied to the geometry filter's tile extent:
-        ``px_buffer + meta_buffer if meta else 0`` — reference
-        ``IntersectGeometryFilter`` (``tilecloud_chain/__init__.py:2660-2672``).
-        """
-        return self.px_buffer + (self.meta_buffer if self.meta else 0)
+        """Pixel buffer applied to the geometry filter's tile extent. The
+        reference ``IntersectGeometryFilter`` (and cost.py) zero the ENTIRE
+        buffer — including px_buffer — when the layer is not metatiled
+        (``tilecloud_chain/__init__.py:2660-2672``: ``(px_buffer +
+        meta_buffer) if meta else 0``)."""
+        return (self.px_buffer + self.meta_buffer) if self.meta else 0.0
 
 
 # --------------------------------------------------------------------------

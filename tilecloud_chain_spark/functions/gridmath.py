@@ -45,12 +45,13 @@ def cell_key(z: Column, x: Column, y: Column) -> Column:
 
 
 def cell_unpack(cell: Column) -> tuple[Column, Column, Column]:
-    """Inverse of :func:`cell_key`."""
-    z = (cell / F.lit(1 << (2 * _XY_BITS))).cast("long").cast("int").alias("z")
-    x = (
-        (cell % F.lit(1 << (2 * _XY_BITS))) / F.lit(1 << _XY_BITS)
-    ).cast("long").cast("int").alias("x")
-    y = (cell % F.lit(1 << _XY_BITS)).cast("int").alias("y")
+    """Inverse of :func:`cell_key` — pure integer shifts/masks (float
+    division would round the long→double conversion for x ≥ 2^24 and give
+    off-by-one unpacks on matrices wider than ~16.7M tiles)."""
+    mask = F.lit((1 << _XY_BITS) - 1)
+    z = F.shiftrightunsigned(cell, 2 * _XY_BITS).cast("int").alias("z")
+    x = F.shiftrightunsigned(cell, _XY_BITS).bitwiseAND(mask).cast("int").alias("x")
+    y = cell.bitwiseAND(mask).cast("int").alias("y")
     return z, x, y
 
 
@@ -142,9 +143,18 @@ def process_filter_keep(
 ) -> Column:
     """LocalProcessFilter predicate: round(z + x/n + y/n) % nb == process_nb
     (tilecloud_chain/__init__.py:2614-2634). Kept for parity tests — under
-    Spark this IS ``repartition``; see operators.filters."""
+    Spark this IS ``repartition``; see operators.filters.
+
+    The reference uses Python ``round()`` = round-half-to-EVEN, while Spark's
+    ``F.round`` is HALF_UP — they disagree exactly when the fraction is .5
+    (x+y ≡ n/2 mod n), so the .5 case is handled explicitly: floor if floor
+    is even, else floor+1."""
     n_col = F.lit(n) if isinstance(n, int) else n
-    nb = F.round(z + x / n_col + y / n_col).cast("long")
+    v = z + x / n_col + y / n_col
+    fl = F.floor(v)
+    nb = F.when(v - fl == F.lit(0.5), fl + (fl % F.lit(2))).otherwise(
+        F.round(v).cast("long")
+    ).cast("long")
     return nb % F.lit(nb_process) == F.lit(process_nb)
 
 

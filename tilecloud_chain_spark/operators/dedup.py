@@ -275,16 +275,37 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates by SimHash hamming distance: block on the four
-    16-bit chunks (a pair within hamming<=3 shares at least one chunk —
-    pigeonhole; wider radii verified by the popcount filter)."""
+    """Near-dup pairs by SimHash hamming distance — EXACT (same result as the
+    brute-force popcount over all pairs, property-tested).
+
+    Blocking: the 64 bits are sliced into ``max_hamming + 1`` contiguous
+    blocks; by pigeonhole a pair within hamming <= max_hamming agrees on at
+    least one whole block, so the block-keyed self-join generates every true
+    pair as a candidate and the popcount filter removes false positives
+    (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates for Web Crawling" —
+    public knowledge). Scale note: small radii give wide keys (h=3 -> 16-bit
+    keys); large radii shrink keys (h=12 -> ~5-bit keys) and bucket sizes grow
+    toward n^2/2^bits — at 100 TB keep h small or use the paper's
+    multi-block-combination tables; this implementation favors exactness.
+    """
+    nb = int(max_hamming) + 1
+    if not 1 <= nb <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    bounds = [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
     s = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    def _block_key(lo: int, hi: int):
+        if hi - lo >= 64:  # single block == whole hash (mask would overflow)
+            return F.col("simhash")
+        return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
     chunks = [
         s.select(
             "id", "simhash", F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            _block_key(lo, hi).alias("key"),
         )
-        for c in range(4)
+        for c, (lo, hi) in enumerate(bounds)
     ]
     blocked = chunks[0]
     for c in chunks[1:]:
@@ -299,3 +320,21 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs_bruteforce(df: DataFrame, max_hamming: int = 8,
+                             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All-pairs popcount SimHash pairing — the O(n²) verification twin of
+    :func:`simhash_near_pairs` (which must return the identical set). Used by
+    the correctness gate (DuckDB can express it with bit_count(xor(...)))
+    and the recall property test; never the scale path."""
+    s = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )

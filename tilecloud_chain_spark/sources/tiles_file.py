@@ -58,42 +58,71 @@ def invalid_lines(spark: SparkSession, path: str) -> DataFrame:
     return raw.filter(F.regexp_extract("value", _COORD_RE, 1) == "")
 
 
-_PATH_RE = r"1\.0\.0/([^/]+)/([^/]+)/(?:(.+)/)?([^/]+)/(\d+)/(\d+)/(\d+)\.(\w+)$"
+_PATH_RE = r"1\.0\.0/([^/]+)/([^/]+)/(?:(.+)/)?([^/]+)/([^/]+)/(\d+)/(\d+)\.(\w+)$"
 
 
-def list_cache(spark: SparkSession, root: str, with_data: bool = True) -> DataFrame:
+def list_cache(
+    spark: SparkSession, root: str, with_data: bool = True, grid=None
+) -> DataFrame:
     """Walk a WMTS filesystem cache back to tile rows
-    [layer, style, dims, matrixset, z, y, x, ext(, data)]."""
+    [layer, style, dims, matrixset, matrix, z, y, x, ext(, data)].
+
+    The TileMatrix path segment is NOT always numeric — grids with
+    ``matrix_identifier='resolution'`` store e.g. ``.../0_1/123/456.png``
+    (reference ``get_tile_matrix_identifier``), so the matrix group matches
+    ``[^/]+`` and is mapped back to the zoom index through ``grid``'s
+    identifier table when one is supplied (plain int cast otherwise)."""
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     df = reader.load(root)
+    matrix = F.regexp_extract("path", _PATH_RE, 5)
+    if grid is not None:
+        idents = grid.matrix_identifiers()
+        z = F.coalesce(
+            *[F.when(matrix == ident, F.lit(z)) for z, ident in enumerate(idents)],
+            F.lit(None).cast("int"),
+        )
+    else:
+        z = F.when(matrix.rlike(r"^\d+$"), matrix.cast("int"))
     cols = [
         F.regexp_extract("path", _PATH_RE, 1).alias("layer"),
         F.regexp_extract("path", _PATH_RE, 2).alias("style"),
         F.regexp_extract("path", _PATH_RE, 3).alias("dims"),
         F.regexp_extract("path", _PATH_RE, 4).alias("matrixset"),
-        F.regexp_extract("path", _PATH_RE, 5).cast("int").alias("z"),
+        matrix.alias("matrix"),
+        z.alias("z"),
         F.regexp_extract("path", _PATH_RE, 6).cast("int").alias("y"),
         F.regexp_extract("path", _PATH_RE, 7).cast("int").alias("x"),
         F.regexp_extract("path", _PATH_RE, 8).alias("ext"),
     ]
     if with_data:
         cols.append(F.col("content").alias("data"))
-    return df.filter(F.regexp_extract("path", _PATH_RE, 5) != "").select(*cols)
+    return df.filter(F.regexp_extract("path", _PATH_RE, 6) != "").select(*cols)
 
 
-def write_cache(df: DataFrame, root: str, grid_name: str) -> int:
+def write_cache(df: DataFrame, root: str, grid) -> int:
     """Filesystem sink for parity tests: write tile rows [layer, style,
     dims, z, x, y, ext, data] into the WMTS layout. Distributed via
     foreachPartition (each task writes its own files — the reference's
-    ``put`` per tile, amortized per partition)."""
+    ``put`` per tile, amortized per partition).
+
+    ``grid`` is a Grid (the TileMatrix path segment comes from its
+    ``matrix_identifiers()`` so resolution-named matrices round-trip with
+    :func:`list_cache` and ``gridmath.wmts_path``); a plain string is
+    accepted for backward compatibility and implies zoom-named matrices."""
     import os
+
+    if isinstance(grid, str):
+        grid_name, idents = grid, None
+    else:
+        grid_name, idents = grid.name, grid.matrix_identifiers()
 
     def write_part(rows):
         for r in rows:
+            ident = str(r.z) if idents is None else idents[r.z]
             path = os.path.join(
                 root, "1.0.0", r.layer, r.style,
                 *([r.dims] if r.dims else []),
-                grid_name, str(r.z), str(r.y), f"{r.x}.{r.ext}",
+                grid_name, ident, str(r.y), f"{r.x}.{r.ext}",
             )
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
