@@ -1,0 +1,133 @@
+"""CRS transforms (SC2/SC3): exact numpy implementations cross-validated
+against independent public formulations (no pyproj in this environment).
+
+Evidence chain for correctness without pyproj to pin against:
+- spherical Mercator: closed-form anchors (Snyder) are exact;
+- Swiss somerc+datum chain: agrees with swisstopo's *independently derived*
+  approximate polynomial formulas within their stated ~1-2 m accuracy over
+  the Swiss interior, and the LV03 projection center lands on the published
+  WGS84 coordinates of Bern to <1 m;
+- every projection round-trips fwd∘inv to sub-mm;
+- LV03<->LV95 via WGS84 agrees with the exact-by-definition translation.
+"""
+
+import numpy as np
+import pytest
+
+from tilecloud_chain_spark import crs
+from tilecloud_chain_spark import geoms as GE
+from tilecloud_chain_spark.config import LAYERS, SWISSGRID_5
+from tilecloud_chain_spark.geometry import parse_wkt
+
+
+def test_merc_anchors():
+    x, y = crs.merc_fwd(180.0, 0.0)
+    assert x == pytest.approx(20037508.342789244, abs=1e-6)
+    assert y == 0.0
+    _, y = crs.merc_fwd(0.0, 85.05112877980659)
+    assert y == pytest.approx(20037508.342789244, abs=1e-3)
+
+
+@pytest.mark.parametrize("srs", ["EPSG:3857", "EPSG:21781", "EPSG:2056"])
+def test_roundtrip(srs):
+    lons = np.linspace(5.9, 10.5, 25)
+    lats = np.linspace(45.8, 47.8, 25)
+    lo, la = (a.ravel() for a in np.meshgrid(lons, lats))
+    px, py = crs.transform_coords("EPSG:4326", srs, lo, la)
+    lo2, la2 = crs.transform_coords(srs, "EPSG:4326", px, py)
+    assert np.abs(lo2 - lo).max() < 1e-7
+    assert np.abs(la2 - la).max() < 1e-7
+
+
+def test_swiss_exact_vs_approx_interior():
+    """Two independent public formulations agree within the approximate
+    formulas' stated accuracy over the Swiss interior."""
+    E = np.linspace(550000, 750000, 20)
+    N = np.linspace(130000, 250000, 20)
+    ee, nn = (a.ravel() for a in np.meshgrid(E, N))
+    lon_ex, lat_ex = crs.transform_coords("EPSG:21781", "EPSG:4326", ee, nn)
+    lon_ap, lat_ap = crs.swiss_approx_lv03_to_wgs84(ee, nn)
+    m_per_deg_lon = 111320 * np.cos(np.radians(46.8))
+    assert (np.abs(lon_ex - lon_ap) * m_per_deg_lon).max() < 2.5
+    assert (np.abs(lat_ex - lat_ap) * 111320).max() < 2.5
+    e_ap, n_ap = crs.swiss_approx_wgs84_to_lv03(lon_ex, lat_ex)
+    assert np.abs(e_ap - ee).max() < 0.5
+    assert np.abs(n_ap - nn).max() < 0.5
+
+
+def test_bern_published_anchor():
+    """The LV03 false origin (600000, 200000) is Bern; its WGS84 position is
+    published as ~46°57'03.9\"N 7°26'19.1\"E (46.951083, 7.438631)."""
+    lon, lat = crs.transform_coords("EPSG:21781", "EPSG:4326", 600000.0, 200000.0)
+    assert float(lat) == pytest.approx(46.951083, abs=1e-5)
+    assert float(lon) == pytest.approx(7.438631, abs=1e-5)
+
+
+def test_lv03_lv95_exact_and_consistent():
+    e95, n95 = crs.transform_coords("EPSG:21781", "EPSG:2056", 600000.0, 200000.0)
+    assert (float(e95), float(n95)) == (2600000.0, 1200000.0)
+    # the via-WGS84 route must agree with the exact translation to <5 mm
+    lon, lat = crs.transform_coords("EPSG:21781", "EPSG:4326", 601234.5, 198765.4)
+    e2, n2 = crs.transform_coords("EPSG:4326", "EPSG:2056", lon, lat)
+    assert float(e2) == pytest.approx(2601234.5, abs=0.005)
+    assert float(n2) == pytest.approx(1198765.4, abs=0.005)
+
+
+def test_transform_bbox_normalizes_reversed_input():
+    """Reference test semantics (tests/test_generate.py:538-546): reversed
+    bbox input, proj4-literal SRS strings, normalized output."""
+    out = GE.transform_bbox(
+        "+proj=longlat +datum=WGS84 +no_defs",
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +k=1 +units=m +no_defs",
+        [8.0, 47.0, 7.5, 46.5],
+    )
+    assert out[0] < out[2] and out[1] < out[3]
+    # anchors: lon 7.5/8.0 at the web-mercator scale
+    assert out[0] == pytest.approx(7.5 * 20037508.342789244 / 180, rel=1e-9)
+    assert out[2] == pytest.approx(8.0 * 20037508.342789244 / 180, rel=1e-9)
+
+
+def test_transform_bbox_same_srs_is_normalize_only():
+    assert GE.transform_bbox("EPSG:21781", "epsg:21781", (6, 2, 1, 5)) == (1, 2, 6, 5)
+
+
+def test_unsupported_crs_raises():
+    with pytest.raises(NotImplementedError):
+        crs.transform_coords("EPSG:32632", "EPSG:4326", 1.0, 2.0)
+
+
+def test_reprojected_geometry_filter_golden(spark):
+    """A layer geometry delivered in EPSG:4326 against the EPSG:21781 grid
+    must produce the identical filtered tile set as the native-SRS geometry
+    (round-trip error ~1e-8 deg ≈ 1 mm, far from any tile boundary)."""
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.sources import enumerate as EN
+
+    grid = SWISSGRID_5
+    layer = LAYERS["polygon"]
+    native = parse_wkt(layer.geom_wkt)
+    g4326 = GE.transform_geom("EPSG:21781", "EPSG:4326", native)
+    geoms_native = GE.resolve_geoms(grid, layer, zooms=range(3))
+    geoms_reproj = GE.resolve_geoms(
+        grid, layer,
+        geom_rows=[{"wkt": _to_wkt(g4326)}],
+        zooms=range(3), layer_srs="EPSG:4326",
+    )
+    tiles = EN.dense_tiles(spark, grid, range(3))
+    a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_native).collect()}
+    b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_reproj).collect()}
+    assert a == b and len(a) > 0
+
+
+def _to_wkt(geom) -> str:
+    """Minimal WKT writer for test round-trips (polygon parts only)."""
+    parts = []
+    for kind, payload in geom.parts:
+        assert kind == "polygon"
+        rings = ", ".join(
+            "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")" for ring in payload
+        )
+        parts.append(f"({rings})")
+    if len(parts) == 1:
+        return "POLYGON " + parts[0]
+    return "MULTIPOLYGON (" + ", ".join(parts) + ")"

@@ -203,6 +203,12 @@ class Layer:
     empty_tile_hash: str | None = None  # sha256 in our engine (FL2)
     empty_metatile_hash: str | None = None
     dimensions: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # WMTS-capabilities surface (configuration.py Layer schema defaults)
+    title: str | None = None
+    wmts_style: str = "default"
+    mime_type: str = "image/png"
+    extension: str = "png"
+    dimension_defaults: dict[str, str] = field(default_factory=dict)
 
     def filter_buffer_px(self) -> float:
         """Pixel buffer applied to the geometry filter's tile extent. The

@@ -12,17 +12,17 @@ Port of the reference's ``get_geoms`` semantics
    intersected with the extent (:1792-1802), and gated by per-source
    ``min_resolution``/``max_resolution`` (:1803-1807);
 3. reprojection between layer and grid CRS when they differ (:1887-1903):
-   implemented for the Swiss LV03<->LV95 pair the fixtures use (an exact
-   +2'000'000/+1'000'000 translation by definition of EPSG:2056); arbitrary
-   CRS pairs require pyproj, which this environment does not ship —
-   ``transform_bbox`` raises NotImplementedError for those (clearly-marked
-   stub per the driver instruction).
+   delegated to :mod:`tilecloud_chain_spark.crs` — exact numpy
+   implementations of the CRS the reference's fixtures/tests use
+   (4326/3857/21781/2056 + their proj4 literals); genuinely arbitrary EPSG
+   codes raise NotImplementedError (would need pyproj, absent here).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterable
 
+from tilecloud_chain_spark import crs
 from tilecloud_chain_spark.config import Grid, Layer
 from tilecloud_chain_spark.geometry import Geom, box_geom, parse_wkt, union
 
@@ -30,24 +30,34 @@ from tilecloud_chain_spark.geometry import Geom, box_geom, parse_wkt, union
 def transform_bbox(
     src_srs: str, dst_srs: str, bbox: tuple[float, float, float, float]
 ) -> tuple[float, float, float, float]:
-    """SC2 — bbox reprojection. Exact for the LV03<->LV95 pair; other pairs
-    need pyproj (import-try gated)."""
-    if src_srs == dst_srs:
-        return bbox
-    pair = (src_srs.upper(), dst_srs.upper())
-    if pair == ("EPSG:21781", "EPSG:2056"):
-        return (bbox[0] + 2_000_000, bbox[1] + 1_000_000, bbox[2] + 2_000_000, bbox[3] + 1_000_000)
-    if pair == ("EPSG:2056", "EPSG:21781"):
-        return (bbox[0] - 2_000_000, bbox[1] - 1_000_000, bbox[2] - 2_000_000, bbox[3] - 1_000_000)
-    try:
-        from pyproj import Transformer  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"transform_bbox {src_srs}->{dst_srs} requires pyproj "
-            "(not available in this environment)"
-        ) from exc
-    transformer = Transformer.from_crs(src_srs, dst_srs, always_xy=True)
-    return transformer.transform_bounds(*bbox)  # pragma: no cover
+    """SC2 — bbox reprojection (normalizing + edge-densified envelope, the
+    reference's ``transform_bbox`` semantics)."""
+    return crs.transform_bbox(src_srs, dst_srs, bbox)
+
+
+def transform_geom(src_srs: str, dst_srs: str, geom: Geom) -> Geom:
+    """Reproject every vertex of a (multi-part) geometry — driver-side
+    numpy, geometries are small and broadcast (reference ``get_geoms``
+    reprojection, tilecloud_chain/__init__.py:1887-1903)."""
+    import numpy as np
+
+    if crs._resolve(src_srs) == crs._resolve(dst_srs):
+        return geom
+
+    def tx(arr2d):
+        x, y = crs.transform_coords(src_srs, dst_srs, arr2d[:, 0], arr2d[:, 1])
+        return np.column_stack([x, y])
+
+    parts = []
+    for kind, payload in geom.parts:
+        if kind == "point":
+            x, y = crs.transform_coords(src_srs, dst_srs, payload[0], payload[1])
+            parts.append((kind, np.array([float(x), float(y)])))
+        elif kind == "line":
+            parts.append((kind, tx(payload)))
+        else:
+            parts.append((kind, [tx(r) for r in payload]))
+    return Geom(parts)
 
 
 def resolve_geoms(
@@ -56,13 +66,16 @@ def resolve_geoms(
     geom_rows: Iterable[dict] | None = None,
     cli_bbox: tuple[float, float, float, float] | None = None,
     zooms: Iterable[int] | None = None,
+    layer_srs: str | None = None,
 ) -> dict[int, Geom]:
     """Build the per-zoom restriction geometry dict.
 
     ``geom_rows``: iterable of {"wkt": str, "min_resolution": float|None,
     "max_resolution": float|None} (the collected result of a PostGIS/OGR/
     JDBC scan — geoms are small, loaded driver-side and broadcast, like the
-    reference's mtime-cached geoms).
+    reference's mtime-cached geoms). ``layer_srs``: SRS of the WKT rows —
+    when it differs from ``grid.srs`` the geometries are reprojected before
+    clipping (reference tilecloud_chain/__init__.py:1887-1903).
     """
     zooms = list(zooms if zooms is not None else range(len(grid.resolutions)))
     extent_bbox = cli_bbox or layer.bbox or grid.bbox
@@ -80,12 +93,14 @@ def resolve_geoms(
     # per zoom, it is NOT a union across entries. (A single entry may still
     # be a multi-part geometry.) Zooms with no applicable entry keep the
     # plain extent rectangle.
+    def _load(wkt: str) -> Geom:
+        g = parse_wkt(wkt)
+        if layer_srs and layer_srs != grid.srs:
+            g = transform_geom(layer_srs, grid.srs, g)
+        return g.clip_to_box(extent_bbox)
+
     parsed = [
-        (
-            parse_wkt(r["wkt"]).clip_to_box(extent_bbox),
-            r.get("min_resolution"),
-            r.get("max_resolution"),
-        )
+        (_load(r["wkt"]), r.get("min_resolution"), r.get("max_resolution"))
         for r in rows
     ]
     for z in zooms:

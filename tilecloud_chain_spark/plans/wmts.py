@@ -87,3 +87,146 @@ def capabilities_matrices(grid: Grid) -> list[dict]:
             }
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# WMTS GetCapabilities document (reference server.py:498-562 renders
+# templates/wmts_get_capabilities.jinja; golden in tests/test_controller.py)
+# --------------------------------------------------------------------------
+
+
+def _fmt_num(v: float) -> str:
+    """Format like the Jinja template prints config values: integral floats
+    as ints (the reference's YAML bboxes are ints -> '420000 350000')."""
+    f = float(v)
+    return str(int(f)) if f.is_integer() else str(f)
+
+
+def get_capabilities_xml(
+    grids: dict[str, Grid],
+    layers: dict[str, Layer],
+    base_url: str,
+    base_url_postfix: str = "",
+    force_limits: bool = False,
+) -> str:
+    """Render the WMTS 1.0.0 GetCapabilities document the reference serves
+    (templates/wmts_get_capabilities.jinja:131-226 Contents section; header
+    per :1-124 without the optional metadata/provider blocks). Pure driver-
+    side string assembly from the same math as ``capabilities_matrices`` /
+    ``tile_matrix_limits`` — pinned against the reference's own expected
+    document (tests/test_controller.py CAPABILITIES golden)."""
+    if not base_url.endswith("/"):
+        base_url += "/"
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<Capabilities version="1.0.0"',
+        '    xmlns="http://www.opengis.net/wmts/1.0"',
+        '    xmlns:ows="http://www.opengis.net/ows/1.1"',
+        '    xmlns:xlink="http://www.w3.org/1999/xlink"',
+        '    xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+        '    xmlns:gml="http://www.opengis.net/gml"',
+        '    xsi:schemaLocation="http://schemas.opengis.net/wmts/1.0/wmtsGetCapabilities_response.xsd">',
+        "  <ows:OperationsMetadata>",
+        '    <ows:Operation name="GetCapabilities">',
+        "      <ows:DCP>",
+        "        <ows:HTTP>",
+        f'          <ows:Get xlink:href="{base_url}{base_url_postfix}1.0.0/WMTSCapabilities.xml">',
+        '            <ows:Constraint name="GetEncoding">',
+        "              <ows:AllowedValues>",
+        "                <ows:Value>REST</ows:Value>",
+        "              </ows:AllowedValues>",
+        "            </ows:Constraint>",
+        "          </ows:Get>",
+        "        </ows:HTTP>",
+        "      </ows:DCP>",
+        "    </ows:Operation>",
+        '    <ows:Operation name="GetTile">',
+        "      <ows:DCP>",
+        "        <ows:HTTP>",
+        f'          <ows:Get xlink:href="{base_url}{base_url_postfix}">',
+        '            <ows:Constraint name="GetEncoding">',
+        "              <ows:AllowedValues>",
+        "                <ows:Value>REST</ows:Value>",
+        "              </ows:AllowedValues>",
+        "            </ows:Constraint>",
+        "          </ows:Get>",
+        "        </ows:HTTP>",
+        "      </ows:DCP>",
+        "    </ows:Operation>",
+        "  </ows:OperationsMetadata>",
+        "  <Contents>",
+    ]
+    for name in sorted(layers):
+        layer = layers[name]
+        out += [
+            "    <Layer>",
+            f"      <ows:Title>{layer.title or name}</ows:Title>",
+            f"      <ows:Identifier>{name}</ows:Identifier>",
+            '      <Style isDefault="true">',
+            f"        <ows:Identifier>{layer.wmts_style}</ows:Identifier>",
+            "      </Style>",
+            f"      <Format>{layer.mime_type}</Format>",
+        ]
+        for dim, values in layer.dimensions.items():
+            default = layer.dimension_defaults.get(dim, values[0])
+            out += [
+                "      <Dimension>",
+                f"        <ows:Identifier>{dim}</ows:Identifier>",
+                f"        <Default>{default}</Default>",
+            ]
+            out += [f"        <Value>{v}</Value>" for v in values]
+            out.append("      </Dimension>")
+        dims_path = "".join("/{" + d + "}" for d in layer.dimensions)
+        out.append(
+            f'      <ResourceURL format="{layer.mime_type}" resourceType="tile"\n'
+            f'                   template="{base_url}{base_url_postfix}1.0.0/'
+            f"{name}/{layer.wmts_style}{dims_path}"
+            "/{TileMatrixSet}/{TileMatrix}/{TileRow}/{TileCol}."
+            f'{layer.extension}" />'
+        )
+        grid = grids[layer.grid]
+        out += [
+            "      <TileMatrixSetLink>",
+            f"        <TileMatrixSet>{layer.grid}</TileMatrixSet>",
+        ]
+        limits = tile_matrix_limits(grid, layer, force=force_limits)
+        if limits:
+            out.append("        <TileMatrixSetLimits>")
+            for lim in limits:
+                out += [
+                    "          <TileMatrixLimits>",
+                    f"            <TileMatrix>{lim['tile_matrix']}</TileMatrix>",
+                    f"            <MinTileRow>{lim['min_tile_row']}</MinTileRow>",
+                    f"            <MaxTileRow>{lim['max_tile_row']}</MaxTileRow>",
+                    f"            <MinTileCol>{lim['min_tile_col']}</MinTileCol>",
+                    f"            <MaxTileCol>{lim['max_tile_col']}</MaxTileCol>",
+                    "          </TileMatrixLimits>",
+                ]
+            out.append("        </TileMatrixSetLimits>")
+        out += ["      </TileMatrixSetLink>", "    </Layer>"]
+    for gname in sorted(grids):
+        grid = grids[gname]
+        out += [
+            "    <TileMatrixSet>",
+            f"      <ows:Identifier>{gname}</ows:Identifier>",
+            "      <ows:SupportedCRS>urn:ogc:def:crs:"
+            + grid.srs.replace(":", "::")
+            + "</ows:SupportedCRS>",
+        ]
+        for m in capabilities_matrices(grid):
+            out += [
+                "      <TileMatrix>",
+                f"        <ows:Identifier>{m['identifier']}</ows:Identifier>",
+                f"        <ScaleDenominator>{m['scale_denominator']!r}</ScaleDenominator>",
+                "        <TopLeftCorner>"
+                + _fmt_num(m["top_left"][0]) + " " + _fmt_num(m["top_left"][1])
+                + "</TopLeftCorner>",
+                f"        <TileWidth>{m['tile_size']}</TileWidth>",
+                f"        <TileHeight>{m['tile_size']}</TileHeight>",
+                f"        <MatrixWidth>{m['matrix_width']}</MatrixWidth>",
+                f"        <MatrixHeight>{m['matrix_height']}</MatrixHeight>",
+                "      </TileMatrix>",
+            ]
+        out.append("    </TileMatrixSet>")
+    out += ["  </Contents>", "</Capabilities>"]
+    return "\n".join(out)
