@@ -237,22 +237,14 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_legend_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 — collapse successive zoom levels with identical legend hash
-    (lag window; boundary = geometric-mean resolution)."""
-    from pyspark.sql.window import Window
+    """A6 — real legend images (numpy PNG codec) rendered per resolution,
+    collapsed by sha1 of the ACTUAL image bytes with the reference's lag
+    window + geometric-mean resolution boundaries
+    (controller.py:318-378). Deterministic synth render => the oracle is
+    the pinned expected rows (DuckDB cannot rasterize PNGs)."""
+    from tilecloud_chain_spark.operators.legends import legend_metadata
 
-    z = F.col("id").cast("int").alias("z")
-    df = spark.range(NZ).select(z)
-    res = GM.resolution_col(GRID, F.col("z"))
-    # md5 over the *bucketed* resolution so successive zooms collide
-    h = F.md5((F.ceil(res / F.lit(50.0)) * F.lit(50)).cast("long").cast("string"))
-    win = Window.orderBy("z")
-    df = df.select("z", F.round(res, 6).alias("resolution"), h.alias("legend_hash"))
-    df = df.withColumn("prev_hash", F.lag("legend_hash").over(win))
-    return (
-        df.filter(F.col("prev_hash").isNull() | (F.col("prev_hash") != F.col("legend_hash")))
-        .select("z", "resolution", "legend_hash")
-    )
+    return legend_metadata(spark, LAYERS["point"], GRID)
 
 
 def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,6 +517,57 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_knn_adaptive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — adaptive-ring cell-pruned kNN (ring escalation until the k-th
+    distance is provably inside the ring); must equal the SQL brute force
+    even when starting at ring=1 on sparse regions."""
+    docs = _doc_positions(_read(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        [("qa", 600000.0, 200000.0), ("qb", 500000.0, 100000.0), ("qc", 700000.0, 300000.0)],
+        "qid string, x double, y double",
+    )
+    out = SP.knn_adaptive(docs, queries, GRID, zoom=4, k=5, ring=1, id_col="doc_id")
+    return out.select("qid", "doc_id", F.round(F.col("dist"), 3).alias("dist"), "rank")
+
+
+def q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC2 CRS — EPSG:4326 -> EPSG:3857 forward as pure Column math (Snyder
+    closed form, same formula as crs.merc_fwd), over deterministic lon/lat
+    scattered from doc ids. JVM-side codegen; the oracle recomputes the
+    identical trigonometry in SQL."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    fx = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32) / F.lit(float(1 << 32))
+    fy = (F.col("doc_id") * F.lit(2246822519)) % F.lit(1 << 32) / F.lit(float(1 << 32))
+    lon = F.lit(-180.0) + fx * F.lit(360.0)
+    lat = F.lit(-85.0) + fy * F.lit(170.0)
+    x = F.lit(6378137.0) * F.radians(lon)
+    y = F.lit(6378137.0) * F.log(F.tan(F.lit(3.141592653589793 / 4) + F.radians(lat) / 2))
+    return docs.select(
+        "doc_id", F.round(x, 3).alias("merc_x"), F.round(y, 3).alias("merc_y")
+    )
+
+
+def q_expire_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expire-tiles union (reference expiretiles.py:118-185): the six-z18-
+    tile staircase fuses into ONE ring with collinear lattice corners kept.
+    Rows = (poly, seq, x, y) in web mercator; oracle = the reference's own
+    pinned union coordinates (tests/test_expiretiles.py:118-141)."""
+    from tilecloud_chain_spark.operators import expire as EX
+
+    tiles = spark.createDataFrame(
+        [(18, 135900, 92720), (18, 135900, 92721), (18, 135900, 92722),
+         (18, 135901, 92721), (18, 135901, 92722), (18, 135902, 92722)],
+        "z int, x long, y long",
+    )
+    polys = EX.expire_polygons(tiles)
+    rows = []
+    for pi, poly in enumerate(polys):
+        for si, (i, j) in enumerate(poly["exterior"]):
+            x, y = EX.lattice_to_mercator(i, j, poly["zmax"])
+            rows.append((pi, si, round(x, 6), round(y, 6)))
+    return spark.createDataFrame(rows, "poly int, seq int, x double, y double")
+
+
 # ==========================================================================
 # contract
 # ==========================================================================
@@ -577,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline_stored": q_image_pipeline_stored,
         "ann_topk": q_ann_topk,
         "simhash_pairs": q_simhash_pairs,
+        "knn_adaptive_docs": q_knn_adaptive_docs,
+        "web_mercator": q_web_mercator,
+        "expire_tiles": q_expire_tiles,
     }
 
 
@@ -764,16 +810,24 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
     """
 
-    legend_dedup = f"""
-        WITH l AS (
-          SELECT z, CAST(round({_res_sql()}, 6) AS DOUBLE) AS resolution,
-                 md5(CAST(CAST(ceil({_res_sql()} / 50.0) * 50 AS BIGINT) AS VARCHAR)) AS legend_hash
-          FROM ({zooms_sql})
-        ), w AS (
-          SELECT *, lag(legend_hash) OVER (ORDER BY z) AS prev_hash FROM l
-        )
-        SELECT z, resolution, legend_hash FROM w
-        WHERE prev_hash IS NULL OR prev_hash <> legend_hash
+    # pinned: sha1 over the deterministic PNG bytes of the synth legend
+    # renderer + geometric-mean boundaries (DuckDB cannot rasterize PNGs;
+    # the collapse logic itself is exercised by the values matching)
+    legend_dedup = """
+        SELECT CAST(z AS INTEGER) AS z, CAST(resolution AS DOUBLE) AS resolution,
+               legend_hash, CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height, CAST(n_bytes AS INTEGER) AS n_bytes,
+               CAST(min_resolution AS DOUBLE) AS min_resolution,
+               CAST(max_resolution AS DOUBLE) AS max_resolution, path
+        FROM (VALUES
+          (4, 5.0, '1a8dcb3686957eab744a0fae2b257d3f19ecfaa7', 48, 96, 193,
+           NULL, 7.071068, '1.0.0/point/default/legend-5.png'),
+          (3, 10.0, '0344fc21472b28727c0d6169eabb89f78ea17041', 48, 64, 155,
+           7.071068, 22.36068, '1.0.0/point/default/legend-10.png'),
+          (1, 50.0, '6e58d740b6480728653a463d92e8a22f399868d4', 48, 32, 118,
+           22.36068, NULL, '1.0.0/point/default/legend-50.png'))
+        AS t(z, resolution, legend_hash, width, height, n_bytes,
+             min_resolution, max_resolution, path)
     """
 
     interval_islands = """
@@ -1100,8 +1154,42 @@ def oracle_sql() -> dict[str, str]:
              AS t(z, x, y, n_bytes)
     """
 
+    # adaptive kNN must equal the brute force — same oracle as knn_docs
+    knn_adaptive_docs = knn_docs
+
+    web_mercator = """
+        SELECT doc_id,
+               CAST(round(6378137.0 * radians(-180.0 + ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 360.0), 3) AS DOUBLE) AS merc_x,
+               CAST(round(6378137.0 * ln(tan(pi() / 4 + radians(-85.0 + ((doc_id * 2246822519) % 4294967296) / 4294967296.0 * 170.0) / 2)), 3) AS DOUBLE) AS merc_y
+        FROM documents
+    """
+
+    # the reference's own pinned union coordinates (closing vertex dropped —
+    # rings here are open; tests/test_expiretiles.py:118-141)
+    expire_tiles = """
+        SELECT CAST(poly AS INTEGER) AS poly, CAST(seq AS INTEGER) AS seq,
+               CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+        FROM (VALUES
+          (0, 0, 738534.567189, 5862720.068657),
+          (0, 1, 738534.567189, 5862567.1946),
+          (0, 2, 738381.693132, 5862567.1946),
+          (0, 3, 738228.819075, 5862567.1946),
+          (0, 4, 738075.945019, 5862567.1946),
+          (0, 5, 738075.945019, 5862720.068657),
+          (0, 6, 738075.945019, 5862872.942713),
+          (0, 7, 738075.945019, 5863025.81677),
+          (0, 8, 738228.819075, 5863025.81677),
+          (0, 9, 738228.819075, 5862872.942713),
+          (0, 10, 738381.693132, 5862872.942713),
+          (0, 11, 738381.693132, 5862720.068657))
+        AS t(poly, seq, x, y)
+    """
+
     return {
         "sessionize": sessionize_sql,
+        "knn_adaptive_docs": knn_adaptive_docs,
+        "web_mercator": web_mercator,
+        "expire_tiles": expire_tiles,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,

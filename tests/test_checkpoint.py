@@ -153,3 +153,38 @@ def test_error_stage_retry_only_errors(spark, root):
     assert store.run_stage(job_id, "s", 0, boom)["skipped"]
     store.run_stage(job_id, "s", 1, lambda: df)
     assert store.stage_status(job_id, "s", 1) == "done"
+
+
+def test_merge_table_iceberg_semantics(tmp_path):
+    """MERGE upsert + conditional matched clause + DELETE FROM + snapshot
+    log with equivalent Iceberg SQL + snapshot expiry."""
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    t = MergeTable(str(tmp_path / "status"), ["k", "status", "ts"])
+    assert t.merge([{"k": 1, "status": "pending", "ts": 10.0}], on=["k"]) == {
+        "updated": 0, "inserted": 1,
+    }
+    assert t.merge([{"k": 1, "status": "done", "ts": 20.0},
+                    {"k": 2, "status": "pending", "ts": 21.0}], on=["k"]) == {
+        "updated": 1, "inserted": 1,
+    }
+    df = t.read().sort_values("k")
+    assert list(df.status) == ["done", "pending"]
+    # conditional matched clause: only rows already 'pending' update
+    t.merge([{"k": 1, "status": "error", "ts": 30.0},
+             {"k": 2, "status": "error", "ts": 30.0}],
+            on=["k"], matched_condition="status == 'pending'")
+    df = t.read().sort_values("k")
+    assert list(df.status) == ["done", "error"]
+    # DELETE FROM returns the victims
+    gone = t.delete_where("status == 'error'")
+    assert [r["k"] for r in gone] == [2]
+    assert list(t.read().k) == [1]
+    # snapshot log carries the equivalent SQL, expiry drops old data files
+    log = t.snapshots()
+    assert len(log) == 4
+    assert log[0]["sql"].startswith("MERGE INTO status")
+    assert "WHEN NOT MATCHED THEN INSERT *" in log[0]["sql"]
+    assert log[-1]["sql"] == "DELETE FROM status WHERE status == 'error'"
+    assert t.expire_snapshots(keep_last=2) == 2
+    assert list(t.read().k) == [1]  # current snapshot untouched

@@ -51,8 +51,12 @@ def test_transform_bbox_lv03_lv95():
     assert GEO.transform_bbox("EPSG:21781", "EPSG:2056", (600000, 200000, 601000, 201000)) == (
         2600000, 1200000, 2601000, 1201000,
     )
+    # 21781->3857 is implemented since round 2 (crs.py); genuinely unknown
+    # CRS still raise
+    out = GEO.transform_bbox("EPSG:21781", "EPSG:3857", (600000, 200000, 601000, 201000))
+    assert out[0] < out[2] and out[1] < out[3]
     with pytest.raises(NotImplementedError):
-        GEO.transform_bbox("EPSG:21781", "EPSG:3857", (0, 0, 1, 1))
+        GEO.transform_bbox("EPSG:21781", "EPSG:32632", (0, 0, 1, 1))
 
 
 def test_route_broadcast_join(spark):
@@ -161,14 +165,10 @@ def test_requeue_stale_pending(spark, tmp_path):
     df = spark.createDataFrame([(0, 0, 0, 1, 0)], "z int, x int, y int, n int, cell long")
     store.enqueue(job_id, df)
     # simulate a worker that claimed the stage and died
-    marker = store._marker_path(job_id, "tiles", 0)
-    import os
-
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    store._append_marker(marker, {"status": "pending", "started_at": time.time() - 3600})
+    store.set_status(job_id, "tiles", 0, "pending", started_at=time.time() - 3600)
     assert store.stage_status(job_id, "tiles", 0) == "pending"
     assert store.requeue_stale_pending(job_id, max_pending_minutes=10) == [("tiles", 0)]
     assert store.stage_status(job_id, "tiles", 0) == "created"
     # fresh pending not reclaimed
-    store._append_marker(marker, {"status": "pending", "started_at": time.time()})
+    store.set_status(job_id, "tiles", 0, "pending", started_at=time.time())
     assert store.requeue_stale_pending(job_id, max_pending_minutes=10) == []

@@ -94,3 +94,52 @@ def test_salting_balances_hot_cell_partitions(spark):
     assert max(plain_sizes) >= 90000  # the hot key owns one partition
     assert max(salted_sizes) < max(plain_sizes) / 2
     assert sum(salted_sizes) == 100000
+
+
+def test_knn_adaptive_matches_bruteforce_on_sparse_clusters(spark):
+    """Adversarial sparsity: points clustered in one corner, queries far
+    away — a fixed ring=1 returns <k rows there; the adaptive escalation
+    must converge to exactly the brute-force answer."""
+    from tilecloud_chain_spark.config import SWISSGRID_5 as G
+
+    minx, miny, maxx, maxy = G.bbox
+    pts = spark.range(0, 400).select(
+        F.col("id").alias("image_id"),
+        (F.lit(minx) + (F.col("id") % 20) * 50.0).alias("x"),
+        (F.lit(miny) + (F.col("id") / 20).cast("int") * 50.0).alias("y"),
+    )
+    queries = spark.createDataFrame(
+        [("far", maxx - 1000.0, maxy - 1000.0),
+         ("mid", (minx + maxx) / 2, (miny + maxy) / 2),
+         ("near", minx + 400.0, miny + 400.0)],
+        "qid string, x double, y double",
+    )
+    got = {
+        (r.qid, r.image_id, r.rank)
+        for r in SP.knn_adaptive(pts, queries, G, zoom=4, k=5, ring=1).collect()
+    }
+    want = {
+        (r.qid, r.image_id, r.rank)
+        for r in SP.knn_bruteforce(pts, queries, k=5).collect()
+    }
+    assert got == want
+    assert len({q for q, _, _ in got}) == 3  # every query answered
+
+
+def test_knn_adaptive_equals_fixed_ring_when_dense(spark):
+    from tilecloud_chain_spark.config import SWISSGRID_5 as G
+    from tilecloud_chain_spark.sources.images import synth_images
+
+    pts = synth_images(spark, 2000, G, size=8).select("image_id", "x", "y")
+    queries = synth_images(spark, 8, G, size=8).select(
+        F.concat(F.lit("q"), F.col("image_id")).alias("qid"), "x", "y"
+    )
+    got = {
+        (r.qid, r.image_id, r.rank)
+        for r in SP.knn_adaptive(pts, queries, G, zoom=4, k=3, ring=1).collect()
+    }
+    want = {
+        (r.qid, r.image_id, r.rank)
+        for r in SP.knn_bruteforce(pts, queries, k=3).collect()
+    }
+    assert got == want

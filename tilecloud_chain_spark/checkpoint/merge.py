@@ -1,0 +1,151 @@
+"""Iceberg-shaped MERGE/DELETE table over the parquet stand-in.
+
+SURVEY/BASELINE mandate Iceberg semantics for the job/queue/status store
+(MERGE claims, snapshot expiry). This environment ships no Iceberg runtime
+jars, so the table format is a parquet snapshot chain with an atomically-
+renamed current-pointer — but the MUTATION API is exactly Iceberg's row-level
+ops, and every call also records the equivalent ``MERGE INTO`` / ``DELETE
+FROM`` SQL in the snapshot log, so moving to a real Iceberg catalog is
+``spark.sql(entry["sql"])`` per call site and nothing else.
+
+Shape notes for 100 TB: the tables managed here (job/stage status) are
+tiny control-plane state — mutations are driver-side pyarrow, never a Spark
+job. The data plane (queue rows, stage outputs) stays in Spark-written
+parquet (CheckpointStore); on Iceberg both use the same MERGE statements
+this module logs.
+
+Snapshot model (Iceberg analog):
+- ``snap-<n>.parquet`` immutable snapshot files
+- ``current.json`` pointer, replaced atomically (the "commit")
+- ``log.jsonl`` append-only snapshot log (timestamp, op, sql, row stats)
+- ``expire_snapshots(keep_last)`` drops old snapshot files, keeping the
+  log — Iceberg's ``expireSnapshots`` maintenance action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pandas as pd
+
+
+class MergeTable:
+    def __init__(self, root: str, columns: list[str]) -> None:
+        self.root = root
+        self.columns = list(columns)
+        os.makedirs(root, exist_ok=True)
+
+    # -- snapshot plumbing --------------------------------------------------
+
+    def _pointer(self) -> dict:
+        p = os.path.join(self.root, "current.json")
+        if not os.path.exists(p):
+            return {"snapshot": None, "n": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, df: pd.DataFrame, op: str, sql: str, stats: dict) -> None:
+        cur = self._pointer()
+        n = cur["n"] + 1
+        snap = f"snap-{n:06d}.parquet"
+        df.reset_index(drop=True).to_parquet(os.path.join(self.root, snap))
+        with open(os.path.join(self.root, "log.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "n": n, "at": time.time(), "op": op, "sql": sql, **stats
+            }) + "\n")
+        tmp = os.path.join(self.root, f"current.json.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": snap, "n": n}, f)
+        os.replace(tmp, os.path.join(self.root, "current.json"))
+
+    def read(self) -> pd.DataFrame:
+        cur = self._pointer()
+        if cur["snapshot"] is None:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in self.columns})
+        return pd.read_parquet(os.path.join(self.root, cur["snapshot"]))
+
+    # -- Iceberg row-level ops ------------------------------------------------
+
+    def merge(
+        self,
+        source: list[dict],
+        on: list[str],
+        update: bool = True,
+        insert: bool = True,
+        matched_condition: str | None = None,
+    ) -> dict:
+        """``MERGE INTO target USING source ON <keys> [WHEN MATCHED [AND
+        <condition>] THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]``.
+
+        ``matched_condition`` is a pandas ``query`` expression over the
+        TARGET row (Iceberg's ``WHEN MATCHED AND t.<cond>``)."""
+        src = pd.DataFrame(source)
+        tgt = self.read()
+        key = lambda df: list(zip(*(df[c] for c in on)))  # noqa: E731
+        tgt_keys = set(key(tgt)) if len(tgt) else set()
+        src_keyed = {k: row for k, row in zip(key(src), source)}
+        updated = inserted = 0
+        rows = tgt.to_dict("records")
+        if update and len(tgt):
+            cond_idx = set(tgt.query(matched_condition).index) if matched_condition else None
+            for i, row in enumerate(rows):
+                k = tuple(row[c] for c in on)
+                if k in src_keyed and (cond_idx is None or i in cond_idx):
+                    rows[i] = {**{c: None for c in self.columns}, **src_keyed[k]}
+                    updated += 1
+        if insert:
+            for k, row in src_keyed.items():
+                if k not in tgt_keys:
+                    rows.append({**{c: None for c in self.columns}, **row})
+                    inserted += 1
+        out = pd.DataFrame(rows, columns=self.columns)
+        cond_sql = f" AND ({matched_condition})" if matched_condition else ""
+        sql = (
+            f"MERGE INTO {os.path.basename(self.root)} t USING source s ON "
+            + " AND ".join(f"t.{c} = s.{c}" for c in on)
+            + (f" WHEN MATCHED{cond_sql} THEN UPDATE SET *" if update else "")
+            + (" WHEN NOT MATCHED THEN INSERT *" if insert else "")
+        )
+        stats = {"updated": updated, "inserted": inserted}
+        self._commit(out, "merge", sql, stats)
+        return stats
+
+    def delete_where(self, condition: str) -> list[dict]:
+        """``DELETE FROM target WHERE <condition>`` — returns deleted rows."""
+        tgt = self.read()
+        if not len(tgt):
+            return []
+        hit = tgt.query(condition)
+        out = tgt.drop(hit.index)
+        self._commit(
+            out, "delete",
+            f"DELETE FROM {os.path.basename(self.root)} WHERE {condition}",
+            {"deleted": int(len(hit))},
+        )
+        return hit.to_dict("records")
+
+    # -- maintenance ----------------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        p = os.path.join(self.root, "log.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """Drop snapshot data files older than the last ``keep_last``
+        (Iceberg expireSnapshots); the log and the current pointer stay."""
+        cur = self._pointer()
+        removed = 0
+        for name in os.listdir(self.root):
+            if not name.startswith("snap-"):
+                continue
+            n = int(name.split("-")[1].split(".")[0])
+            if n <= cur["n"] - keep_last:
+                os.remove(os.path.join(self.root, name))
+                removed += 1
+        return removed

@@ -104,9 +104,18 @@ class CheckpointStore:
     """Filesystem-rooted job/queue/stage/lineage store (Iceberg-analog)."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
+        from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
         self.spark = spark
         self.root = root
         os.makedirs(os.path.join(root, "jobs"), exist_ok=True)
+        # stage-status control plane: Iceberg-shaped MERGE/DELETE table —
+        # every transition below is a logged MERGE INTO / DELETE FROM, so a
+        # real Iceberg catalog is a drop-in (see checkpoint/merge.py)
+        self._status = MergeTable(
+            os.path.join(root, "status"),
+            ["job_id", "stage", "zoom", "status", "started_at", "error", "wall_s", "at"],
+        )
 
     # -- jobs (reference job table, store/postgresql.py:143-167) ------------
 
@@ -159,15 +168,21 @@ class CheckpointStore:
     def _stage_dir(self, job_id: str, stage: str, zoom: int) -> str:
         return os.path.join(self.root, "stages", f"job={job_id}", f"stage={stage}", f"z={zoom}")
 
-    def _marker_path(self, job_id: str, stage: str, zoom: int) -> str:
-        return os.path.join(self.root, "markers", f"{job_id}.{stage}.z{zoom}.json")
+    def set_status(self, job_id: str, stage: str, zoom: int, status: str,
+                   **extra) -> None:
+        """One status transition = one MERGE INTO (upsert on the stage key)."""
+        self._status.merge(
+            [{"job_id": job_id, "stage": stage, "zoom": int(zoom),
+              "status": status, "at": time.time(), **extra}],
+            on=["job_id", "stage", "zoom"],
+        )
 
     def stage_status(self, job_id: str, stage: str, zoom: int) -> str:
-        p = self._marker_path(job_id, stage, zoom)
-        if not os.path.exists(p):
+        df = self._status.read()
+        if not len(df):
             return "created"
-        with open(p) as f:
-            return json.load(f)["status"]
+        hit = df[(df.job_id == job_id) & (df.stage == stage) & (df.zoom == zoom)]
+        return str(hit.iloc[0]["status"]) if len(hit) else "created"
 
     def run_stage(
         self,
@@ -188,9 +203,7 @@ class CheckpointStore:
         status = self.stage_status(job_id, stage, zoom)
         if status == "done":
             return {"skipped": True, "status": "done"}
-        marker = self._marker_path(job_id, stage, zoom)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        self._append_marker(marker, {"status": "pending", "started_at": time.time()})
+        self.set_status(job_id, stage, zoom, "pending", started_at=time.time())
         out_dir = self._stage_dir(job_id, stage, zoom)
         tmp_dir = f"{out_dir}.inprogress-{uuid.uuid4().hex}"
         t0 = time.perf_counter()
@@ -205,56 +218,32 @@ class CheckpointStore:
             os.makedirs(os.path.dirname(out_dir), exist_ok=True)
             os.replace(tmp_dir, out_dir)  # atomic publish of data+lineage
         except Exception as exc:
-            self._append_marker(
-                marker, {"status": "error", "error": str(exc)[:2000], "at": time.time()}
-            )
+            self.set_status(job_id, stage, zoom, "error", error=str(exc)[:2000])
             raise
         wall = time.perf_counter() - t0
-        self._append_marker(
-            marker, {"status": "done", "wall_s": round(wall, 3), "at": time.time()}
-        )
+        self.set_status(job_id, stage, zoom, "done", wall_s=round(wall, 3))
         return {"skipped": False, "status": "done", "wall_s": wall}
 
     def requeue_stale_pending(self, job_id: str, max_pending_minutes: float = 10.0) -> list[tuple[str, int]]:
-        """ST2 — lost-worker recovery: pending markers older than
+        """ST2 — lost-worker recovery: pending stages older than
         ``max_pending_minutes`` (reference default 10, configuration.py:2348;
         maintenance loop store/postgresql.py:700-713) reset to created so a
-        later run re-executes the stage."""
-        reopened = []
-        mdir = os.path.join(self.root, "markers")
-        if not os.path.isdir(mdir):
-            return reopened
+        later run re-executes the stage. One ``DELETE FROM status WHERE
+        status='pending' AND started_at < cutoff`` (Iceberg row-level op)."""
         cutoff = time.time() - max_pending_minutes * 60
-        for name in os.listdir(mdir):
-            if not name.startswith(f"{job_id}.") or not name.endswith(".json"):
-                continue
-            p = os.path.join(mdir, name)
-            with open(p) as f:
-                payload = json.load(f)
-            if payload.get("status") == "pending" and payload.get("started_at", 0) < cutoff:
-                os.remove(p)
-                _, stage, zpart = name[: -len(".json")].rsplit(".", 2)
-                reopened.append((stage, int(zpart[1:])))
-        return reopened
+        gone = self._status.delete_where(
+            f"job_id == {job_id!r} and status == 'pending' and started_at < {cutoff!r}"
+        )
+        return [(r["stage"], int(r["zoom"])) for r in gone]
 
     def retry_errors(self, job_id: str) -> list[tuple[str, int]]:
-        """Reset error stages to created (requeue-only-errors). Returns the
-        (stage, zoom) pairs reopened."""
-        reopened = []
-        mdir = os.path.join(self.root, "markers")
-        if not os.path.isdir(mdir):
-            return reopened
-        for name in os.listdir(mdir):
-            if not name.startswith(f"{job_id}."):
-                continue
-            p = os.path.join(mdir, name)
-            with open(p) as f:
-                payload = json.load(f)
-            if payload.get("status") == "error":
-                os.remove(p)
-                _, stage, zpart = name[: -len(".json")].rsplit(".", 2)
-                reopened.append((stage, int(zpart[1:])))
-        return reopened
+        """Reset error stages to created (requeue-only-errors, reference
+        store/postgresql.py:443-477). One ``DELETE FROM status WHERE
+        status='error'``. Returns the (stage, zoom) pairs reopened."""
+        gone = self._status.delete_where(
+            f"job_id == {job_id!r} and status == 'error'"
+        )
+        return [(r["stage"], int(r["zoom"])) for r in gone]
 
     # -- reads ----------------------------------------------------------------
 

@@ -164,7 +164,15 @@ def ivf_topk(
     each query's ``nprobe`` nearest lists, exact cosine re-rank inside the
     probed lists. The scale path alternative to hyperplane LSH: candidate
     cost ~ nprobe/n_centroids of the data per query."""
-    sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    # seed sample via df.sample (uniform across partitions) — limit() without
+    # ordering takes whichever partition answers first (biased seed set)
+    n_total = embeddings.count()
+    frac = min(1.0, sample_size * 1.2 / max(n_total, 1))
+    sample_rows = (
+        embeddings.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
+    )
+    if len(sample_rows) < min(n_centroids * 4, n_total):  # tiny input: take all
+        sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     cents = kmeans_centroids(sample, n_centroids, seed=seed)
 

@@ -171,3 +171,56 @@ def tiles_per_cell(points_with_cell: DataFrame) -> DataFrame:
     return points_with_cell.groupBy("z", "tx", "ty").agg(
         F.count("*").alias("n_rows")
     )
+
+
+def knn_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    grid: Grid,
+    zoom: int,
+    k: int,
+    ring: int = 1,
+    id_col: str = "image_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Exact kNN with adaptive ring escalation: run :func:`knn_cells` at
+    ring r, keep the queries whose answer is PROVEN complete (>= k
+    candidates and k-th distance < r * span — any point outside ring r is
+    at distance >= r * span), and double the ring for the rest until the
+    ring covers the whole matrix. Fixes the fixed-ring failure mode where a
+    sparse region silently returns < k rows.
+
+    The loop is driver-side over the (small, broadcastable) query set; each
+    round touches only the unresolved queries, so dense regions pay one
+    cheap round and only genuinely sparse queries escalate. Property-tested
+    equal to :func:`knn_bruteforce` on adversarially clustered data.
+    """
+    w, h = grid.matrix_size(zoom)
+    span = grid.span(zoom)
+    max_ring = max(w, h)  # ring covering every cell from any position
+    remaining = queries
+    pieces = []
+    r = max(1, int(ring))
+    while True:
+        out = knn_cells(points, remaining, grid, zoom, k, ring=r,
+                        id_col=id_col, qid_col=qid_col)
+        if r >= max_ring:
+            pieces.append(out)
+            break
+        stats = out.groupBy(qid_col).agg(
+            F.max("rank").alias("n"), F.max("dist").alias("kth")
+        )
+        done = stats.filter(
+            (F.col("n") >= k) & (F.col("kth") < F.lit(float(r) * span))
+        ).select(qid_col)
+        done_set = {row[0] for row in done.collect()}
+        pieces.append(out.join(broadcast(done), qid_col, "left_semi"))
+        remaining = remaining.filter(~F.col(qid_col).isin(done_set)
+                                     if done_set else F.lit(True))
+        if remaining.limit(1).count() == 0:
+            break
+        r *= 2
+    result = pieces[0]
+    for p in pieces[1:]:
+        result = result.unionAll(p)
+    return result
