@@ -517,6 +517,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (MinHash-LSH banding) — the band/bucket self-join that makes
+    near-dup detection never-all-pairs at scale: 4-hash signatures over
+    documents + injected mutants, 2 bands x 2 rows, candidate pairs where
+    any full band agrees. Oracle recomputes the identical banding in SQL."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz zz zz")).alias("text"),
+    )
+    sig = DD.minhash_signatures(docs.unionAll(near), num_hashes=4)
+    return DD.lsh_candidate_pairs(sig, bands=2, rows_per_band=2)
+
+
 def q_knn_adaptive_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 — adaptive-ring cell-pruned kNN (ring escalation until the k-th
     distance is provably inside the ring); must equal the SQL brute force
@@ -623,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_adaptive_docs": q_knn_adaptive_docs,
         "web_mercator": q_web_mercator,
         "expire_tiles": q_expire_tiles,
+        "lsh_candidates": q_lsh_candidates,
     }
 
 
@@ -1157,6 +1172,30 @@ def oracle_sql() -> dict[str, str]:
     # adaptive kNN must equal the brute force — same oracle as knn_docs
     knn_adaptive_docs = knn_docs
 
+    lsh_candidates = f"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' zz zz zz' FROM documents WHERE doc_id % 25 = 0
+        ), sh AS (
+          {_shingles_sql('all_docs')}
+        ), sig AS (
+          SELECT doc_id,
+                 min(md5(concat('0:', shingle))) AS h0,
+                 min(md5(concat('1:', shingle))) AS h1,
+                 min(md5(concat('2:', shingle))) AS h2,
+                 min(md5(concat('3:', shingle))) AS h3
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_hash FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS band_hash FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
     web_mercator = """
         SELECT doc_id,
                CAST(round(6378137.0 * radians(-180.0 + ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 360.0), 3) AS DOUBLE) AS merc_x,
@@ -1190,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_adaptive_docs": knn_adaptive_docs,
         "web_mercator": web_mercator,
         "expire_tiles": expire_tiles,
+        "lsh_candidates": lsh_candidates,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,

@@ -369,7 +369,7 @@ def _write_bench_md(result: dict) -> None:
         "",
         "The same flagship pipeline — multimodal ingest (synthesize + PNG-encode",
         f"+ phash {SCALE_IMGS:,} images), tile assignment + cell join",
-        f"({SCALE_PTS:,} points against the z4 tile matrix), and MinHash dedup",
+        f"({SCALE_PTS:,} points against the z3 tile matrix), and MinHash dedup",
         f"signatures ({SCALE_DOCS:,} documents, 16 hashes) — run on identical",
         "input at two parallelism levels (sandbox realization of N vs 4N",
         "executors per driver instruction).",

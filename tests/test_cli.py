@@ -91,3 +91,22 @@ def test_cli_get_limits(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "TileMatrix 0: 19x13" in out
     assert "limits 0: col 5-5 row 6-7" in out  # reference golden range
+
+
+def test_cli_capabilities(tmp_path, capsys):
+    import yaml
+
+    from tilecloud_chain_spark import cli
+
+    cfg_path = tmp_path / "test.yaml"
+    cfg_path.write_text(yaml.safe_dump(REF_STYLE_YAML))
+    cache = str(tmp_path / "cache")
+    rc = cli.main(["capabilities", "--config", str(cfg_path),
+                   "--base-url", "http://wmts1/tiles/", "--cache", cache])
+    assert rc == 0
+    path = os.path.join(cache, "1.0.0", "WMTSCapabilities.xml")
+    assert os.path.exists(path)
+    xml = open(path).read()
+    assert "<ows:Identifier>swissgrid_5</ows:Identifier>" in xml
+    assert "<MatrixWidth>19</MatrixWidth>" in xml
+    assert 'xlink:href="http://wmts1/tiles/1.0.0/WMTSCapabilities.xml"' in xml

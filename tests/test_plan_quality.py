@@ -98,3 +98,17 @@ def test_cell_join_broadcasts_tile_side(spark):
     plan = _executed(j)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_expire_boundary_single_shuffle(spark):
+    """Boundary extraction must be ONE groupBy shuffle (edge-parity), not
+    four anti-joins over the full cell set."""
+    from tilecloud_chain_spark.operators.expire import boundary_edges
+
+    tiles = spark.createDataFrame(
+        [(4, x, y) for x in range(3) for y in range(3)], "z int, x long, y long"
+    )
+    plan = boundary_edges(tiles)._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the distinct cells + one for the edge-parity groupBy
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -151,3 +151,32 @@ def test_structured_streaming_drain(spark, store_job, tmp_path):
         schema="x int, y int, n int, cell long",  # z is a partition dir
     )
     assert sum(seen) == 3
+
+
+def test_error_file_roundtrip(spark, tmp_path):
+    """Error lines in the reference's log_tiles_error format re-import
+    through the tiles-file source (the reference's retry-from-error-file
+    workflow): coords + metadata survive, the '# [ts] message' tail is
+    ignored by the parser."""
+    from tilecloud_chain_spark.operators.postprocess import error_file_lines
+
+    df = spark.createDataFrame(
+        [(1, 10, 12, 8, {"layer": "line"}, "WMS error\ntimeout"),
+         (4, 100, 200, 1, {"layer": "line", "dimension_DATE": "2012"}, None)],
+        "z int, x int, y int, n int, metadata map<string,string>, error string",
+    )
+    lines = error_file_lines(df, "12-08-2026 10:00:00")
+    vals = sorted(r.value for r in lines.collect())
+    assert vals[0] == "1/10/12:+8/+8 layer=line # [12-08-2026 10:00:00] WMS error timeout"
+    assert vals[1] == "4/100/200 dimension_DATE=2012 layer=line # [12-08-2026 10:00:00]"
+
+    p = tmp_path / "errors.txt"
+    p.write_text("# [12-08-2026 10:00:00] Start the layer 'line' generation\n"
+                 + "\n".join(vals) + "\n")
+    back = read_tiles_file(spark, str(p))
+    rows = {(r.z, r.x, r.y, r.n): dict(r.metadata) for r in back.collect()}
+    assert rows == {
+        (1, 10, 12, 8): {"layer": "line"},
+        (4, 100, 200, 1): {"dimension_DATE": "2012", "layer": "line"},
+    }
+    assert invalid_lines(spark, str(p)).count() == 1  # the '# Start' header

@@ -160,6 +160,29 @@ def cmd_get_bbox(args) -> int:
     return 0
 
 
+def cmd_capabilities(args) -> int:
+    """generate-controller --capabilities analog: render the WMTS
+    GetCapabilities document and write it into the cache layout at
+    ``1.0.0/WMTSCapabilities.xml`` (reference controller command +
+    server.py:498-562 serving path), or print to stdout."""
+    import os
+
+    from tilecloud_chain_spark.config_yaml import load_config
+    from tilecloud_chain_spark.plans.wmts import get_capabilities_xml
+
+    cfg = load_config(args.config)
+    xml = get_capabilities_xml(cfg.grids, cfg.layers, args.base_url)
+    if args.cache:
+        path = os.path.join(args.cache, "1.0.0", "WMTSCapabilities.xml")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(xml)
+        print(f"Wrote {path}")
+    else:
+        print(xml)
+    return 0
+
+
 def cmd_get_limits(args) -> int:
     from tilecloud_chain_spark.config_yaml import load_config
     from tilecloud_chain_spark.plans.wmts import capabilities_matrices, tile_matrix_limits
@@ -212,6 +235,12 @@ def main(argv=None) -> int:
     common(gb)
     gb.add_argument("--coord", required=True, help="z/x/y[:+n/+n]")
     gb.set_defaults(fn=cmd_get_bbox)
+
+    cap = sub.add_parser("capabilities")
+    cap.add_argument("--config", required=True)
+    cap.add_argument("--base-url", default="http://localhost/tiles/")
+    cap.add_argument("--cache", default=None, help="write into this cache root")
+    cap.set_defaults(fn=cmd_capabilities)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -138,20 +138,24 @@ def lsh_candidate_pairs(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs agreeing on ALL rows of any
-    band become a candidate pair. Output: id_a < id_b distinct."""
-    pieces = []
-    for b in range(bands):
-        cols = [F.element_at(F.col("sig"), b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        pieces.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    band become a candidate pair. Output: id_a < id_b distinct.
+
+    Single explode over a band-struct array (one pass over the signature
+    table) — a union of ``bands`` branches would re-evaluate the upstream
+    signature computation per branch."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ])).alias("band_hash"),
         )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionAll(p)
+        for b in range(bands)
+    ])
+    banded = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
+    )
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b2 = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -300,16 +304,15 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
             F.lit((1 << (hi - lo)) - 1)
         )
 
-    chunks = [
-        s.select(
-            "id", "simhash", F.lit(c).alias("chunk"),
-            _block_key(lo, hi).alias("key"),
-        )
+    # one explode, NOT a union of nb branches — the pandas-UDF simhash is
+    # computed once per doc, and the plan stays a single projection
+    blocks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"), _block_key(lo, hi).alias("key"))
         for c, (lo, hi) in enumerate(bounds)
-    ]
-    blocked = chunks[0]
-    for c in chunks[1:]:
-        blocked = blocked.unionAll(c)
+    ])
+    blocked = s.select(
+        "id", "simhash", F.explode(blocks).alias("b")
+    ).select("id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
     a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
     b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
     pairs = (

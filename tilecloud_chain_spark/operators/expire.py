@@ -48,29 +48,39 @@ def boundary_edges(tiles: DataFrame) -> DataFrame:
                 (F.col("by") + (F.col("k") / F.col("f")).cast("long")).alias("cy"))
         .distinct()
     )
-    sides = {
-        # side -> (neighbor dx dy, edge corners (from, to))
-        "top": ((0, -1), ("cx", "cy", "cx+1", "cy")),
-        "right": ((1, 0), ("cx+1", "cy", "cx+1", "cy+1")),
-        "bottom": ((0, 1), ("cx+1", "cy+1", "cx", "cy+1")),
-        "left": ((-1, 0), ("cx", "cy+1", "cx", "cy")),
-    }
-    nbr = cells.select(F.col("cx").alias("nx"), F.col("cy").alias("ny"))
-    pieces = []
-    for (dx, dy), (x1, y1, x2, y2) in sides.values():
-        absent = cells.join(
-            nbr,
-            (F.col("cx") + dx == F.col("nx")) & (F.col("cy") + dy == F.col("ny")),
-            "left_anti",
-        )
-        pieces.append(absent.select(
+    # Each cell emits its 4 directed side-edges; an edge INTERIOR to the
+    # union is emitted exactly twice (once by each adjacent cell, opposite
+    # directions), a boundary edge exactly once — so boundary extraction is
+    # ONE groupBy on the undirected edge key keeping count==1 (single
+    # shuffle; the naive formulation is four self-anti-joins = four
+    # shuffles of the full cell set, which loses badly at 10^9 cells).
+    sides = [
+        ("cx", "cy", "cx+1", "cy"),          # top
+        ("cx+1", "cy", "cx+1", "cy+1"),      # right
+        ("cx+1", "cy+1", "cx", "cy+1"),      # bottom
+        ("cx", "cy+1", "cx", "cy"),          # left
+    ]
+    edge_structs = F.array(*[
+        F.struct(
             F.expr(x1).alias("x1"), F.expr(y1).alias("y1"),
             F.expr(x2).alias("x2"), F.expr(y2).alias("y2"),
-        ))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out.withColumn("zmax", F.lit(zmax))
+            F.least(F.expr(x1) * F.lit(1 << 31) + F.expr(y1),
+                    F.expr(x2) * F.lit(1 << 31) + F.expr(y2)).alias("ka"),
+            F.greatest(F.expr(x1) * F.lit(1 << 31) + F.expr(y1),
+                       F.expr(x2) * F.lit(1 << 31) + F.expr(y2)).alias("kb"),
+        )
+        for x1, y1, x2, y2 in sides
+    ])
+    edges = cells.select(F.explode(edge_structs).alias("e")).select("e.*")
+    boundary = (
+        edges.groupBy("ka", "kb")
+        .agg(F.count("*").alias("n"),
+             F.first("x1").alias("x1"), F.first("y1").alias("y1"),
+             F.first("x2").alias("x2"), F.first("y2").alias("y2"))
+        .filter(F.col("n") == 1)
+        .select("x1", "y1", "x2", "y2")
+    )
+    return boundary.withColumn("zmax", F.lit(zmax))
 
 
 def _stitch(edges: list[tuple[int, int, int, int]]) -> list[list[tuple[int, int]]]:

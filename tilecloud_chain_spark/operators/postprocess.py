@@ -120,3 +120,38 @@ def duration_format(ms: float) -> str:
     m, s = divmod(s, 60)
     core = f"{h}:{m:02d}:{s:02d}"
     return f"{d} {core}" if d else core
+
+
+def error_file_lines(
+    tiles: DataFrame, timestamp: str, message_col: str = "error"
+) -> DataFrame:
+    """Reference tiles-in-error log lines (``log_tiles_error``,
+    tilecloud_chain/__init__.py:1634-1654):
+    ``{z}/{x}/{y}[:+n/+n] {metadata k=v …} # [{ts}] {message}``.
+
+    ``timestamp`` is passed in (the reference stamps now(); a deterministic
+    value keeps tests and retries reproducible). The produced lines parse
+    BACK through ``sources.tiles_file.read_tiles_file`` — the reference
+    feeds its error file to a later ``--tiles`` rerun, and so can we (the
+    ``# …`` tail carries no ``=`` so the metadata parser ignores it)."""
+    coord = F.concat_ws("/", F.col("z"), F.col("x"), F.col("y"))
+    if "n" in tiles.columns:
+        coord = F.concat(
+            coord,
+            F.when(F.col("n") > 1,
+                   F.concat(F.lit(":+"), F.col("n"), F.lit("/+"), F.col("n"))
+                   ).otherwise(F.lit("")),
+        )
+    pieces = [coord]
+    if "metadata" in tiles.columns:
+        kv = F.array_sort(F.transform(
+            F.map_entries(F.col("metadata")),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ))
+        pieces.append(F.concat_ws(" ", kv))
+    msg = F.regexp_replace(F.coalesce(F.col(message_col), F.lit("")), r"\n", " ")
+    tail = F.when(msg == "", F.lit(f"# [{timestamp}]")).otherwise(
+        F.concat(F.lit(f"# [{timestamp}] "), msg)
+    )
+    pieces.append(tail)
+    return tiles.select(F.concat_ws(" ", *pieces).alias("value"))
