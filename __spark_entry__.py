@@ -517,6 +517,33 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_feature_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetFeatureInfo analog (server.py:612-662): (z, tilecol, tilerow, I, J)
+    -> map point (tile extent + pixel offset), then the nearest feature
+    (document) to that point — the engine-side equivalent of the WMS
+    GetFeatureInfo proxy. Fully SQL-expressible oracle."""
+    from pyspark.sql.window import Window
+
+    probes = spark.createDataFrame(
+        [("fa", 0, 7, 4, 128, 128), ("fb", 2, 25, 35, 0, 255), ("fc", 4, 101, 140, 17, 200)],
+        "qid string, z int, x int, y int, i int, j int",
+    )
+    xm, ym = GM.feature_info_point(GRID, F.col("z"), F.col("x"), F.col("y"),
+                                   F.col("i"), F.col("j"))
+    q = probes.select("qid", xm, ym)
+    docs = _doc_positions(_read(spark, sf_dir, "documents"))
+    j = docs.crossJoin(F.broadcast(q))
+    dist = F.sqrt((F.col("x") - F.col("x_m")) ** 2 + (F.col("y") - F.col("y_m")) ** 2)
+    win = Window.partitionBy("qid").orderBy(dist.asc(), F.col("doc_id").asc())
+    return (
+        j.select("qid", "doc_id", F.round(dist, 3).alias("dist"),
+                 F.round("x_m", 6).alias("x_m"), F.round("y_m", 6).alias("y_m"),
+                 F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (MinHash-LSH banding) — the band/bucket self-join that makes
     near-dup detection never-all-pairs at scale: 4-hash signatures over
@@ -638,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_mercator": q_web_mercator,
         "expire_tiles": q_expire_tiles,
         "lsh_candidates": q_lsh_candidates,
+        "feature_info": q_feature_info,
     }
 
 
@@ -1172,6 +1200,32 @@ def oracle_sql() -> dict[str, str]:
     # adaptive kNN must equal the brute force — same oracle as knn_docs
     knn_adaptive_docs = knn_docs
 
+    feature_info = f"""
+        WITH probes(qid, z, x, y, i, j) AS (VALUES
+          ('fa', 0, 7, 4, 128, 128), ('fb', 2, 25, 35, 0, 255),
+          ('fc', 4, 101, 140, 17, 200)),
+        pts AS (
+          SELECT qid,
+                 {MINX} + (x * 256 + i) * {_res_sql()} AS x_m,
+                 {MAXY} - (y * 256 + j) * {_res_sql()} AS y_m
+          FROM probes
+        ), pos AS ({_doc_pos_sql()}),
+        scored AS (
+          SELECT pts.qid, pos.doc_id, pts.x_m, pts.y_m,
+                 sqrt((pos.x - pts.x_m) * (pos.x - pts.x_m)
+                      + (pos.y - pts.y_m) * (pos.y - pts.y_m)) AS d,
+                 row_number() OVER (PARTITION BY pts.qid
+                                    ORDER BY sqrt((pos.x - pts.x_m) * (pos.x - pts.x_m)
+                                                  + (pos.y - pts.y_m) * (pos.y - pts.y_m)) ASC,
+                                             pos.doc_id ASC) AS rn
+          FROM pos CROSS JOIN pts
+        )
+        SELECT qid, doc_id, CAST(round(d, 3) AS DOUBLE) AS dist,
+               CAST(round(x_m, 6) AS DOUBLE) AS x_m,
+               CAST(round(y_m, 6) AS DOUBLE) AS y_m
+        FROM scored WHERE rn = 1
+    """
+
     lsh_candidates = f"""
         WITH all_docs AS (
           SELECT doc_id, text FROM documents
@@ -1230,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "web_mercator": web_mercator,
         "expire_tiles": expire_tiles,
         "lsh_candidates": lsh_candidates,
+        "feature_info": feature_info,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,

@@ -135,3 +135,77 @@ def test_sparse_covers_every_geometry_tile(z, cx, cy, wbox, hbox):
             if ext[0] < b[2] and ext[2] > b[0] and ext[1] < b[3] and ext[3] > b[1]:
                 required.add((z, mx * n, my * n, n))
     assert required <= metas
+
+
+def test_cell_key_roundtrip_extreme_indices(spark):
+    """Integer-shift unpack must be exact for x,y up to 2^29-1 — the float-
+    division formulation went off-by-one past x=2^24 with y near 2^29
+    (advisor finding, round 2)."""
+    from pyspark.sql import functions as F
+
+    from tilecloud_chain_spark.functions import gridmath as GM
+
+    m = (1 << 29) - 1
+    rows = [(z, x, y) for z in (0, 17, 31)
+            for x in (0, 1, (1 << 24) + 1, m - 1, m)
+            for y in (0, 1, m - 1, m)]
+    df = spark.createDataFrame(rows, "z int, x int, y int")
+    packed = df.select("z", "x", "y", GM.cell_key(F.col("z"), F.col("x"), F.col("y")))
+    uz, ux, uy = GM.cell_unpack(F.col("cell"))
+    back = packed.select(
+        "z", "x", "y", uz.alias("z2"), ux.alias("x2"), uy.alias("y2")
+    )
+    bad = back.filter(
+        (F.col("z") != F.col("z2")) | (F.col("x") != F.col("x2")) | (F.col("y") != F.col("y2"))
+    )
+    assert bad.count() == 0
+
+
+def test_process_filter_matches_python_round(spark):
+    """The modulo partitioner must agree with the reference's Python round()
+    (banker's rounding) INCLUDING the exact-.5 cases (x+y ≡ n/2 mod n)."""
+    from pyspark.sql import functions as F
+
+    from tilecloud_chain_spark.functions import gridmath as GM
+
+    n, nb = 8, 3
+    rows = [(z, x, y) for z in range(3) for x in range(0, 24) for y in range(0, 24)]
+    df = spark.createDataFrame(rows, "z int, x int, y int")
+    got = {
+        (r.z, r.x, r.y): r.keep
+        for r in df.select(
+            "z", "x", "y",
+            GM.process_filter_keep(F.col("z"), F.col("x"), F.col("y"), n, nb, 1).alias("keep"),
+        ).collect()
+    }
+    for z, x, y in rows:
+        want = round(z + x / n + y / n) % nb == 1
+        assert got[(z, x, y)] == want, (z, x, y, round(z + x / n + y / n))
+
+
+@given(
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_mercator_roundtrip_property(lon, lat):
+    from tilecloud_chain_spark import crs
+
+    x, y = crs.merc_fwd(lon, lat)
+    lon2, lat2 = crs.merc_inv(x, y)
+    assert math.isclose(float(lon2), lon, abs_tol=1e-9)
+    assert math.isclose(float(lat2), lat, abs_tol=1e-9)
+
+
+@given(
+    st.floats(min_value=450000, max_value=850000, allow_nan=False),
+    st.floats(min_value=50000, max_value=320000, allow_nan=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_swiss_roundtrip_property(e, n):
+    from tilecloud_chain_spark import crs
+
+    lon, lat = crs.transform_coords("EPSG:21781", "EPSG:4326", e, n)
+    e2, n2 = crs.transform_coords("EPSG:4326", "EPSG:21781", lon, lat)
+    assert math.isclose(float(e2), e, abs_tol=0.005)
+    assert math.isclose(float(n2), n, abs_tol=0.005)

@@ -180,3 +180,56 @@ def test_error_file_roundtrip(spark, tmp_path):
         (4, 100, 200, 1): {"dimension_DATE": "2012", "layer": "line"},
     }
     assert invalid_lines(spark, str(p)).count() == 1  # the '# Start' header
+
+
+def test_streaming_render_pipeline_golden(spark, tmp_path):
+    """ST1 capstone — the reference's daemon mode as Structured Streaming:
+    queued metatiles arrive as files, each micro-batch runs the REAL image
+    path (render -> hash-drop empty metatiles -> split -> drop empty
+    children -> write WMTS cache), availableNow drains then stops, and the
+    cache holds exactly the reference's golden stored set."""
+    import hashlib
+
+    from tilecloud_chain_spark import geometry as G
+    from tilecloud_chain_spark.config import LAYERS, SWISSGRID_5
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.operators import raster as R
+    from tilecloud_chain_spark.sources.tiles_file import write_cache
+
+    grid = SWISSGRID_5
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    geoms = {0: geom}
+    qdir = tmp_path / "queue"
+    spark.createDataFrame([(0, 0, 0, 8, 0)],
+                          "z int, x int, y int, n int, cell long") \
+        .write.mode("append").parquet(str(qdir))
+    cache = str(tmp_path / "cache")
+    empty_hash = hashlib.sha256(R.empty_tile_bytes(256)).hexdigest()
+
+    def handle(batch_df, batch_id):
+        metas = batch_df.select("z", "x", "y", "n")
+        rendered = R.render_metatiles(metas, grid, geoms, meta_buffer=128)
+        children = R.split_metatile_images(
+            rendered, tile_size=256, meta_buffer=128,
+            clamp_matrix=grid.matrix_size(0),
+        )
+        stored = FL.hash_drop(children, empty_hash)
+        tiles = stored.select(
+            F.lit("line").alias("layer"), F.lit("default").alias("style"),
+            F.lit("").alias("dims"), "z", "x", "y",
+            F.lit("png").alias("ext"), "data",
+        )
+        write_cache(tiles, cache, grid)
+
+    QS.stream_queue_files(
+        spark, str(qdir), str(tmp_path / "ckpt"), handle,
+        schema="z int, x int, y int, n int, cell long",
+    )
+    found = set()
+    for root, _, files in os.walk(cache):
+        for f in files:
+            found.add(os.path.relpath(os.path.join(root, f), cache))
+    assert found == {
+        f"1.0.0/line/default/swissgrid_5/0/{y}/{x}.png"
+        for x, y in [(6, 5), (7, 5), (5, 6), (6, 6), (4, 7), (5, 7)]
+    }

@@ -182,3 +182,17 @@ def wmts_path(
         x.cast("string"),
     ]
     return F.concat(F.concat_ws("/", *pieces), F.lit("."), ext)
+
+
+def feature_info_point(grid: Grid, z: Column, x: Column, y: Column,
+                       i: Column, j: Column) -> tuple[Column, Column]:
+    """GetFeatureInfo pixel -> map coordinate. The reference proxies WMTS
+    (TILEROW/TILECOL, I, J) to WMS GetFeatureInfo with BBOX = the tile's
+    extent, WIDTH = HEIGHT = tile_size, X = I, Y = J
+    (server.py:612-662) — so the queried map point is the tile origin plus
+    I pixels right / J pixels down at the zoom's resolution."""
+    res = resolution_col(grid, z)
+    ts = F.lit(grid.tile_size)
+    x_m = F.lit(grid.bbox[0]) + (x * ts + i) * res
+    y_m = F.lit(grid.bbox[3]) - (y * ts + j) * res
+    return x_m.alias("x_m"), y_m.alias("y_m")

@@ -33,10 +33,19 @@ def boundary_edges(tiles: DataFrame) -> DataFrame:
     Direction convention: walking the edge keeps the filled cell on the
     side that makes exterior rings clockwise in geographic coordinates —
     the orientation of the reference's union output."""
-    zmax = tiles.agg(F.max("z")).collect()[0][0]
+    zrange = tiles.agg(F.max("z").alias("zmax"), F.min("z").alias("zmin")).collect()[0]
+    zmax = zrange["zmax"]
     if zmax is None:
         return tiles.sparkSession.createDataFrame(
             [], "x1 long, y1 long, x2 long, y2 long, zmax int"
+        )
+    if zmax - zrange["zmin"] > 10:
+        # a z-spread of s expands each coarse tile into 4^s lattice cells;
+        # expire lists are same-zoom in practice (osm2pgsql emits one zoom)
+        raise ValueError(
+            f"expire tile zoom spread {zrange['zmin']}..{zmax} too wide: the "
+            f"dyadic expansion would be 4^{zmax - zrange['zmin']} cells per "
+            "coarse tile — split the input by zoom band"
         )
     # dyadic expansion of coarser tiles onto the zmax lattice
     factor = F.expr(f"shiftleft(CAST(1 AS BIGINT), {int(zmax)} - z)")
