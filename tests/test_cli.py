@@ -110,3 +110,30 @@ def test_cli_capabilities(tmp_path, capsys):
     assert "<ows:Identifier>swissgrid_5</ows:Identifier>" in xml
     assert "<MatrixWidth>19</MatrixWidth>" in xml
     assert 'xlink:href="http://wmts1/tiles/1.0.0/WMTSCapabilities.xml"' in xml
+
+
+def test_cli_generate_all_layers(spark, tmp_path):
+    """--layer omitted generates every configured layer (reference default)."""
+    import yaml
+
+    from tilecloud_chain_spark import cli
+
+    cfg_path = tmp_path / "test.yaml"
+    cfg_path.write_text(yaml.safe_dump(REF_STYLE_YAML))
+    cache = str(tmp_path / "cache")
+    rc = cli.main([
+        "generate-tiles", "--config", str(cfg_path),
+        "--zooms", "0", "--checkpoint", str(tmp_path / "ckpt"),
+        "--cache", cache, "--meta-buffer", "32",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ])
+    assert rc == 0
+    layers_seen = set()
+    for root, _, files in os.walk(cache):
+        for f in files:
+            rel = os.path.relpath(os.path.join(root, f), cache)
+            layers_seen.add(rel.split("/")[1])
+    import yaml as _y
+
+    cfg_layers = set(_y.safe_load(open(cfg_path))["layers"].keys())
+    assert layers_seen == cfg_layers

@@ -60,6 +60,23 @@ def _load(args):
 
 
 def cmd_generate_tiles(args) -> int:
+    """Omitting --layer generates EVERY configured layer (the reference's
+    generate-tiles default iterates all layers, generate.py main loop) —
+    one job per layer, sequentially, sharing the Spark session."""
+    if args.layer is None:
+        import argparse as _ap
+
+        from tilecloud_chain_spark.config_yaml import load_config
+
+        rc = 0
+        for name in sorted(load_config(args.config).layers):
+            sub = _ap.Namespace(**{**vars(args), "layer": name, "job_id": None})
+            rc = max(rc, _generate_tiles_one(sub))
+        return rc
+    return _generate_tiles_one(args)
+
+
+def _generate_tiles_one(args) -> int:
     from tilecloud_chain_spark.checkpoint import CheckpointStore
     from tilecloud_chain_spark.operators.postprocess import duration_format, size_format
     from tilecloud_chain_spark.plans.pipeline import generate_tiles
@@ -207,15 +224,16 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tilecloud_chain_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp):
+    def common(sp, layer_required=True):
         sp.add_argument("--config", required=True)
-        sp.add_argument("--layer", required=True)
+        sp.add_argument("--layer", required=layer_required,
+                        default=None)
         sp.add_argument("--zooms", default=None, help="comma-separated")
         sp.add_argument("--bbox", nargs=4, type=float, default=None)
         sp.add_argument("--cores", type=int, default=None)
 
     g = sub.add_parser("generate-tiles")
-    common(g)
+    common(g, layer_required=False)
     g.add_argument("--checkpoint", required=True)
     g.add_argument("--cache", default=None)
     g.add_argument("--meta-buffer", type=int, default=None)
