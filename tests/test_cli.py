@@ -137,3 +137,40 @@ def test_cli_generate_all_layers(spark, tmp_path):
 
     cfg_layers = set(_y.safe_load(open(cfg_path))["layers"].keys())
     assert layers_seen == cfg_layers
+
+
+def test_cli_copy_cache_to_cache(spark, tmp_path):
+    """copy command (reference copy_.py): list source cache -> drop-empty ->
+    write destination; tile bytes and layout survive verbatim."""
+    import yaml
+
+    from tilecloud_chain_spark import cli
+
+    cfg_path = tmp_path / "test.yaml"
+    cfg_path.write_text(yaml.safe_dump(REF_STYLE_YAML))
+    src = str(tmp_path / "src")
+    # build a small real cache first
+    rc = cli.main([
+        "generate-tiles", "--config", str(cfg_path), "--layer", "line",
+        "--zooms", "0", "--checkpoint", str(tmp_path / "ckpt"),
+        "--cache", src, "--meta-buffer", "32",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ])
+    assert rc == 0
+    dst = str(tmp_path / "dst")
+    rc = cli.main(["copy", "--config", str(cfg_path), "--layer", "line",
+                   "--source", src, "--destination", dst,
+                   "--cores", os.environ.get("TEST_SPARK_CPUS", "8")])
+    assert rc == 0
+
+    def walk(root):
+        out = {}
+        for r, _, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(r, f)
+                out[os.path.relpath(p, root)] = open(p, "rb").read()
+        return out
+
+    a, b = walk(src), walk(dst)
+    assert set(a) == set(b) and len(a) == 6
+    assert all(a[k] == b[k] for k in a)  # byte-identical payloads

@@ -200,6 +200,39 @@ def cmd_capabilities(args) -> int:
     return 0
 
 
+def cmd_copy(args) -> int:
+    """Cache-to-cache copy with the copy/process pipeline (reference
+    ``copy_.py:20-83``): list source cache -> drop-empty -> optional
+    hash-drop (empty_tile_detection) -> optional post-process -> write
+    destination cache. Metatiles are disabled in copy mode like the
+    reference (:38)."""
+    from tilecloud_chain_spark.config_yaml import load_config
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.operators.postprocess import post_process
+    from tilecloud_chain_spark.sources.tiles_file import list_cache, write_cache
+
+    spark, owned = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = load_config(args.config)
+    layer = cfg.layers[args.layer]
+    grid = cfg.grids[layer.grid]
+    tiles = list_cache(spark, args.source, grid=grid).filter(
+        F.col("layer") == layer.name
+    )
+    tiles = tiles.filter(F.length("data") > 0)  # DropEmpty
+    if layer.empty_tile_hash:
+        tiles = FL.hash_drop(tiles, layer.empty_tile_hash, data_col="data")
+    if args.process:
+        tiles = post_process(tiles, args.process, data_col="data")
+    out = tiles.select("layer", "style", "dims", "z", "x", "y", "ext", "data")
+    n = out.count()
+    write_cache(out, args.destination, grid)
+    print(f"Nb copied tiles: {n}")
+    if owned:
+        spark.stop()
+    return 0
+
+
 def cmd_get_limits(args) -> int:
     from tilecloud_chain_spark.config_yaml import load_config
     from tilecloud_chain_spark.plans.wmts import capabilities_matrices, tile_matrix_limits
@@ -253,6 +286,15 @@ def main(argv=None) -> int:
     common(gb)
     gb.add_argument("--coord", required=True, help="z/x/y[:+n/+n]")
     gb.set_defaults(fn=cmd_get_bbox)
+
+    cp = sub.add_parser("copy")
+    cp.add_argument("--config", required=True)
+    cp.add_argument("--layer", required=True)
+    cp.add_argument("--source", required=True)
+    cp.add_argument("--destination", required=True)
+    cp.add_argument("--process", default=None, help="allow-listed post-process name")
+    cp.add_argument("--cores", type=int, default=None)
+    cp.set_defaults(fn=cmd_copy)
 
     cap = sub.add_parser("capabilities")
     cap.add_argument("--config", required=True)
