@@ -517,6 +517,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters — connected components (large-star/small-star, the
+    O(log n)-round distributed formulation) over exact-Jaccard near-dup
+    pairs; every doc mapped to its cluster's min id + a keep flag. Oracle:
+    DuckDB recursive-CTE transitive closure over the same pairs."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz zz zz")).alias("text"),
+    )
+    all_docs = docs.unionAll(near)
+    prs = DD.jaccard_pairs(all_docs, threshold=0.5)
+    cc = DD.connected_components(prs)
+    ids = all_docs.select(F.col("doc_id").alias("id"))
+    return ids.join(cc, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("component", F.col("id")).alias("cluster"),
+        (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
+    )
+
+
 def q_feature_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetFeatureInfo analog (server.py:612-662): (z, tilecol, tilerow, I, J)
     -> map point (tile extent + pixel offset), then the nearest feature
@@ -666,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_tiles": q_expire_tiles,
         "lsh_candidates": q_lsh_candidates,
         "feature_info": q_feature_info,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1257,6 +1279,46 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # connected components == transitive closure with min labels: recursive
+    # CTE (UNION = distinct => terminates); the Spark side runs the
+    # large-star/small-star rounds, both must agree per node
+    dedup_clusters = f"""
+        WITH RECURSIVE all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' zz zz zz' FROM documents WHERE doc_id % 25 = 0
+        ), sh AS (
+          SELECT DISTINCT doc_id AS id, shingle FROM (
+            {_shingles_sql('all_docs')}
+          )
+        ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ),
+        prs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.id = id_a
+          JOIN sizes sb ON sb.id = id_b
+          WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs
+        ),
+        reach(a, b) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+               COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+        FROM all_docs d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
     # the reference's own pinned union coordinates (closing vertex dropped —
     # rings here are open; tests/test_expiretiles.py:118-141)
     expire_tiles = """
@@ -1285,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "expire_tiles": expire_tiles,
         "lsh_candidates": lsh_candidates,
         "feature_info": feature_info,
+        "dedup_clusters": dedup_clusters,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,

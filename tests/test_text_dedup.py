@@ -170,3 +170,49 @@ def test_ivf_recall_vs_bruteforce(embs, spark):
     a = sorted((r.qid, r.vec_id, r.rank) for r in ivf.collect())
     b = sorted((r.qid, r.vec_id, r.rank) for r in ivf2.collect())
     assert a == b
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, isolated pair, self-contained star — min-id labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> component 1
+         (10, 11), (11, 12), (10, 12),    # triangle -> 10
+         (20, 21),                        # pair -> 20
+         (30, 31), (30, 32), (30, 33)],   # star -> 30
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.component) for r in DD.connected_components(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20),
+            (30, 30), (31, 30), (32, 30), (33, 30)}
+    assert got == want
+
+
+def test_dedup_clusters_lsh_refines_exact(spark, docs):
+    """The LSH-driven dedup_clusters must (a) keep exactly one doc per
+    cluster, (b) produce clusters that are REFINEMENTS of the exact-Jaccard
+    components (LSH can only miss pairs, never invent them)."""
+    base = docs.select("doc_id", "text").limit(80)
+    near = base.limit(10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    df = base.unionAll(near)
+    out = DD.dedup_clusters(df, threshold=0.6)
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, members in by_cluster.items():
+        assert sum(m.keep for m in members) == 1
+        assert min(m.doc_id for m in members) == cl
+    exact_cc = {
+        r.id: r.component
+        for r in DD.connected_components(DD.jaccard_pairs(df, 0.6)).collect()
+    }
+    lsh_cluster = {r.doc_id: r.cluster for r in rows}
+    # refinement: two docs in the same LSH cluster share the exact component
+    for cl, members in by_cluster.items():
+        comps = {exact_cc.get(m.doc_id, m.doc_id) for m in members}
+        assert len(comps) == 1

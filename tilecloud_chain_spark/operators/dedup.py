@@ -341,3 +341,109 @@ def simhash_pairs_bruteforce(df: DataFrame, max_hamming: int = 8,
         .select("id_a", "id_b", ham)
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# dedup clusters (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list (id_a, id_b) ->
+    (id, component) with component = min id of the component.
+
+    The step after LSH in a dedup pipeline: near-dup PAIRS become KEEP/DROP
+    decisions per duplicate CLUSTER. Implemented as alternating large-star /
+    small-star iterations (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14 — public knowledge): each round is two
+    shuffles over the edge list, converging in O(log n) rounds, never
+    materializing the transitive closure — the 100 TB-safe formulation
+    (driver-side union-find would need every edge in one process).
+
+    Convergence is detected with an edge-set fingerprint; raises if
+    ``max_iters`` rounds do not converge (log2 of any realistic component
+    count is far smaller).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # connect every strictly-larger neighbor of u to u's min neighbor
+        nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        big = nbrs.join(m, "u").filter(F.col("v") > F.col("u"))
+        return (
+            big.select(F.col("v").alias("u"), F.least("mn", F.col("u")).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges to the smaller endpoint, connect neighbors <= u to min
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionAll(m.select(F.col("u"), F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_fp = None
+    for _ in range(max_iters):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        fp = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("u", "v").cast("long")).alias("h"),
+        ).collect()[0]
+        cur_fp = (fp["n"], fp["h"])
+        if cur_fp == prev_fp:
+            break
+        prev_fp = cur_fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+    nodes = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    ).distinct()
+    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup dedup decision: MinHash-LSH pairs -> connected
+    components -> (doc_id, cluster, keep). ``keep`` = the cluster's min id
+    (the reference-analog of HashDropper keeping one representative)."""
+    prs = minhash_dedup_pairs(
+        df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col
+    )
+    cc = connected_components(prs)
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(cc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("cluster"),
+            (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )
