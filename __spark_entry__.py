@@ -517,6 +517,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path — typed-metadata fan-out + distributed frame
+    decode/phash (sources/media.py): per-video sampled-frame count, distinct
+    perceptual hashes, min phash. Deterministic synth + fake decode => the
+    oracle is the pinned expected rows (DuckDB cannot decode frames)."""
+    from tilecloud_chain_spark.sources import media as M
+
+    media = M.synth_media(spark, 10, kind="video")
+    frames = M.sample_frames(media, every_n=2)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("phash").alias("n_unique_phash"),
+        F.min("phash").alias("min_phash"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters — connected components (large-star/small-star, the
     O(log n)-round distributed formulation) over exact-Jaccard near-dup
@@ -688,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "feature_info": q_feature_info,
         "dedup_clusters": q_dedup_clusters,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1319,6 +1336,25 @@ def oracle_sql() -> dict[str, str]:
         FROM all_docs d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
+    # pinned: deterministic synth media + fake decode (DuckDB cannot phash)
+    media_frames = """
+        SELECT media_id, CAST(n_sampled AS BIGINT) AS n_sampled,
+               CAST(n_unique_phash AS BIGINT) AS n_unique_phash,
+               CAST(min_phash AS BIGINT) AS min_phash
+        FROM (VALUES
+          ('vmed000000000', 6, 3, 4600147157158527093),
+          ('vmed000000001', 5, 3, 1547596675906302085),
+          ('vmed000000002', 7, 4, 1537156662238319069),
+          ('vmed000000003', 5, 3, 4599622544349530965),
+          ('vmed000000004', 7, 4, 1465734750284567968),
+          ('vmed000000005', 7, 4, 1547552696112382714),
+          ('vmed000000006', 5, 3, 1321003663918173141),
+          ('vmed000000007', 6, 3, 1609757552210150645),
+          ('vmed000000008', 5, 3, 1547123878625034456),
+          ('vmed000000009', 5, 3, 1618241410219988352))
+        AS t(media_id, n_sampled, n_unique_phash, min_phash)
+    """
+
     # the reference's own pinned union coordinates (closing vertex dropped —
     # rings here are open; tests/test_expiretiles.py:118-141)
     expire_tiles = """
@@ -1348,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates": lsh_candidates,
         "feature_info": feature_info,
         "dedup_clusters": dedup_clusters,
+        "media_frames": media_frames,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,
