@@ -517,6 +517,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — GetTile serving decisions for the point_hash layer (server.py
+    :358-372 seed depth, :694-715 owning-metatile geometry redirect):
+    is_seeded (min_resolution_seed=10 -> zooms 0..3), metatile anchor, and
+    the buffered-extent geometry test against the MULTIPOINT layer geometry
+    — all SQL-expressible for the oracle."""
+    from tilecloud_chain_spark.plans.serving import serving_columns
+
+    layer = LAYERS["point_hash"]
+    geom = G.parse_wkt(layer.geom_wkt)
+    geoms = {z: geom for z in range(NZ)}
+    tiles = EN.dense_tiles(spark, GRID, range(NZ)).select("z", "x", "y")
+    return serving_columns(tiles, GRID, layer, geoms)
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video path — typed-metadata fan-out + distributed frame
     decode/phash (sources/media.py): per-video sampled-frame count, distinct
@@ -705,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_info": q_feature_info,
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
+        "serving_decisions": q_serving_decisions,
     }
 
 
@@ -1336,6 +1352,38 @@ def oracle_sql() -> dict[str, str]:
         FROM all_docs d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
+    # serving decisions: seed depth (min_resolution_seed=10 -> zooms 0..3
+    # seeded, z4 dynamic), owning-metatile (n=8) buffered-extent test
+    # against the MULTIPOINT layer geometry — closed boundaries, like the
+    # engine's intersects semantics
+    serving_decisions = f"""
+        WITH tiles AS ({_enum_sql(list(range(NZ)))}),
+        anchored AS (
+          SELECT z, x, y,
+                 CAST(floor(x / 8) * 8 AS INTEGER) AS meta_x,
+                 CAST(floor(y / 8) * 8 AS INTEGER) AS meta_y,
+                 {_res_sql()} AS res
+          FROM tiles
+        ), ext AS (
+          SELECT z, x, y, meta_x, meta_y,
+                 {MINX} + meta_x * res * 256 - 128 * res AS bminx,
+                 {MINX} + (meta_x + 8) * res * 256 + 128 * res AS bmaxx,
+                 {MAXY} - (meta_y + 8) * res * 256 - 128 * res AS bminy,
+                 {MAXY} - meta_y * res * 256 + 128 * res AS bmaxy
+          FROM anchored
+        )
+        SELECT z, x, y, meta_x, meta_y,
+               z <= 3 AS is_seeded,
+               NOT ((bminx <= 600000 AND 600000 <= bmaxx AND bminy <= 200000 AND 200000 <= bmaxy)
+                    OR (bminx <= 530000 AND 530000 <= bmaxx AND bminy <= 150000 AND 150000 <= bmaxy))
+                 AS geom_redirect,
+               (z <= 3) AND
+               ((bminx <= 600000 AND 600000 <= bmaxx AND bminy <= 200000 AND 200000 <= bmaxy)
+                OR (bminx <= 530000 AND 530000 <= bmaxx AND bminy <= 150000 AND 150000 <= bmaxy))
+                 AS static_cache_hit
+        FROM ext
+    """
+
     # pinned: deterministic synth media + fake decode (DuckDB cannot phash)
     media_frames = """
         SELECT media_id, CAST(n_sampled AS BIGINT) AS n_sampled,
@@ -1385,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_info": feature_info,
         "dedup_clusters": dedup_clusters,
         "media_frames": media_frames,
+        "serving_decisions": serving_decisions,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,
