@@ -141,12 +141,48 @@ def w_minhash(spark: SparkSession, sf_dir: str) -> int:
 
 
 def w_minhash_sql_twin(spark: SparkSession, sf_dir: str) -> int:
-    """Oracle-parity MinHash twin (shingle explode + full shuffle + groupBy —
-    exists because it is ANSI-SQL-expressible for the DuckDB gate;
-    property-tested value-equal to w_minhash). NOT the scale path: the
-    shingle-hash shuffle is the single biggest avoidable cost at 100 TB."""
+    """Oracle-parity MinHash twin (shingle explode + shuffle + groupBy —
+    ANSI-SQL-expressible for the DuckDB gate; property-tested value-equal
+    to w_minhash). After the shingle CSE fix it WINS at small scale (the
+    shuffle is cheap); the python-worker path wins at 100 TB where the
+    shingle-hash shuffle volume (docs x shingles x hashes) dominates —
+    both are kept and labeled."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.minhash_signatures(docs, num_hashes=8).count()
+
+
+def w_dedup_clusters(spark: SparkSession, sf_dir: str) -> int:
+    """Full near-dup dedup decision at sf: LSH pairs -> connected components
+    (large-star/small-star) -> keep flags. The 100 TB dedup pipeline shape."""
+    from tilecloud_chain_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return dedup_clusters(docs, threshold=0.6, num_hashes=8, bands=4).count()
+
+
+def w_frame_dedup(spark: SparkSession, sf_dir: str) -> int:
+    """Multimodal video path: synth 2k videos -> sample frames -> per-frame
+    phash (Arrow batches) -> cross-video near-dup block join."""
+    from tilecloud_chain_spark.sources import media as M
+
+    media = M.synth_media(spark, 2000, kind="video")
+    frames = M.sample_frames(media, every_n=2)
+    return M.frame_near_dup_pairs(frames, max_hamming=4).count()
+
+
+def w_expire(spark: SparkSession, sf_dir: str) -> int:
+    """Expire-tiles union over a 100k-tile blob (one edge-parity shuffle)."""
+    from tilecloud_chain_spark.operators import expire as EX
+
+    side = 316  # ~100k tiles in one connected blob
+    tiles = (
+        spark.range(side * side)
+        .select(F.lit(14).alias("z"),
+                (F.col("id") % side + 5000).alias("x"),
+                (F.col("id") / side).cast("long").alias("y"))
+        .withColumn("y", F.col("y") + 4000)
+    )
+    return EX.boundary_edges(tiles).count()
 
 
 def w_image_split(spark: SparkSession, sf_dir: str) -> int:
@@ -171,6 +207,9 @@ WORKLOADS = {
     "minhash": w_minhash,
     "minhash_sql_twin": w_minhash_sql_twin,
     "image_split": w_image_split,
+    "dedup_clusters": w_dedup_clusters,
+    "frame_dedup": w_frame_dedup,
+    "expire": w_expire,
 }
 
 
