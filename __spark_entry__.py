@@ -517,6 +517,51 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_utfgrid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (UTFGrid) — spec-encoded interaction grids for the line layer at
+    z0 with drop-empty: the surviving tile set equals the reference's golden
+    stored set, and the JSON payloads are deterministic (pinned md5)."""
+    from tilecloud_chain_spark.operators.utfgrid import render_utfgrid_tiles
+
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    feats = {0: [("road", geom, {"name": "A1", "class": "line"})]}
+    tiles = spark.createDataFrame(
+        [(0, x, y) for x in range(4, 8) for y in range(5, 8)], "z int, x int, y int"
+    )
+    out = render_utfgrid_tiles(tiles, GRID, feats, drop_empty_utfgrid=True)
+    return out.select(
+        "z", "x", "y", F.md5(F.col("data")).alias("grid_md5"),
+        F.length("data").alias("n_chars"),
+    )
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-admission decision a training pipeline runs:
+    quality gate (token count + repetition ratio) AND exact-dup keep (min id
+    per content hash) AND near-dup cluster keep (connected components over
+    jaccard>=0.5 pairs). One boolean per document, every stage oracled."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    quality = (TX.token_count(t) >= 5) & (TX.repetition_ratio(t) <= F.lit(0.8))
+    exact_keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(t))
+    )
+    prs = DD.jaccard_pairs(docs, threshold=0.5)
+    cc = DD.connected_components(prs)
+    base = docs.select(
+        "doc_id", quality.alias("quality_pass"), exact_keep.alias("exact_keep")
+    )
+    out = base.join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+    near_keep = F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+    return out.select(
+        "doc_id", "quality_pass", "exact_keep",
+        near_keep.alias("neardup_keep"),
+        (F.col("quality_pass") & F.col("exact_keep") & near_keep).alias("admitted"),
+    )
+
+
 def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — GetTile serving decisions for the point_hash layer (server.py
     :358-372 seed depth, :694-715 owning-metatile geometry redirect):
@@ -721,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
         "serving_decisions": q_serving_decisions,
+        "clean_corpus": q_clean_corpus,
+        "utfgrid_tiles": q_utfgrid_tiles,
     }
 
 
@@ -1352,6 +1399,68 @@ def oracle_sql() -> dict[str, str]:
         FROM all_docs d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
+    # pinned: deterministic UTFGrid JSON (DuckDB cannot rasterize); the
+    # surviving tile set is the reference's golden line stored set
+    utfgrid_tiles = """
+        SELECT CAST(z AS INTEGER) AS z, CAST(x AS INTEGER) AS x,
+               CAST(y AS INTEGER) AS y, grid_md5,
+               CAST(n_chars AS INTEGER) AS n_chars
+        FROM (VALUES
+          (0, 4, 7, '8fe8c26ff31cb32109525bae531adec3', 4435),
+          (0, 5, 6, 'fb7feb3b7872983a6b525d38f1d98f35', 4435),
+          (0, 5, 7, '0dbbb31b288a2abc0f16689bb4f1e9dc', 4435),
+          (0, 6, 5, '016c0e26f7be99fcb2f7020b1065891a', 4435),
+          (0, 6, 6, '6c24a5b747470851045521e3ede695c5', 4435),
+          (0, 7, 5, '05371448efe6119cc35a0fc61803c488', 4435))
+        AS t(z, x, y, grid_md5, n_chars)
+    """
+
+    # corpus admission: quality exprs mirror text_profile's oracled pieces;
+    # near-dup keep = recursive-CTE components over jaccard>=0.5 pairs
+    clean_corpus = f"""
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id AS id, shingle FROM (
+            {_shingles_sql('documents')}
+          )
+        ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ),
+        prs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.id = id_a
+          JOIN sizes sb ON sb.id = id_b
+          WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs
+        ),
+        reach(a, b) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        q AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) >= 5
+                 AND 1.0 - len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))
+                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')), 1) <= 0.8
+                   AS quality_pass,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep
+          FROM documents
+        )
+        SELECT q.doc_id, q.quality_pass, q.exact_keep,
+               COALESCE(c.component, q.doc_id) = q.doc_id AS neardup_keep,
+               q.quality_pass AND q.exact_keep
+                 AND (COALESCE(c.component, q.doc_id) = q.doc_id) AS admitted
+        FROM q LEFT JOIN comp c ON c.id = q.doc_id
+    """
+
     # serving decisions: seed depth (min_resolution_seed=10 -> zooms 0..3
     # seeded, z4 dynamic), owning-metatile (n=8) buffered-extent test
     # against the MULTIPOINT layer geometry — closed boundaries, like the
@@ -1434,6 +1543,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters,
         "media_frames": media_frames,
         "serving_decisions": serving_decisions,
+        "clean_corpus": clean_corpus,
+        "utfgrid_tiles": utfgrid_tiles,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,

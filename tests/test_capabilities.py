@@ -151,3 +151,15 @@ def test_operations_metadata_and_wellformed():
     assert root.tag == f"{ns}Capabilities"
     sets = root.findall(f".//{ns}TileMatrixSet/")
     assert sets  # Contents populated
+
+
+def test_multi_grid_layer_gets_multiple_links():
+    """A layer on several grids emits one TileMatrixSetLink per grid
+    (reference get_grid_names / test_multi_grid capabilities)."""
+    layers = {
+        "both": replace(LAYERS["point"], grids=("swissgrid_5", "swissgrid_01")),
+    }
+    xml = get_capabilities_xml(GRIDS, layers, BASE)
+    assert xml.count("<TileMatrixSetLink>") == 2
+    assert "<TileMatrixSet>swissgrid_5</TileMatrixSet>" in xml
+    assert "<TileMatrixSet>swissgrid_01</TileMatrixSet>" in xml

@@ -204,6 +204,7 @@ class Layer:
     empty_metatile_hash: str | None = None
     dimensions: dict[str, tuple[str, ...]] = field(default_factory=dict)
     # WMTS-capabilities surface (configuration.py Layer schema defaults)
+    grids: tuple[str, ...] = ()  # multi-grid layers (empty -> just `grid`)
     title: str | None = None
     wmts_style: str = "default"
     mime_type: str = "image/png"

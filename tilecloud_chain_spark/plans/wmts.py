@@ -184,26 +184,30 @@ def get_capabilities_xml(
             "/{TileMatrixSet}/{TileMatrix}/{TileRow}/{TileCol}."
             f'{layer.extension}" />'
         )
-        grid = grids[layer.grid]
-        out += [
-            "      <TileMatrixSetLink>",
-            f"        <TileMatrixSet>{layer.grid}</TileMatrixSet>",
-        ]
-        limits = tile_matrix_limits(grid, layer, force=force_limits)
-        if limits:
-            out.append("        <TileMatrixSetLimits>")
-            for lim in limits:
-                out += [
-                    "          <TileMatrixLimits>",
-                    f"            <TileMatrix>{lim['tile_matrix']}</TileMatrix>",
-                    f"            <MinTileRow>{lim['min_tile_row']}</MinTileRow>",
-                    f"            <MaxTileRow>{lim['max_tile_row']}</MaxTileRow>",
-                    f"            <MinTileCol>{lim['min_tile_col']}</MinTileCol>",
-                    f"            <MaxTileCol>{lim['max_tile_col']}</MaxTileCol>",
-                    "          </TileMatrixLimits>",
-                ]
-            out.append("        </TileMatrixSetLimits>")
-        out += ["      </TileMatrixSetLink>", "    </Layer>"]
+        # one TileMatrixSetLink per grid — multi-grid layers list every grid
+        # (reference get_grid_names, test_multi_grid.py capabilities golden)
+        for gname in (layer.grids or (layer.grid,)):
+            grid = grids[gname]
+            out += [
+                "      <TileMatrixSetLink>",
+                f"        <TileMatrixSet>{gname}</TileMatrixSet>",
+            ]
+            limits = tile_matrix_limits(grid, layer, force=force_limits)
+            if limits:
+                out.append("        <TileMatrixSetLimits>")
+                for lim in limits:
+                    out += [
+                        "          <TileMatrixLimits>",
+                        f"            <TileMatrix>{lim['tile_matrix']}</TileMatrix>",
+                        f"            <MinTileRow>{lim['min_tile_row']}</MinTileRow>",
+                        f"            <MaxTileRow>{lim['max_tile_row']}</MaxTileRow>",
+                        f"            <MinTileCol>{lim['min_tile_col']}</MinTileCol>",
+                        f"            <MaxTileCol>{lim['max_tile_col']}</MaxTileCol>",
+                        "          </TileMatrixLimits>",
+                    ]
+                out.append("        </TileMatrixSetLimits>")
+            out.append("      </TileMatrixSetLink>")
+        out.append("    </Layer>")
     for gname in sorted(grids):
         grid = grids[gname]
         out += [
