@@ -517,6 +517,33 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-series enrichment): every non-anchor event picks up
+    the most recent anchor event (event_id % 7 == 0) at or before its
+    timestamp, per user. Spark = union + last-non-null window (one shuffle);
+    oracle = DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql.window import Window
+
+    from tilecloud_chain_spark.operators.asof import as_of_join
+
+    ev = _read(spark, sf_dir, "events")
+    right = ev.filter(F.col("event_id") % 7 == 0)
+    dedup_win = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        right.withColumn("_rn", F.row_number().over(dedup_win))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("anchor_id"), "value")
+    )
+    left = ev.filter(F.col("event_id") % 7 != 0).select("user_id", "ts", "event_id")
+    out = as_of_join(left, right, key="user_id", ts="ts",
+                     value_cols=["anchor_id", "value"])
+    return out.select(
+        "user_id", "ts", "event_id",
+        F.coalesce("asof_anchor_id", F.lit(-1)).alias("anchor_id"),
+        F.coalesce(F.round("asof_value", 2), F.lit(0.0)).alias("anchor_value"),
+    )
+
+
 def q_utfgrid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 (UTFGrid) — spec-encoded interaction grids for the line layer at
     z0 with drop-empty: the surviving tile set equals the reference's golden
@@ -768,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_decisions": q_serving_decisions,
         "clean_corpus": q_clean_corpus,
         "utfgrid_tiles": q_utfgrid_tiles,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1399,6 +1427,21 @@ def oracle_sql() -> dict[str, str]:
         FROM all_docs d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
+    asof_join = """
+        WITH r AS (
+          SELECT user_id, ts, max(event_id) AS anchor_id,
+                 arg_max(value, event_id) AS value
+          FROM events WHERE event_id % 7 = 0
+          GROUP BY user_id, ts
+        ), l AS (
+          SELECT user_id, ts, event_id FROM events WHERE event_id % 7 <> 0
+        )
+        SELECT l.user_id, l.ts, l.event_id,
+               COALESCE(r.anchor_id, -1) AS anchor_id,
+               CAST(COALESCE(round(r.value, 2), 0.0) AS DOUBLE) AS anchor_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
     # pinned: deterministic UTFGrid JSON (DuckDB cannot rasterize); the
     # surviving tile set is the reference's golden line stored set
     utfgrid_tiles = """
@@ -1545,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_decisions": serving_decisions,
         "clean_corpus": clean_corpus,
         "utfgrid_tiles": utfgrid_tiles,
+        "asof_join": asof_join,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,

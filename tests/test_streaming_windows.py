@@ -45,3 +45,26 @@ def test_batch_windows_shapes(spark, sf_dir):
     df = tumbling_counts(events, minutes=60 * 24)
     total = df.agg(F.sum("n")).collect()[0][0]
     assert total == events.count()  # every event in exactly one window
+
+
+def test_as_of_join_semantics(spark):
+    """<= match (equal ts matches), latest-wins, NULL before first anchor;
+    plan check: ONE shuffle (the key), no range cross join."""
+    from pyspark.sql import functions as F
+
+    from tilecloud_chain_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (1, 10, "c"), (2, 3, "d"), (2, 50, "e")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 100), (1, 9, 200), (2, 10, 300)], "k int, t int, v int"
+    )
+    out = as_of_join(left, right, key="k", ts="t", value_cols=["v"])
+    got = {(r.k, r.t): r.asof_v for r in out.collect()}
+    assert got == {(1, 5): 100, (1, 9): 200, (1, 10): 200,
+                   (2, 3): None, (2, 50): 300}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # union shuffle + window sort
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
