@@ -346,7 +346,8 @@ def _scaling(sf_dir: str) -> dict:
     single-box bandwidth analysis in BENCH.md."""
     out = _measure_pair(SCALE_N, SCALE_4N, sf_dir, SCALE_REPS)
     if os.environ.get("SPARK_GRAFT_SCALING_8_32", "1") != "0":
-        out["supplementary_8_32"] = _measure_pair(8, 32, sf_dir, 2)
+        # informational only (outside the single-box envelope) — 1 rep
+        out["supplementary_8_32"] = _measure_pair(8, 32, sf_dir, 1)
     return out
 
 

@@ -173,7 +173,7 @@ def lsh_candidate_pairs(
     ])
     banded = sig.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
-    )
+    ).localCheckpoint(eager=True)  # self-join below references it twice
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b2 = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (

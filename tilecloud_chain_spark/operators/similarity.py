@@ -214,7 +214,7 @@ def cosine_near_dup_pairs(
     sharing a signature bucket pay the exact cosine check."""
     e = hyperplane_signatures(embeddings, dim, bits, vec_col=vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), "sig"
-    )
+    ).localCheckpoint(eager=True)  # self-join references it twice
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sig")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig")
     pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))

@@ -194,7 +194,12 @@ def audio_features(media: DataFrame, window_ms: int = 250) -> DataFrame:
 def frame_near_dup_pairs(frames: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Cross-video frame dedup: pigeonhole block join on the per-frame phash
     (same exact-recall blocking as operators.dedup.simhash_near_pairs).
-    Output: (media_a, frame_a, media_b, frame_b, hamming)."""
+    Output: (media_a, frame_a, media_b, frame_b, hamming).
+
+    The frame table is materialized first: a self-join references it twice
+    and an unmaterialized lineage would run the decode+phash Arrow stage
+    once per side (plan-audited: 4 python evals -> 0)."""
+    frames = frames.localCheckpoint(eager=True)
     nb = int(max_hamming) + 1
     bounds = [(c * 64 // nb, (c + 1) * 64 // nb) for c in range(nb)]
     key_structs = F.array(*[
