@@ -22,8 +22,11 @@ Workloads:
              (Arrow-batched pandas UDF path)
 - knn:       cell-pruned kNN, 64 queries over 1M points
 - lineitem_agg: TPC-H-Q1-style agg over lineitem (generic engine capability)
-- minhash:   MinHash signatures over documents (text/dedup path)
-- image_split: render + split 4 metatiles (image payload path)
+- minhash / minhash_sql_twin: MinHash signatures, scale path vs SQL twin
+- image_split: render + split metatiles (image payload path)
+- dedup_clusters: LSH pairs -> connected components -> keep flags
+- frame_dedup: synth videos -> frame sample -> phash -> near-dup join
+- expire: 100k-tile expire union boundary (one edge-parity shuffle)
 """
 
 from __future__ import annotations
@@ -302,24 +305,36 @@ _STAGES = ("ingest_phash", "assign_join", "minhash")
 
 def _measure_pair(lo: int, hi: int, sf_dir: str, reps: int) -> dict:
     """Run the staged pipeline at two parallelism levels on identical input;
-    efficiency = (sec_lo / sec_hi) / (hi / lo). Each level is measured
-    ``reps`` times (after one warm-up) and the per-stage minimum kept — this
-    sandbox VM's effective CPU speed fluctuates (shared host) and the best-of
-    comparison measures the engine, not the neighbor."""
-    parts = max(16, hi * 2)  # fixed across both levels of the pair
+    efficiency = (sec_lo / sec_hi) / (hi / lo).
+
+    The levels are INTERLEAVED (lo rep, hi rep, lo rep, hi rep, …) and the
+    per-stage minimum kept per level: this shared-host VM's effective CPU
+    speed drifts in multi-minute phases, so measuring all lo reps then all
+    hi reps lets one level land entirely in a slow phase and swings the
+    ratio by ±0.1 (observed 0.79-0.92 across block-ordered cold runs).
+    Interleaving samples both levels across the same phases; the minima then
+    come from comparable host conditions. Each level's session is restarted
+    per rep (one SparkContext per JVM) with a 1/10-size warm-up."""
+    # fixed across both levels of the pair; >= 8 tasks per core at the high
+    # level so a straggler task on a noisy vCPU costs 1/32 of the stage, not
+    # 1/4 of it (tail latency only hurts the parallel level)
+    parts = max(hi * 8, 32)
+    best: dict[int, dict | None] = {lo: None, hi: None}
+    for _ in range(max(1, reps)):
+        for cores in (lo, hi):
+            spark = _session(cores, shuffle_parts=parts)
+            spark.sparkContext.setLogLevel("ERROR")
+            fns = _stage_fns(spark, parts, sf_dir)
+            run = _scaling_stages(fns, warmup=True)
+            b = best[cores]
+            best[cores] = run if b is None else {k: min(b[k], run[k]) for k in run}
+            spark.stop()
+            time.sleep(1)
     levels = {}
     for cores in (lo, hi):
-        spark = _session(cores, shuffle_parts=parts)
-        spark.sparkContext.setLogLevel("ERROR")
-        fns = _stage_fns(spark, parts, sf_dir)
-        best = None
-        for i in range(max(1, reps)):
-            run = _scaling_stages(fns, warmup=(i == 0))
-            best = run if best is None else {k: min(best[k], run[k]) for k in run}
-        best["total"] = round(sum(best[k] for k in _STAGES), 2)
-        levels[cores] = best
-        spark.stop()
-        time.sleep(2)
+        b = best[cores]
+        b["total"] = round(sum(b[k] for k in _STAGES), 2)
+        levels[cores] = b
     n, n4 = levels[lo], levels[hi]
     factor = hi / lo
     rows = SCALE_IMGS + SCALE_PTS * 2 + SCALE_DOCS  # synthesized+assigned+joined+hashed
@@ -423,9 +438,13 @@ def _write_bench_md(result: dict) -> None:
         "(rows = images synthesized + points assigned + rows joined + docs hashed).",
         "",
         f"**Scaling efficiency (N -> 4N): {s['efficiency']}** (target >= 0.8;",
-        "efficiency = (sec_N / sec_4N) / 4). Best-of-"
-        + str(SCALE_REPS)
-        + " per level after one warm-up pass; BLAS threads pinned to 1 per",
+        "efficiency = (sec_N / sec_4N) / 4). The two levels are INTERLEAVED",
+        f"({SCALE_REPS} alternating rep pairs, per-stage minimum per level,",
+        "1/10-size warm-up per session) — this shared host drifts in",
+        "multi-minute speed phases, and block-ordered measurement let one",
+        "level land entirely in a slow phase (observed 0.79-0.92 across",
+        "block-ordered cold runs); interleaving samples both levels across",
+        "the same phases. BLAS threads pinned to 1 per",
         "python worker (unpinned OpenBLAS both inflates the 1-core baseline",
         "with extra threads and thrashes at 4+ workers — the identical ingest",
         "kernel measures 0.75 efficiency unpinned vs 1.02 pinned). The",
