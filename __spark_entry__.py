@@ -517,6 +517,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs.unionAll(near), max_hamming=12)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity (storage path) — symmetric per-vector int8 quantization of
+    the embedding column (scale = max|v|/127, pure Column math); the oracle
+    recomputes the identical arithmetic in SQL. q emitted as CSV so the
+    value comparison is engine-portable."""
+    embs = _read(spark, sf_dir, "embeddings")
+    qt = SIM.quantize_embeddings(embs)
+    return qt.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string"))).alias("q_csv"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (time-series enrichment): every non-anchor event picks up
     the most recent anchor event (event_id % 7 == 0) at or before its
@@ -796,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "utfgrid_tiles": q_utfgrid_tiles,
         "asof_join": q_asof_join,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -1427,6 +1441,21 @@ def oracle_sql() -> dict[str, str]:
         FROM all_docs d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
+    quantize_embeddings = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), s AS (
+          SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+          FROM v
+        )
+        SELECT vec_id, CAST(round(scale, 6) AS DOUBLE) AS scale,
+               array_to_string(
+                 list_transform(vec, x -> CAST(CAST(round(x / scale) AS INTEGER) AS VARCHAR)),
+                 ',') AS q_csv
+        FROM s
+    """
+
     asof_join = """
         WITH r AS (
           SELECT user_id, ts, max(event_id) AS anchor_id,
@@ -1589,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": clean_corpus,
         "utfgrid_tiles": utfgrid_tiles,
         "asof_join": asof_join,
+        "quantize_embeddings": quantize_embeddings,
         "embedding_near_dups": embedding_near_dups,
         "daily_event_windows": daily_event_windows,
         "pricing_summary": pricing_summary,

