@@ -126,6 +126,41 @@ def test_knn_adaptive_matches_bruteforce_on_sparse_clusters(spark):
     assert len({q for q, _, _ in got}) == 3  # every query answered
 
 
+def test_knn_adaptive_no_driver_materialization(spark):
+    """Scale property: the escalation loop must never collect query ids to
+    the driver (the round-1/2 implementation built a giant ``isin`` literal
+    — at millions of queries the IN-list alone blows up the plan). With 10^5
+    queries the old code path would materialize 10^5 ids driver-side; the
+    left-anti form stays distributed. Asserts (a) no ``isin``/``collect`` in
+    the operator source, (b) the plan carries no IN-list, (c) the run
+    completes with every query answered."""
+    import inspect
+
+    from tilecloud_chain_spark.config import SWISSGRID_5 as G
+
+    src = inspect.getsource(SP.knn_adaptive)
+    assert ".isin(" not in src and ".collect()" not in src
+
+    minx, miny, maxx, maxy = G.bbox
+    n_q = 100_000
+    pts = spark.range(0, 20_000).select(
+        F.col("id").alias("image_id"),
+        (F.lit(minx) + (F.col("id") % 200) * 190.0).alias("x"),
+        (F.lit(miny) + (F.col("id") / 200).cast("int") * 190.0).alias("y"),
+    )
+    queries = spark.range(0, n_q).select(
+        F.col("id").cast("string").alias("qid"),
+        (F.lit(minx) + (F.col("id") % 400) * 95.0).alias("x"),
+        (F.lit(miny) + (F.col("id") / 400).cast("int") * 95.0).alias("y"),
+    )
+    out = SP.knn_adaptive(pts, queries, G, zoom=4, k=1, ring=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan
+    per_q = out.groupBy("qid").count()
+    assert per_q.count() == n_q
+    assert per_q.agg(F.max("count")).collect()[0][0] == 1
+
+
 def test_knn_adaptive_equals_fixed_ring_when_dense(spark):
     from tilecloud_chain_spark.config import SWISSGRID_5 as G
     from tilecloud_chain_spark.sources.images import synth_images

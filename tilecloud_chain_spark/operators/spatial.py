@@ -190,10 +190,15 @@ def knn_adaptive(
     ring covers the whole matrix. Fixes the fixed-ring failure mode where a
     sparse region silently returns < k rows.
 
-    The loop is driver-side over the (small, broadcastable) query set; each
-    round touches only the unresolved queries, so dense regions pay one
-    cheap round and only genuinely sparse queries escalate. Property-tested
-    equal to :func:`knn_bruteforce` on adversarially clustered data.
+    The escalation loop is driver-side CONTROL FLOW only — no query data is
+    ever collected to the driver. Each round's result is
+    ``localCheckpoint``-ed once (it is referenced by both the done-filter
+    and the final union; an uncheckpointed plan would re-run the cell join
+    per reference and grow the ``remaining`` lineage round over round), and
+    the resolved queries are removed with a broadcast **left-anti join**
+    (never ``collect()`` + ``isin`` — at millions of queries the IN-list
+    literal alone blows up the plan). Property-tested equal to
+    :func:`knn_bruteforce` on adversarially clustered data.
     """
     w, h = grid.matrix_size(zoom)
     span = grid.span(zoom)
@@ -203,7 +208,7 @@ def knn_adaptive(
     r = max(1, int(ring))
     while True:
         out = knn_cells(points, remaining, grid, zoom, k, ring=r,
-                        id_col=id_col, qid_col=qid_col)
+                        id_col=id_col, qid_col=qid_col).localCheckpoint(eager=True)
         if r >= max_ring:
             pieces.append(out)
             break
@@ -212,11 +217,11 @@ def knn_adaptive(
         )
         done = stats.filter(
             (F.col("n") >= k) & (F.col("kth") < F.lit(float(r) * span))
-        ).select(qid_col)
-        done_set = {row[0] for row in done.collect()}
+        ).select(qid_col).localCheckpoint(eager=True)
         pieces.append(out.join(broadcast(done), qid_col, "left_semi"))
-        remaining = remaining.filter(~F.col(qid_col).isin(done_set)
-                                     if done_set else F.lit(True))
+        remaining = remaining.join(
+            broadcast(done), qid_col, "left_anti"
+        ).localCheckpoint(eager=True)
         if remaining.limit(1).count() == 0:
             break
         r *= 2
