@@ -1451,7 +1451,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(round(scale, 6) AS DOUBLE) AS scale,
                array_to_string(
-                 list_transform(vec, x -> CAST(CAST(round(x / scale) AS INTEGER) AS VARCHAR)),
+                 list_transform(vec, x -> CAST(CAST(round(
+                   x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                 ) AS INTEGER) AS VARCHAR)),
                  ',') AS q_csv
         FROM s
     """

@@ -188,3 +188,41 @@ def test_merge_table_iceberg_semantics(tmp_path):
     assert log[-1]["sql"] == "DELETE FROM status WHERE status == 'error'"
     assert t.expire_snapshots(keep_last=2) == 2
     assert list(t.read().k) == [1]  # current snapshot untouched
+
+
+def test_merge_table_concurrent_writers_no_lost_update(tmp_path):
+    """Two writers racing on different keys must both land (the unlocked
+    read-modify-write dropped the slower writer's rows); a held lock makes
+    a second writer wait, and a stale lock (dead writer) is broken."""
+    import os
+    import threading
+
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    root = str(tmp_path / "status")
+    t = MergeTable(root, ["k", "status"])
+    errs = []
+
+    def writer(lo: int):
+        try:
+            w = MergeTable(root, ["k", "status"])
+            for i in range(lo, lo + 20):
+                w.merge([{"k": i, "status": f"w{lo}"}], on=["k"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(lo,)) for lo in (0, 100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert len(t.read()) == 60  # no writer's rows were dropped
+
+    # stale lock from a dead writer is broken after lock_timeout
+    fast = MergeTable(root, ["k", "status"], lock_timeout=0.2)
+    with open(os.path.join(root, ".lock"), "w") as f:
+        f.write("99999")
+    os.utime(os.path.join(root, ".lock"), (0, 0))  # ancient mtime -> stale
+    fast.merge([{"k": 999, "status": "recovered"}], on=["k"])
+    assert 999 in set(fast.read().k)

@@ -122,3 +122,28 @@ def test_mixed_zoom_dyadic_union(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "z int, x long, y long")
     assert EX.expire_tiles_wkt(df) == ""
+
+
+def test_scattered_list_raises_boundary_cap(spark):
+    """The degenerate case: a fully scattered tile list yields one 4-edge
+    rectangle per tile — O(n) boundary edges, not O(perimeter). The cap must
+    fail loudly instead of collecting it all to the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    # 500 isolated tiles (stride 3 so nothing touches) = 2000 boundary edges
+    scattered = spark.range(500).select(
+        F.lit(14).alias("z"),
+        (F.col("id") % 50 * 3).alias("x"),
+        ((F.col("id") / 50).cast("long") * 3).alias("y"),
+    )
+    with pytest.raises(ValueError, match="too scattered"):
+        EX.expire_polygons(scattered, max_boundary_edges=1000)
+    # a contiguous blob of the same tile count stays under the cap
+    blob = spark.range(500).select(
+        F.lit(14).alias("z"),
+        (F.col("id") % 25).alias("x"),
+        (F.col("id") / 25).cast("long").alias("y"),
+    )
+    polys = EX.expire_polygons(blob, max_boundary_edges=1000)
+    assert len(polys) == 1

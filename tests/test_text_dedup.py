@@ -234,3 +234,22 @@ def test_quantized_topk_recall(spark, embs):
         qu.setdefault(r.qid, set()).add(r.vec_id)
     recalls = [len(ex[k2] & qu.get(k2, set())) / 10 for k2 in ex]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_quantize_zero_vector_survives_ansi(spark):
+    """An all-zero embedding has scale 0 — unguarded, x/0.0 is NaN and
+    round(NaN).cast(int) THROWS under Spark 4 ANSI mode, killing the whole
+    job for one degenerate row. Guarded: q = zeros, scale = 0, and
+    dequantize round-trips to the zero vector."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    qt = SIM.quantize_embeddings(df)
+    rows = {r.vec_id: r for r in qt.collect()}
+    assert rows[1].scale == 0.0 and list(rows[1].q) == [0, 0, 0]
+    assert rows[2].scale > 0
+    back = qt.select(
+        "vec_id", SIM.dequantize(F.col("q"), F.col("scale")).alias("v")
+    )
+    assert list(back.filter(F.col("vec_id") == 1).first().v) == [0.0, 0.0, 0.0]

@@ -24,6 +24,7 @@ Snapshot model (Iceberg analog):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -33,10 +34,50 @@ import pandas as pd
 
 
 class MergeTable:
-    def __init__(self, root: str, columns: list[str]) -> None:
+    """Concurrency: every row-level mutation (``merge``/``delete_where``) is
+    a read-modify-write over the single ``current.json`` pointer, so two
+    concurrent writers (a resumed run plus a maintenance requeue) would each
+    rewrite the full snapshot and the last writer silently drop the other's
+    transition. Mutations therefore take an ``O_EXCL`` lock file around the
+    read->commit critical section (Iceberg's optimistic-commit analog for a
+    filesystem pointer); a writer that dies mid-commit leaves a lock that is
+    broken after ``lock_timeout`` seconds."""
+
+    def __init__(self, root: str, columns: list[str], lock_timeout: float = 30.0) -> None:
         self.root = root
         self.columns = list(columns)
+        self.lock_timeout = float(lock_timeout)
         os.makedirs(root, exist_ok=True)
+
+    @contextlib.contextmanager
+    def _locked(self):
+        lock = os.path.join(self.root, ".lock")
+        deadline = time.time() + self.lock_timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    stale = time.time() - os.path.getmtime(lock) > self.lock_timeout
+                except FileNotFoundError:
+                    continue  # raced the holder's release; retry immediately
+                if stale:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(lock)
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"MergeTable commit lock busy for >{self.lock_timeout}s: {lock}"
+                    )
+                time.sleep(0.02)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
 
     # -- snapshot plumbing --------------------------------------------------
 
@@ -82,6 +123,10 @@ class MergeTable:
 
         ``matched_condition`` is a pandas ``query`` expression over the
         TARGET row (Iceberg's ``WHEN MATCHED AND t.<cond>``)."""
+        with self._locked():
+            return self._merge_locked(source, on, update, insert, matched_condition)
+
+    def _merge_locked(self, source, on, update, insert, matched_condition) -> dict:
         src = pd.DataFrame(source)
         tgt = self.read()
         key = lambda df: list(zip(*(df[c] for c in on)))  # noqa: E731
@@ -115,6 +160,10 @@ class MergeTable:
 
     def delete_where(self, condition: str) -> list[dict]:
         """``DELETE FROM target WHERE <condition>`` — returns deleted rows."""
+        with self._locked():
+            return self._delete_locked(condition)
+
+    def _delete_locked(self, condition: str) -> list[dict]:
         tgt = self.read()
         if not len(tgt):
             return []

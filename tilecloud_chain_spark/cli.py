@@ -216,8 +216,11 @@ def cmd_copy(args) -> int:
     cfg = load_config(args.config)
     layer = cfg.layers[args.layer]
     grid = cfg.grids[layer.grid]
+    # filter on matrixset too: a cache can hold several grids (multi-grid
+    # layers), and another grid's matrix identifiers would map to a NULL or
+    # WRONG zoom through this grid's identifier table
     tiles = list_cache(spark, args.source, grid=grid).filter(
-        F.col("layer") == layer.name
+        (F.col("layer") == layer.name) & (F.col("matrixset") == grid.name)
     )
     tiles = tiles.filter(F.length("data") > 0)  # DropEmpty
     if layer.empty_tile_hash:

@@ -12,7 +12,7 @@ single shuffle on the key + one sort — linear in rows, the plan you want at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 
@@ -26,18 +26,27 @@ def as_of_join(
     """Left as-of join: left columns + the latest ``value_cols`` from the
     right row with the greatest ``ts`` <= left's ``ts`` (NULLs when none).
     Rows of ``right`` sharing (key, ts) must be pre-deduplicated by the
-    caller (as with any as-of semantics, ties are ambiguous)."""
+    caller (as with any as-of semantics, ties are ambiguous).
+
+    The right row is carried as ONE struct column with a single
+    ``last(ignorenulls)`` pass — carrying each value column independently
+    would stitch fields from DIFFERENT right rows whenever a right row
+    legitimately holds NULL in one value column (a torn row; true ASOF
+    semantics, like DuckDB's, return the matched row's NULL)."""
     lcols = [c for c in left.columns]
+    r_struct_type = T.StructType([
+        T.StructField(c, right.schema[c].dataType) for c in value_cols
+    ])
     l_tagged = left.select(
         F.col(key), F.col(ts), F.lit(1).alias("_side"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (key, ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key), F.col(ts), F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols if c not in (key, ts)],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     # right rows sort BEFORE left rows at equal ts (side 0 < 1), so a right
     # row at exactly left.ts matches (<= semantics, like DuckDB ASOF)
@@ -47,14 +56,11 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionAll(r_tagged).select(
-        "*", *[
-            F.last(f"_r_{c}", ignorenulls=True).over(win).alias(f"_v_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(win).alias("_v")
     )
     out = carried.filter(F.col("_side") == 1).select(
         F.col(key), F.col(ts),
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (key, ts)],
-        *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col("_v").getField(c).alias(f"asof_{c}") for c in value_cols],
     )
     return out

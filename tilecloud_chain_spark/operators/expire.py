@@ -153,12 +153,31 @@ def _point_in_ring(pt, ring) -> bool:
     return inside
 
 
-def expire_polygons(tiles: DataFrame) -> list[dict]:
+def expire_polygons(tiles: DataFrame, max_boundary_edges: int = 2_000_000) -> list[dict]:
     """Merged polygons of the tile union, in lattice corner indices:
     [{"exterior": ring, "holes": [rings], "zmax": int}]. Exterior rings are
     clockwise in geographic coordinates; holes counter-clockwise (the
-    complement orientation falls out of the edge direction convention)."""
-    rows = boundary_edges(tiles).collect()
+    complement orientation falls out of the edge direction convention).
+
+    Ring stitching collects the boundary edges to the driver — O(perimeter)
+    for the contiguous expire regions this operator exists for, but a fully
+    SCATTERED tile list degenerates to one 4-edge rectangle per tile =
+    O(n) driver memory. ``max_boundary_edges`` makes that degenerate case
+    fail loudly (like the zoom-spread guard in :func:`boundary_edges`)
+    instead of OOMing the driver; raise it deliberately if a huge perimeter
+    is genuinely expected."""
+    boundary = boundary_edges(tiles)
+    # limit(cap+1) bounds what ever reaches the driver — detection costs no
+    # separate count() action and cannot itself OOM
+    rows = boundary.limit(max_boundary_edges + 1).collect()
+    if len(rows) > max_boundary_edges:
+        raise ValueError(
+            f"expire boundary exceeds {max_boundary_edges} edges: the tile "
+            "list is too scattered to merge into polygons driver-side (a "
+            "fully scattered list yields one rectangle ring per tile — "
+            "O(n) edges, not O(perimeter)); pre-cluster the input or raise "
+            "max_boundary_edges if the perimeter is genuinely this large"
+        )
     if not rows:
         return []
     zmax = rows[0]["zmax"]
@@ -181,14 +200,16 @@ def lattice_to_mercator(i, j, zmax: int) -> tuple[float, float]:
     return (-WORLD + i * s, WORLD - j * s)
 
 
-def expire_tiles_wkt(tiles: DataFrame, srid: int = 3857) -> str:
+def expire_tiles_wkt(
+    tiles: DataFrame, srid: int = 3857, max_boundary_edges: int = 2_000_000
+) -> str:
     """The reference CLI's output geometry: MULTIPOLYGON WKT in web-mercator
     (or reprojected to ``srid`` like its ST_Transform insert path — here via
     the numpy CRS kernels). Empty input -> '' (reference prints 'No coords
     found' and inserts nothing)."""
     from tilecloud_chain_spark import crs
 
-    polys = expire_polygons(tiles)
+    polys = expire_polygons(tiles, max_boundary_edges=max_boundary_edges)
     if not polys:
         return ""
     zmax = polys[0]["zmax"]

@@ -237,7 +237,12 @@ def quantize_embeddings(
     """Symmetric per-vector int8 quantization: scale = max|v| / 127,
     q_i = round(v_i / scale). Cuts the dominant storage column 4x at the
     10^12-row design point; pure Column expressions (no Python), and the
-    arithmetic is reproducible in ANSI SQL for the oracle."""
+    arithmetic is reproducible in ANSI SQL for the oracle.
+
+    An all-zero embedding has scale 0; dividing by it yields NaN and
+    ``round(NaN).cast("int")`` throws under ANSI mode — the divisor is
+    guarded to 1.0 so zero vectors quantize to zeros with scale 0
+    (``dequantize`` then reproduces the zero vector exactly)."""
     v = F.col(vec_col).cast("array<double>")
     scale = (
         F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0)
@@ -246,9 +251,10 @@ def quantize_embeddings(
     # aggregate inside the transform lambda would re-run it per element
     # (no CSE inside higher-order functions)
     base = df.select(F.col(id_col), v.alias("_v"), scale.alias("scale"))
+    safe = F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(F.col("scale"))
     return base.select(
         id_col, "scale",
-        F.transform(F.col("_v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+        F.transform(F.col("_v"), lambda x: F.round(x / safe).cast("int"))
         .alias("q"),
     )
 

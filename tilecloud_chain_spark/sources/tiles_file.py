@@ -117,7 +117,18 @@ def write_cache(df: DataFrame, root: str, grid) -> int:
         grid_name, idents = grid.name, grid.matrix_identifiers()
 
     def write_part(rows):
+        import sys
+
         for r in rows:
+            if r.z is None:
+                # a row whose matrix identifier did not resolve through this
+                # grid (e.g. a foreign matrixset in the same cache) — skip
+                # loudly instead of crashing the task on idents[None]
+                print(
+                    f"write_cache: skipping tile with unresolved zoom "
+                    f"(layer={r.layer}, matrixset mismatch?)", file=sys.stderr,
+                )
+                continue
             ident = str(r.z) if idents is None else idents[r.z]
             path = os.path.join(
                 root, "1.0.0", r.layer, r.style,
