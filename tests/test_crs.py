@@ -92,8 +92,67 @@ def test_transform_bbox_same_srs_is_normalize_only():
 
 
 def test_unsupported_crs_raises():
+    # Lambert-93 is not implemented; UTM band codes outside zones 1-60 are
+    # not valid UTM either
     with pytest.raises(NotImplementedError):
-        crs.transform_coords("EPSG:32632", "EPSG:4326", 1.0, 2.0)
+        crs.transform_coords("EPSG:2154", "EPSG:4326", 1.0, 2.0)
+    with pytest.raises(NotImplementedError):
+        crs.transform_coords("EPSG:32699", "EPSG:4326", 1.0, 2.0)
+
+
+def test_tm_epsg_guidance_note_worked_example():
+    """EPSG Guidance Note 7-2's published Transverse Mercator worked example
+    (OSGB36 / British National Grid, Airy 1830): lat 50°30'N lon 0°30'E ->
+    E 577274.99, N 69740.50 — an independent published pin of the TM kernel
+    (Snyder PP 1395 eq. 8-9..8-13)."""
+    bng = crs._TransverseMercator(
+        lon0_deg=-2.0, k0=0.9996012717, fe=400000.0, fn=-100000.0,
+        lat0_deg=49.0, a=6377563.396, f=1 / 299.3249646,
+    )
+    e, n = bng.fwd(0.5, 50.5)
+    assert float(e) == pytest.approx(577274.99, abs=0.02)
+    assert float(n) == pytest.approx(69740.50, abs=0.02)
+    lon, lat = bng.inv(577274.99, 69740.50)
+    assert float(lon) == pytest.approx(0.5, abs=1e-7)
+    assert float(lat) == pytest.approx(50.5, abs=1e-7)
+
+
+def test_utm_proj_quickstart_golden():
+    """PROJ documentation quickstart pair: `proj +proj=utm +zone=32` on
+    (12E, 55N) prints 691875.63 6098907.83 — pins the UTM parameterization
+    (k0 0.9996, central meridian zone*6-183, FE 500 km)."""
+    x, y = crs.transform_coords("EPSG:4326", "EPSG:32632", 12.0, 55.0)
+    assert float(x) == pytest.approx(691875.63, abs=0.02)
+    assert float(y) == pytest.approx(6098907.83, abs=0.02)
+    # southern-hemisphere false northing: same point mirrored about the
+    # equator differs from FN by the symmetric northing
+    xn, yn = crs.transform_coords("EPSG:4326", "EPSG:32632", 12.0, 1.0)
+    xs, ys = crs.transform_coords("EPSG:4326", "EPSG:32732", 12.0, -1.0)
+    assert float(xs) == pytest.approx(float(xn), abs=1e-6)
+    assert float(ys) == pytest.approx(10_000_000.0 - float(yn), abs=1e-6)
+
+
+def test_utm_roundtrip_within_zone():
+    """fwd∘inv < 1e-9 deg everywhere inside the zone's 3° half-width and
+    the UTM latitude band (84N..80S)."""
+    lons = np.linspace(6.0, 12.0, 25)
+    lats = np.linspace(-80.0, 84.0, 41)
+    lo, la = (a.ravel() for a in np.meshgrid(lons, lats))
+    for srs in ("EPSG:32632", "EPSG:32732"):
+        px, py = crs.transform_coords("EPSG:4326", srs, lo, la)
+        lo2, la2 = crs.transform_coords(srs, "EPSG:4326", px, py)
+        assert np.abs(lo2 - lo).max() < 1e-9
+        assert np.abs(la2 - la).max() < 1e-9
+
+
+def test_utm_proj4_literals():
+    assert crs.supported("+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs")
+    assert crs.supported("+proj=utm +zone=33 +south +datum=WGS84")
+    assert crs._resolve("+proj=utm +zone=7") == "EPSG:32607"
+    assert crs._resolve("+proj=utm +zone=7 +south") == "EPSG:32707"
+    x1, y1 = crs.transform_coords("+proj=utm +zone=32", "EPSG:4326", 691875.63, 6098907.83)
+    x2, y2 = crs.transform_coords("EPSG:32632", "EPSG:4326", 691875.63, 6098907.83)
+    assert (float(x1), float(y1)) == (float(x2), float(y2))
 
 
 def test_reprojected_geometry_filter_golden(spark):
@@ -112,6 +171,29 @@ def test_reprojected_geometry_filter_golden(spark):
         grid, layer,
         geom_rows=[{"wkt": _to_wkt(g4326)}],
         zooms=range(3), layer_srs="EPSG:4326",
+    )
+    tiles = EN.dense_tiles(spark, grid, range(3))
+    a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_native).collect()}
+    b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_reproj).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_reprojected_geometry_filter_utm(spark):
+    """The first wall a real user used to hit: a layer geometry delivered in
+    UTM (EPSG:32632 — Switzerland's zone) against the EPSG:21781 grid. Must
+    produce the identical filtered tile set as the native-SRS geometry."""
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.sources import enumerate as EN
+
+    grid = SWISSGRID_5
+    layer = LAYERS["polygon"]
+    native = parse_wkt(layer.geom_wkt)
+    g_utm = GE.transform_geom("EPSG:21781", "EPSG:32632", native)
+    geoms_native = GE.resolve_geoms(grid, layer, zooms=range(3))
+    geoms_reproj = GE.resolve_geoms(
+        grid, layer,
+        geom_rows=[{"wkt": _to_wkt(g_utm)}],
+        zooms=range(3), layer_srs="EPSG:32632",
     )
     tiles = EN.dense_tiles(spark, grid, range(3))
     a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_native).collect()}

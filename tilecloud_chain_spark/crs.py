@@ -17,6 +17,14 @@ are implemented from their published definitions:
   projection and for the transformation between coordinate systems"*
   (public), plus the EPSG-registered 3-parameter geocentric translation
   CH1903 -> WGS84 (674.374, 15.056, 405.346 m).
+- **UTM, EPSG:32601-32660 / 32701-32760 (and ``+proj=utm +zone=N
+  [+south]``)**: ellipsoidal Transverse Mercator on WGS84 — Snyder PP 1395
+  eq. 8-9..8-13 (forward) and 8-16..8-25 (inverse, Newton-refined against
+  the forward so fwd∘inv round-trips to <1e-9 deg inside the zone). The TM
+  kernel is pinned against EPSG Guidance Note 7-2's published worked
+  example (OSGB36/BNG: 50°30'N 0°30'E -> 577274.99, 69740.50) and the PROJ
+  quickstart UTM pair (12E 55N, zone 32 -> 691875.63, 6098907.83). Zones
+  build lazily and memoize.
 
 Accuracy evidence (no pyproj in this environment): (a) the reference's OWN
 pinned PostGIS ``ST_Transform(…, 21781)`` coordinates (proj-computed,
@@ -203,6 +211,110 @@ def _swiss_inv(proj: _Somerc):
 
 
 # --------------------------------------------------------------------------
+# Transverse Mercator (Snyder, USGS PP 1395, eq. 8-9..8-13 fwd / 8-16..8-25
+# inv) — the projection behind UTM (EPSG:326xx/327xx), the most common
+# projected CRS a reference user brings (arbitrary-SRS reprojection in the
+# reference: /root/reference/tilecloud_chain/__init__.py:874-904)
+# --------------------------------------------------------------------------
+
+
+class _TransverseMercator:
+    """Ellipsoidal Transverse Mercator, series form (Snyder PP 1395 ch. 8).
+    Accurate to <1 mm within a UTM zone's 3° half-width (the series degrades
+    far from the central meridian — UTM's whole point is to stay near it)."""
+
+    def __init__(self, lon0_deg: float, k0: float, fe: float, fn: float,
+                 lat0_deg: float = 0.0, a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.k0, self.fe, self.fn = a, k0, fe, fn
+        self.lon0 = lon0_deg * _D2R
+        self.e2 = _e2(f)
+        self.ep2 = self.e2 / (1.0 - self.e2)
+        e2, e4, e6 = self.e2, self.e2 ** 2, self.e2 ** 3
+        # meridional-arc coefficients (Snyder eq. 3-21)
+        self._m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+        self._m2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+        self._m4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+        self._m6 = 35.0 * e6 / 3072.0
+        self.M0 = self._marc(lat0_deg * _D2R)
+        sq = np.sqrt(1.0 - self.e2)
+        self.e1 = (1.0 - sq) / (1.0 + sq)
+
+    def _marc(self, phi):
+        return self.a * (self._m0 * phi - self._m2 * np.sin(2 * phi)
+                         + self._m4 * np.sin(4 * phi) - self._m6 * np.sin(6 * phi))
+
+    def fwd(self, lon_deg, lat_deg):
+        phi = np.asarray(lat_deg, dtype=np.float64) * _D2R
+        lam = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        e2, ep2, k0 = self.e2, self.ep2, self.k0
+        sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
+        n = self.a / np.sqrt(1.0 - e2 * sin_p ** 2)
+        t = tan_p ** 2
+        c = ep2 * cos_p ** 2
+        aa = (lam - self.lon0) * cos_p
+        m = self._marc(phi)
+        x = k0 * n * (aa + (1 - t + c) * aa ** 3 / 6.0
+                      + (5 - 18 * t + t ** 2 + 72 * c - 58 * ep2) * aa ** 5 / 120.0)
+        y = k0 * (m - self.M0 + n * tan_p * (
+            aa ** 2 / 2.0 + (5 - t + 9 * c + 4 * c ** 2) * aa ** 4 / 24.0
+            + (61 - 58 * t + t ** 2 + 600 * c - 330 * ep2) * aa ** 6 / 720.0))
+        return self.fe + x, self.fn + y
+
+    def inv(self, e_, n_):
+        x = np.asarray(e_, dtype=np.float64) - self.fe
+        y = np.asarray(n_, dtype=np.float64) - self.fn
+        e2, ep2, k0, e1 = self.e2, self.ep2, self.k0, self.e1
+        m = self.M0 + y / k0
+        mu = m / (self.a * self._m0)
+        phi1 = (mu
+                + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+                + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+                + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+                + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+        sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+        c1 = ep2 * cos1 ** 2
+        t1 = tan1 ** 2
+        n1 = self.a / np.sqrt(1.0 - e2 * sin1 ** 2)
+        r1 = self.a * (1.0 - e2) / (1.0 - e2 * sin1 ** 2) ** 1.5
+        d = x / (n1 * k0)
+        phi = phi1 - (n1 * tan1 / r1) * (
+            d ** 2 / 2.0
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1 ** 2 - 9 * ep2) * d ** 4 / 24.0
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1 ** 2 - 252 * ep2 - 3 * c1 ** 2)
+            * d ** 6 / 720.0)
+        lam = self.lon0 + (
+            d - (1 + 2 * t1 + c1) * d ** 3 / 6.0
+            + (5 - 2 * c1 + 28 * t1 - 3 * c1 ** 2 + 8 * ep2 + 24 * t1 ** 2)
+            * d ** 5 / 120.0) / cos1
+        lon_deg, lat_deg = lam * _R2D, phi * _R2D
+        # Newton refinement against the forward series (2 rounds): the
+        # truncated inverse series alone leaves ~1e-8 deg at the zone edge;
+        # treating the forward as truth makes fwd∘inv round-trip to machine
+        # precision. Residuals convert meters -> degrees through the local
+        # metric (dx/dlon ≈ k0·N·cosφ, dy/dlat ≈ k0·M_radius).
+        for _ in range(2):
+            gx, gy = self.fwd(lon_deg, lat_deg)
+            p = np.asarray(lat_deg, dtype=np.float64) * _D2R
+            sp2 = np.sin(p) ** 2
+            nrad = self.a / np.sqrt(1.0 - e2 * sp2)
+            mrad = self.a * (1.0 - e2) / (1.0 - e2 * sp2) ** 1.5
+            lon_deg = lon_deg - (gx - np.asarray(e_, dtype=np.float64)) \
+                / (k0 * nrad * np.cos(p)) * _R2D
+            lat_deg = lat_deg - (gy - np.asarray(n_, dtype=np.float64)) \
+                / (k0 * mrad) * _R2D
+        return lon_deg, lat_deg
+
+
+def _utm(zone: int, south: bool) -> _TransverseMercator:
+    """UTM zone on WGS84: k0=0.9996, central meridian zone*6-183, FE 500 km,
+    FN 10 000 km in the southern hemisphere."""
+    return _TransverseMercator(
+        lon0_deg=zone * 6 - 183, k0=0.9996, fe=500_000.0,
+        fn=10_000_000.0 if south else 0.0,
+    )
+
+
+# --------------------------------------------------------------------------
 # swisstopo approximate polynomial formulas — INDEPENDENT cross-check only
 # --------------------------------------------------------------------------
 
@@ -261,6 +373,10 @@ def _parse_proj4(literal: str) -> str | None:
         return "EPSG:3857"
     if proj == "somerc":
         return "EPSG:2056" if toks.get("x_0", "600000").startswith("26") else "EPSG:21781"
+    if proj == "utm" and toks.get("zone", "").isdigit():
+        zone = int(toks["zone"])
+        if 1 <= zone <= 60:
+            return f"EPSG:{32700 + zone if 'south' in toks else 32600 + zone}"
     return None
 
 
@@ -274,9 +390,26 @@ def _resolve(srs: str) -> str:
     return key.upper().replace("EPSG: ", "EPSG:")
 
 
+def _lookup(key: str):
+    """Registry lookup with lazy UTM construction: EPSG:32601-32660 (north)
+    and EPSG:32701-32760 (south) build their TransverseMercator on first use
+    and memoize it. Returns (fwd, inv) or None."""
+    hit = _REGISTRY.get(key)
+    if hit is not None:
+        return hit
+    if key.startswith("EPSG:") and len(key) == 10 and key[5:].isdigit():
+        code = int(key[5:])
+        band, zone = code // 100, code % 100
+        if band in (326, 327) and 1 <= zone <= 60:
+            tm = _utm(zone, south=(band == 327))
+            _REGISTRY[key] = (tm.fwd, tm.inv)
+            return _REGISTRY[key]
+    return None
+
+
 def supported(srs: str) -> bool:
     try:
-        return _resolve(srs) in _REGISTRY
+        return _lookup(_resolve(srs)) is not None
     except NotImplementedError:
         return False
 
@@ -294,14 +427,16 @@ def transform_coords(src_srs: str, dst_srs: str, xs, ys):
         return xs + 2_000_000.0, ys + 1_000_000.0
     if (src, dst) == ("EPSG:2056", "EPSG:21781"):
         return xs - 2_000_000.0, ys - 1_000_000.0
-    if src not in _REGISTRY or dst not in _REGISTRY:
-        missing = src if src not in _REGISTRY else dst
+    s_pair, d_pair = _lookup(src), _lookup(dst)
+    if s_pair is None or d_pair is None:
+        missing = src if s_pair is None else dst
         raise NotImplementedError(
-            f"CRS {missing} not implemented (supported: {sorted(_REGISTRY)}; "
-            "arbitrary CRS would need pyproj, unavailable in this environment)"
+            f"CRS {missing} not implemented (supported: {sorted(_REGISTRY)} "
+            "+ UTM EPSG:326xx/327xx; arbitrary CRS would need pyproj, "
+            "unavailable in this environment)"
         )
-    lon, lat = _REGISTRY[src][1](xs, ys)
-    return _REGISTRY[dst][0](lon, lat)
+    lon, lat = s_pair[1](xs, ys)
+    return d_pair[0](lon, lat)
 
 
 def transform_bbox(
