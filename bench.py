@@ -60,6 +60,30 @@ from tilecloud_chain_spark.sources.images import position_exprs  # noqa: E402
 GRID = SWISSGRID_5
 N_POINTS = int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "4000000"))
 
+# --------------------------------------------------------------------------
+# host-phase indicator: this shared VM drifts through multi-minute speed
+# phases (observed ±2x), which made round-over-round per-query comparisons
+# ambiguous (r1->r2 "regressions" were phase, not code). A fixed
+# single-thread CPU kernel (zlib level-1 over 24 MB + md5, x4) is timed
+# before and after the per-query block; times are published raw AND
+# normalized by calib/nominal so a reader can separate code changes from
+# host phase without re-running.
+# --------------------------------------------------------------------------
+
+CALIB_NOMINAL = 0.33  # seconds, quiet-host reference (recorded 2026-08-16)
+
+
+def _host_phase_calib() -> float:
+    import hashlib
+    import zlib
+
+    data = bytes(range(256)) * (24 * 1024 * 4)  # 24 MB
+    t0 = time.perf_counter()
+    for _ in range(4):
+        zlib.compress(data, 1)
+        hashlib.md5(data).digest()
+    return time.perf_counter() - t0
+
 
 def _session(cores: int, shuffle_parts: int | None = None) -> SparkSession:
     active = SparkSession.getActiveSession()
@@ -302,6 +326,16 @@ def _scaling_stages(fns, warmup: bool) -> dict:
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 _STAGES = ("ingest_phash", "assign_join", "minhash")
 
+# the driver's own BENCH_r02.json per-query measurements — the like-for-like
+# anchor for the round-over-round table in BENCH.md ("vs r2" divides the
+# NORMALIZED r3 time by this raw r2 figure; r2 had no phase indicator)
+_R2_DRIVER_QUERIES = {
+    "assign": 3.237, "cell_join": 1.171, "geom_filter": 1.009, "knn": 1.988,
+    "lineitem_agg": 0.436, "minhash": 1.784, "minhash_sql_twin": 1.008,
+    "image_split": 8.568, "dedup_clusters": 14.934, "frame_dedup": 5.425,
+    "expire": 1.842,
+}
+
 
 def _measure_pair(lo: int, hi: int, sf_dir: str, reps: int) -> dict:
     """Run the staged pipeline at two parallelism levels on identical input;
@@ -380,10 +414,13 @@ def main() -> None:
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     _run_all(spark, sf_dir)  # warm-up pass (JIT, codegen, file listing)
+    calib_before = round(_host_phase_calib(), 3)
     times = _run_all(spark, sf_dir)
+    calib_after = round(_host_phase_calib(), 3)
     total = round(sum(times.values()), 3)
     spark.stop()
 
+    phase_factor = round((calib_before + calib_after) / 2.0 / CALIB_NOMINAL, 3)
     result = {
         "metric": "wall seconds for headline tile-assign/join/filter/knn/dedup/image workloads",
         "value": total,
@@ -391,6 +428,15 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "points": N_POINTS,
+        "host_phase": {
+            "calib_before_sec": calib_before,
+            "calib_after_sec": calib_after,
+            "nominal_sec": CALIB_NOMINAL,
+            "factor": phase_factor,
+        },
+        "queries_normalized": {
+            k: round(v / max(phase_factor, 1e-9), 3) for k, v in times.items()
+        },
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -475,21 +521,38 @@ def _write_bench_md(result: dict) -> None:
             "transparency.",
             "",
         ]
+    hp = result.get("host_phase", {})
     lines += [
         "Notes: the assign_join stage is sized at "
         f"{SCALE_PTS:,} points so measured work, not task-launch fixed cost,",
         "dominates at both levels; at the 100TB design point that stage is",
         "hours long and scales with partition count.",
         "",
+        "## Host-phase indicator",
+        "",
+        "This shared VM drifts through multi-minute speed phases (observed",
+        "±2x), which previously made round-over-round per-query comparison",
+        "ambiguous. A fixed single-thread CPU kernel (zlib-1 over 24 MB +",
+        f"md5, x4; nominal {CALIB_NOMINAL}s on a quiet host) is timed around",
+        "the per-query block:",
+        "",
+        f"calib before/after = {hp.get('calib_before_sec')}s / "
+        f"{hp.get('calib_after_sec')}s -> host-phase factor "
+        f"**{hp.get('factor')}** (1.0 = quiet). `normalized` = raw / factor.",
+        "",
         "Per-query wall seconds at sf="
         + str(result["sf"])
-        + f" on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]:",
+        + f" on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        + " (r2 = driver-measured BENCH_r02.json, no indicator existed then):",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "| query | r2 driver sec | sec | normalized | vs r2 |",
+        "|---|---|---|---|---|",
     ]
     for k, v in result["queries"].items():
-        lines.append(f"| {k} | {v} |")
+        r2 = _R2_DRIVER_QUERIES.get(k)
+        norm = result["queries_normalized"].get(k, v)
+        ratio = f"{norm / r2:.2f}x" if r2 else "new"
+        lines.append(f"| {k} | {r2 if r2 is not None else '—'} | {v} | {norm} | {ratio} |")
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
