@@ -617,6 +617,30 @@ def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving_columns(tiles, GRID, layer, geoms)
 
 
+def q_host_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant serving (reference host->config routing,
+    __init__.py:1078-1106): a hosts dimension table routes three hosts onto
+    two layer configs (point_hash: seeded to z3; point: all zooms seeded;
+    same MULTIPOINT geometry) plus one host with an unknown layer (dropped,
+    the reference's 400). Decisions computed once per distinct config,
+    hosts broadcast-joined back."""
+    from tilecloud_chain_spark.plans.serving import host_serving_decisions
+
+    hosts = spark.createDataFrame(
+        [("a.example.com", "point_hash"), ("b.example.com", "point_hash"),
+         ("c.example.com", "point"), ("bad.example.com", "no_such_layer")],
+        "host string, layer string",
+    )
+    geom_ph = G.parse_wkt(LAYERS["point_hash"].geom_wkt)
+    geom_pt = G.parse_wkt(LAYERS["point"].geom_wkt)
+    geoms_by_layer = {
+        "point_hash": {z: geom_ph for z in range(NZ)},
+        "point": {z: geom_pt for z in range(NZ)},
+    }
+    tiles = EN.dense_tiles(spark, GRID, range(NZ)).select("z", "x", "y")
+    return host_serving_decisions(tiles, hosts, GRID, LAYERS, geoms_by_layer)
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video path — typed-metadata fan-out + distributed frame
     decode/phash (sources/media.py): per-video sampled-frame count, distinct
@@ -806,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
         "serving_decisions": q_serving_decisions,
+        "host_serving_decisions": q_host_serving_decisions,
         "clean_corpus": q_clean_corpus,
         "utfgrid_tiles": q_utfgrid_tiles,
         "asof_join": q_asof_join,
@@ -1567,6 +1592,45 @@ def oracle_sql() -> dict[str, str]:
         FROM ext
     """
 
+    host_serving_decisions = f"""
+        WITH tiles AS ({_enum_sql(list(range(NZ)))}),
+        anchored AS (
+          SELECT z, x, y,
+                 CAST(floor(x / 8) * 8 AS INTEGER) AS meta_x,
+                 CAST(floor(y / 8) * 8 AS INTEGER) AS meta_y,
+                 {_res_sql()} AS res
+          FROM tiles
+        ), ext AS (
+          SELECT z, x, y, meta_x, meta_y,
+                 {MINX} + meta_x * res * 256 - 128 * res AS bminx,
+                 {MINX} + (meta_x + 8) * res * 256 + 128 * res AS bmaxx,
+                 {MAXY} - (meta_y + 8) * res * 256 - 128 * res AS bminy,
+                 {MAXY} - meta_y * res * 256 + 128 * res AS bmaxy
+          FROM anchored
+        ), dec AS (
+          SELECT z, x, y, meta_x, meta_y,
+                 ((bminx <= 600000 AND 600000 <= bmaxx AND bminy <= 200000 AND 200000 <= bmaxy)
+                  OR (bminx <= 530000 AND 530000 <= bmaxx AND bminy <= 150000 AND 150000 <= bmaxy))
+                   AS in_geom
+          FROM ext
+        ), hosts(host, layer) AS (
+          VALUES ('a.example.com', 'point_hash'), ('b.example.com', 'point_hash'),
+                 ('c.example.com', 'point')
+        ), layer_dec AS (
+          SELECT 'point_hash' AS layer, z, x, y, meta_x, meta_y,
+                 z <= 3 AS is_seeded, NOT in_geom AS geom_redirect,
+                 (z <= 3) AND in_geom AS static_cache_hit
+          FROM dec
+          UNION ALL
+          SELECT 'point', z, x, y, meta_x, meta_y,
+                 TRUE, NOT in_geom, in_geom
+          FROM dec
+        )
+        SELECT h.host, d.layer, d.z, d.x, d.y, d.meta_x, d.meta_y,
+               d.is_seeded, d.geom_redirect, d.static_cache_hit
+        FROM layer_dec d JOIN hosts h ON h.layer = d.layer
+    """
+
     # pinned: deterministic synth media + fake decode (DuckDB cannot phash)
     media_frames = """
         SELECT media_id, CAST(n_sampled AS BIGINT) AS n_sampled,
@@ -1617,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters,
         "media_frames": media_frames,
         "serving_decisions": serving_decisions,
+        "host_serving_decisions": host_serving_decisions,
         "clean_corpus": clean_corpus,
         "utfgrid_tiles": utfgrid_tiles,
         "asof_join": asof_join,

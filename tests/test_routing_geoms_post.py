@@ -55,8 +55,10 @@ def test_transform_bbox_lv03_lv95():
     # CRS still raise
     out = GEO.transform_bbox("EPSG:21781", "EPSG:3857", (600000, 200000, 601000, 201000))
     assert out[0] < out[2] and out[1] < out[3]
+    # UTM is implemented since round 3 (crs.py TM series); a genuinely
+    # unimplemented CRS still raises
     with pytest.raises(NotImplementedError):
-        GEO.transform_bbox("EPSG:21781", "EPSG:32632", (0, 0, 1, 1))
+        GEO.transform_bbox("EPSG:21781", "EPSG:2154", (0, 0, 1, 1))
 
 
 def test_route_broadcast_join(spark):
@@ -157,6 +159,45 @@ def test_serving_columns(spark):
     assert r.is_seeded and r.geom_redirect and not r.static_cache_hit
     r = out[(4, 100, 100)]  # deeper than max_zoom_seed -> dynamic path
     assert not r.is_seeded and not r.static_cache_hit
+
+
+def test_host_serving_decisions_multi_tenant(spark):
+    """Reference host->config routing (__init__.py:1078-1106): two hosts on
+    one config share the identical decision set (computed once), a third
+    host's config differs only in seed depth, an unknown-layer host is
+    dropped (the 400 analog), and the hosts dimension joins as a broadcast
+    (never a shuffle of the tile set)."""
+    from tilecloud_chain_spark.config import LAYERS
+
+    geom = G.parse_wkt(LAYERS["point_hash"].geom_wkt)
+    geoms = {z: geom for z in range(5)}
+    tiles = spark.createDataFrame(
+        [(0, 5, 6), (0, 0, 0), (4, 100, 100)], "z int, x int, y int"
+    )
+    hosts = spark.createDataFrame(
+        [("a.example.com", "point_hash"), ("b.example.com", "point_hash"),
+         ("c.example.com", "point"), ("bad.example.com", "nope")],
+        "host string, layer string",
+    )
+    out = SV.host_serving_decisions(
+        tiles, hosts, SWISSGRID_5, LAYERS,
+        {"point_hash": geoms, "point": geoms},
+    )
+    rows = out.collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, set()).add(
+            (r.z, r.x, r.y, r.is_seeded, r.geom_redirect, r.static_cache_hit)
+        )
+    assert "bad.example.com" not in by_host
+    assert by_host["a.example.com"] == by_host["b.example.com"]
+    # point has no min_resolution_seed -> z4 is seeded there but not on
+    # the point_hash config
+    a_z4 = {t for t in by_host["a.example.com"] if t[0] == 4}
+    c_z4 = {t for t in by_host["c.example.com"] if t[0] == 4}
+    assert all(not t[3] for t in a_z4) and all(t[3] for t in c_z4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
 def test_requeue_stale_pending(spark, tmp_path):

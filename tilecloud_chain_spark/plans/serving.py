@@ -66,3 +66,44 @@ def serving_columns(
         (~F.col("in_geom")).alias("geom_redirect"),
         (F.col("is_seeded") & F.col("in_geom")).alias("static_cache_hit"),
     )
+
+
+def host_serving_decisions(
+    df: DataFrame,
+    hosts: DataFrame,
+    grid: Grid,
+    layers: dict[str, Layer],
+    geoms_by_layer: dict[str, dict[int, Geom]],
+) -> DataFrame:
+    """Multi-tenant serving: the reference serves ONE config per HTTP host
+    (host->config routing /root/reference/tilecloud_chain/__init__.py:1078-1106,
+    hosts file :1165-1192). Batch analog: ``hosts`` is a tiny dimension
+    table [host, layer]; request tiles [z, x, y] get per-host serving
+    decisions.
+
+    Scale shape: decisions are computed ONCE per DISTINCT layer config —
+    many hosts sharing a config pay a single computation — then the hosts
+    dimension is broadcast-joined back (never a shuffle of the tile set).
+    Hosts routing to a layer the config does not define are dropped, the
+    batch analog of the reference's 400 for an unknown host."""
+    from pyspark.sql.functions import broadcast
+
+    routed = [r.layer for r in hosts.select("layer").distinct().collect()
+              if r.layer in layers]  # tiny dim table — driver-side by design
+    spark = df.sparkSession
+    if not routed:
+        schema = ("host string, layer string, z int, x int, y int, meta_x int, "
+                  "meta_y int, is_seeded boolean, geom_redirect boolean, "
+                  "static_cache_hit boolean")
+        return spark.createDataFrame([], schema)
+    parts = []
+    for lname in sorted(routed):
+        dec = serving_columns(df, grid, layers[lname], geoms_by_layer[lname])
+        parts.append(dec.select(F.lit(lname).alias("layer"), "*"))
+    all_dec = parts[0]
+    for p in parts[1:]:
+        all_dec = all_dec.unionAll(p)
+    return all_dec.join(broadcast(hosts.select("host", "layer")), "layer").select(
+        "host", "layer", "z", "x", "y", "meta_x", "meta_y",
+        "is_seeded", "geom_redirect", "static_cache_hit",
+    )
