@@ -33,6 +33,20 @@ import uuid
 import pandas as pd
 
 
+def iceberg_available(spark) -> bool:
+    """True when the Iceberg Spark runtime classes are on the session's
+    classpath (no jars ship in this sandbox, so this is False here; on a
+    cluster with ``--packages org.apache.iceberg:iceberg-spark-runtime...``
+    it flips True and MergeTable executes its logged SQL for real)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 class MergeTable:
     """Concurrency: every row-level mutation (``merge``/``delete_where``) is
     a read-modify-write over the single ``current.json`` pointer, so two
@@ -41,13 +55,72 @@ class MergeTable:
     transition. Mutations therefore take an ``O_EXCL`` lock file around the
     read->commit critical section (Iceberg's optimistic-commit analog for a
     filesystem pointer); a writer that dies mid-commit leaves a lock that is
-    broken after ``lock_timeout`` seconds."""
+    broken after ``lock_timeout`` seconds.
 
-    def __init__(self, root: str, columns: list[str], lock_timeout: float = 30.0) -> None:
+    Iceberg swap: pass ``spark`` + ``iceberg_table`` (fully-qualified
+    catalog name). When the Iceberg runtime is on the classpath
+    (:func:`iceberg_available`), every mutation EXECUTES the very SQL
+    statement it logs — built once by :meth:`_merge_sql` /
+    :meth:`_delete_sql`, so the parquet stand-in and the real path cannot
+    drift (statement-parity is pytest-asserted) — and ``read`` comes from
+    ``spark.table``. Without the jars (this sandbox) the parquet snapshot
+    chain runs the identical statements' semantics locally."""
+
+    def __init__(
+        self,
+        root: str,
+        columns: list[str],
+        lock_timeout: float = 30.0,
+        spark=None,
+        iceberg_table: str | None = None,
+    ) -> None:
         self.root = root
         self.columns = list(columns)
         self.lock_timeout = float(lock_timeout)
+        self.spark = spark
+        self.iceberg_table = iceberg_table
+        self.use_iceberg = bool(
+            spark is not None and iceberg_table and iceberg_available(spark)
+        )
         os.makedirs(root, exist_ok=True)
+
+    def _table_name(self) -> str:
+        return self.iceberg_table or os.path.basename(self.root)
+
+    # -- SQL builders: the single source of truth for BOTH paths -------------
+
+    def _merge_sql(
+        self, on: list[str], update: bool, insert: bool,
+        matched_condition: str | None,
+    ) -> str:
+        cond_sql = f" AND ({matched_condition})" if matched_condition else ""
+        return (
+            f"MERGE INTO {self._table_name()} t USING source s ON "
+            + " AND ".join(f"t.{c} = s.{c}" for c in on)
+            + (f" WHEN MATCHED{cond_sql} THEN UPDATE SET *" if update else "")
+            + (" WHEN NOT MATCHED THEN INSERT *" if insert else "")
+        )
+
+    def _delete_sql(self, condition: str) -> str:
+        return f"DELETE FROM {self._table_name()} WHERE {condition}"
+
+    def _exec_iceberg(self, sql: str, source: list[dict] | None = None) -> None:
+        """Run the logged statement for real: the source rows become the
+        ``source`` temp view the MERGE references."""
+        if source is not None:
+            self.spark.createDataFrame(pd.DataFrame(source)).createOrReplaceTempView(
+                "source"
+            )
+        self.spark.sql(sql)
+
+    def _log_only(self, op: str, sql: str, stats: dict) -> None:
+        """Iceberg path bookkeeping: the catalog owns snapshots; only the
+        statement log is kept locally (same file the parquet path writes)."""
+        with open(os.path.join(self.root, "log.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "n": self._pointer()["n"], "at": time.time(), "op": op,
+                "sql": sql, **stats,
+            }) + "\n")
 
     @contextlib.contextmanager
     def _locked(self):
@@ -103,6 +176,8 @@ class MergeTable:
         os.replace(tmp, os.path.join(self.root, "current.json"))
 
     def read(self) -> pd.DataFrame:
+        if self.use_iceberg:
+            return self.spark.table(self._table_name()).toPandas()
         cur = self._pointer()
         if cur["snapshot"] is None:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in self.columns})
@@ -123,6 +198,12 @@ class MergeTable:
 
         ``matched_condition`` is a pandas ``query`` expression over the
         TARGET row (Iceberg's ``WHEN MATCHED AND t.<cond>``)."""
+        if self.use_iceberg:
+            sql = self._merge_sql(on, update, insert, matched_condition)
+            with self._locked():
+                self._exec_iceberg(sql, source)
+                self._log_only("merge", sql, {})
+            return {}  # row stats live in the Iceberg snapshot summary
         with self._locked():
             return self._merge_locked(source, on, update, insert, matched_condition)
 
@@ -147,19 +228,22 @@ class MergeTable:
                     rows.append({**{c: None for c in self.columns}, **row})
                     inserted += 1
         out = pd.DataFrame(rows, columns=self.columns)
-        cond_sql = f" AND ({matched_condition})" if matched_condition else ""
-        sql = (
-            f"MERGE INTO {os.path.basename(self.root)} t USING source s ON "
-            + " AND ".join(f"t.{c} = s.{c}" for c in on)
-            + (f" WHEN MATCHED{cond_sql} THEN UPDATE SET *" if update else "")
-            + (" WHEN NOT MATCHED THEN INSERT *" if insert else "")
-        )
+        sql = self._merge_sql(on, update, insert, matched_condition)
         stats = {"updated": updated, "inserted": inserted}
         self._commit(out, "merge", sql, stats)
         return stats
 
     def delete_where(self, condition: str) -> list[dict]:
         """``DELETE FROM target WHERE <condition>`` — returns deleted rows."""
+        if self.use_iceberg:
+            sql = self._delete_sql(condition)
+            with self._locked():
+                victims = self.spark.sql(
+                    f"SELECT * FROM {self._table_name()} WHERE {condition}"
+                ).toPandas().to_dict("records")
+                self._exec_iceberg(sql)
+                self._log_only("delete", sql, {"deleted": len(victims)})
+            return victims
         with self._locked():
             return self._delete_locked(condition)
 
@@ -170,9 +254,7 @@ class MergeTable:
         hit = tgt.query(condition)
         out = tgt.drop(hit.index)
         self._commit(
-            out, "delete",
-            f"DELETE FROM {os.path.basename(self.root)} WHERE {condition}",
-            {"deleted": int(len(hit))},
+            out, "delete", self._delete_sql(condition), {"deleted": int(len(hit))}
         )
         return hit.to_dict("records")
 
