@@ -116,10 +116,14 @@ def test_sparse_covers_every_geometry_tile(z, cx, cy, wbox, hbox):
     boundaries (e.g. 8 - 0.9999999999999998 == 7.0) the spec formula itself
     collapses the sliver — our engine reproduces the reference's double math
     bit-for-bit there, but a differently-associated test oracle would not
-    (SURVEY.md §7.3 float-boundary caveat)."""
+    (SURVEY.md §7.3 float-boundary caveat). The DERIVED bbox is re-quantized
+    too: quantized inputs are not enough — e.g. cy=1.9, hbox=1.8 gives
+    1.9 - 0.9 = 0.9999999999999998, re-creating a sub-ulp sliver that the
+    engine's reference-exact double math collapses but this test's strict
+    comparison would not (hypothesis found exactly that example)."""
     grid = Grid(name="u", resolutions=(1.0, 0.5, 0.25), bbox=(0, 0, 8, 8), tile_size=1)
-    b = (max(0.0, cx - wbox / 2), max(0.0, cy - hbox / 2),
-         min(8.0, cx + wbox / 2), min(8.0, cy + hbox / 2))
+    b = (max(0.0, round(cx - wbox / 2, 3)), max(0.0, round(cy - hbox / 2, 3)),
+         min(8.0, round(cx + wbox / 2, 3)), min(8.0, round(cy + hbox / 2, 3)))
     if b[0] >= b[2] or b[1] >= b[3]:
         return
     geom = G.box_geom(*b)
