@@ -318,18 +318,21 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
     if not 1 <= nb <= 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     bounds = [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
-    s = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
-    def _block_key(lo: int, hi: int):
-        if hi - lo >= 64:  # single block == whole hash (mask would overflow)
-            return F.col("simhash")
-        return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
-            F.lit((1 << (hi - lo)) - 1)
-        )
+    # checkpoint: the self-join below references the simhash table twice and
+    # an unmaterialized lineage would run the pandas-UDF stage once per side
+    s = simhash(df, text_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    ).localCheckpoint(eager=True)
 
-    # one explode, NOT a union of nb branches — the pandas-UDF simhash is
-    # computed once per doc, and the plan stays a single projection
+    def _block_key(col, lo: int, hi: int):
+        if hi - lo >= 64:  # single block == whole hash (mask would overflow)
+            return col
+        return F.shiftrightunsigned(col, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
+    # one explode, NOT a union of nb branches — the plan stays a single
+    # projection over the checkpointed simhash table
     blocks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"), _block_key(lo, hi).alias("key"))
+        F.struct(F.lit(c).alias("chunk"), _block_key(F.col("simhash"), lo, hi).alias("key"))
         for c, (lo, hi) in enumerate(bounds)
     ])
     blocked = s.select(
@@ -337,14 +340,24 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
     ).select("id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
     a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
     b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
-    pairs = (
+    # a pair agreeing on several blocks matches once per block: keep only the
+    # FIRST agreeing block (pure codegen filter — no distinct() shuffle over
+    # the joined output; each (id, chunk) contributes exactly one join row,
+    # so first-match keeps exactly one row per true pair)
+    first_match = F.lit(None).cast("int")
+    for c in range(nb - 1, -1, -1):
+        lo, hi = bounds[c]
+        first_match = F.when(
+            _block_key(F.col("sh_a"), lo, hi) == _block_key(F.col("sh_b"), lo, hi), c
+        ).otherwise(first_match)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return (
         a.join(b, ["chunk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        .filter(F.col("chunk") == first_match)
+        .select("id_a", "id_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
-    return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_pairs_bruteforce(df: DataFrame, max_hamming: int = 8,
