@@ -641,6 +641,32 @@ def q_host_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_serving_decisions(tiles, hosts, GRID, LAYERS, geoms_by_layer)
 
 
+
+def q_styled_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapnik-analog styled rendering (reference render backend:
+    store/mapnik_.py:30-106 — XML styles, painter order): polygon layer with
+    a semi-transparent fill + opaque outline composited under a 3px red
+    line layer, rendered per tile through one Arrow stage. Deterministic
+    spec-PNG encode => the oracle is the pinned (z, x, y, n_painted, sha1)
+    rows (DuckDB cannot rasterize); determinism itself is re-verified by the
+    styled-rendering pytest goldens."""
+    from tilecloud_chain_spark.operators import raster as R
+
+    poly = G.parse_wkt(LAYERS["polygon"].geom_wkt)
+    line = G.parse_wkt(LAYERS["line"].geom_wkt)
+    feats = {
+        z: [(poly, {"fill": (10, 120, 40, 200), "stroke": (0, 0, 0, 255),
+                    "stroke_width_px": 2.0}),
+            (line, {"stroke": (220, 30, 30, 255), "stroke_width_px": 3.0})]
+        for z in range(2)
+    }
+    tiles = EN.dense_tiles(spark, GRID, range(2)).select("z", "x", "y")
+    out = R.render_styled_tiles(tiles, GRID, feats)
+    return out.select(
+        "z", "x", "y", "n_painted", F.sha1("data").alias("sha")
+    ).filter(F.col("n_painted") > 0)
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video path — typed-metadata fan-out + distributed frame
     decode/phash (sources/media.py): per-video sampled-frame count, distinct
@@ -831,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "serving_decisions": q_serving_decisions,
         "host_serving_decisions": q_host_serving_decisions,
+        "styled_tiles": q_styled_tiles,
         "clean_corpus": q_clean_corpus,
         "utfgrid_tiles": q_utfgrid_tiles,
         "asof_join": q_asof_join,
@@ -1631,6 +1658,62 @@ def oracle_sql() -> dict[str, str]:
         FROM layer_dec d JOIN hosts h ON h.layer = d.layer
     """
 
+
+    styled_tiles = """
+        SELECT CAST(z AS INTEGER) AS z, CAST(x AS INTEGER) AS x,
+               CAST(y AS INTEGER) AS y, CAST(n_painted AS INTEGER) AS n_painted,
+               sha
+        FROM (VALUES
+          (0, 4, 5, 6697, 'e11b123081bdc96fd030e69a872ffc69fa76b18f'),
+          (0, 4, 6, 46336, '5b03dbd0198352739f3e130d819ae0ccf194193e'),
+          (0, 4, 7, 37829, 'ad6d8c67b7273a738d3747ba13a3841a21f94c37'),
+          (0, 5, 5, 9472, 'a796e0ad5023f404f2ae003364b772f16fc751bc'),
+          (0, 5, 6, 65536, '3a7b45ed035754c741b951072fdbeccbeb7f2eb3'),
+          (0, 5, 7, 53504, '569f2589a0430c8b754fff837317572199d86031'),
+          (0, 6, 5, 9472, '28a18cb8c91fbf1076a8f7e6c258055d3019f643'),
+          (0, 6, 6, 65536, 'f2ad63c0c9f4a0c5c5eb34151db1b5b662aca07b'),
+          (0, 6, 7, 53504, '67d42fa26eda1b38ba33a79c441032635eecc069'),
+          (0, 7, 5, 333, '4a00d7e34cc516c5b4140f4eb3fb0a93b3bd9ae5'),
+          (0, 7, 6, 2304, 'f113098c4ff997b0095087b80073e17c9c4b0c3b'),
+          (0, 7, 7, 1881, 'eda10ae8e23976f4f52620c276c44f65653273dd'),
+          (1, 8, 11, 7665, 'cb04633551c6fea76fb22d1db21464f3c4cafec5'),
+          (1, 8, 12, 26880, '838ffacbc081e1574792023371cadf85828874f8'),
+          (1, 8, 13, 26880, '838ffacbc081e1574792023371cadf85828874f8'),
+          (1, 8, 14, 26880, '838ffacbc081e1574792023371cadf85828874f8'),
+          (1, 8, 15, 16905, '8dbff9e1e697f7b8ae7b3fa08cbe90c821066f30'),
+          (1, 9, 11, 18688, 'bd1e86c7693a561ef86c5641cf516e4d445af21b'),
+          (1, 9, 12, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 9, 13, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 9, 14, 65536, '8618ede68a727cde9e71618a39248b2b4e3c3e12'),
+          (1, 9, 15, 41216, '89f538a459888cd4e05f5f09a4f916acf6cb2126'),
+          (1, 10, 11, 18688, 'bd1e86c7693a561ef86c5641cf516e4d445af21b'),
+          (1, 10, 12, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 10, 13, 65536, '039c0bfbd18064d3233f1fe3e079e2699d5716fd'),
+          (1, 10, 14, 65536, '3cb86dd041b5a99e7bf320896423c49fd114826e'),
+          (1, 10, 15, 41216, 'f3f86e465270cbb266a37120ae5d6e9d845f091d'),
+          (1, 11, 11, 18688, 'bd1e86c7693a561ef86c5641cf516e4d445af21b'),
+          (1, 11, 12, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 11, 13, 65536, '47de0daa4231d8cf186f4876caf0714abfb50deb'),
+          (1, 11, 14, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 11, 15, 41216, 'f3f86e465270cbb266a37120ae5d6e9d845f091d'),
+          (1, 12, 11, 18688, 'bd1e86c7693a561ef86c5641cf516e4d445af21b'),
+          (1, 12, 12, 65536, 'e7bbdd02b84595ec33af9a4a36469e6753d0b7bb'),
+          (1, 12, 13, 65536, '1b9e95ef12113f5bf04fe717bb1ef64451ae4b77'),
+          (1, 12, 14, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 12, 15, 41216, 'f3f86e465270cbb266a37120ae5d6e9d845f091d'),
+          (1, 13, 11, 18688, '5071d34edf802155b2af54badba24fdd54304a1f'),
+          (1, 13, 12, 65536, 'd4782e5d294a8793d55661b785e386b723fe3bc4'),
+          (1, 13, 13, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 13, 14, 65536, '459fe01277ecc99eaeb5f558284608b15d069562'),
+          (1, 13, 15, 41216, 'f3f86e465270cbb266a37120ae5d6e9d845f091d'),
+          (1, 14, 11, 1241, 'f550cb2b82b9ced41980b2e083170f1473ca90cb'),
+          (1, 14, 12, 4352, 'c78bd3dad5f2c453df90ff1fdb803910c9c36b60'),
+          (1, 14, 13, 4352, 'c78bd3dad5f2c453df90ff1fdb803910c9c36b60'),
+          (1, 14, 14, 4352, 'c78bd3dad5f2c453df90ff1fdb803910c9c36b60'),
+          (1, 14, 15, 2737, '4ef883db4900cb55048883d9a0fcc79dadc2e274'))
+        AS t(z, x, y, n_painted, sha)
+    """
+
     # pinned: deterministic synth media + fake decode (DuckDB cannot phash)
     media_frames = """
         SELECT media_id, CAST(n_sampled AS BIGINT) AS n_sampled,
@@ -1682,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": media_frames,
         "serving_decisions": serving_decisions,
         "host_serving_decisions": host_serving_decisions,
+        "styled_tiles": styled_tiles,
         "clean_corpus": clean_corpus,
         "utfgrid_tiles": utfgrid_tiles,
         "asof_join": asof_join,

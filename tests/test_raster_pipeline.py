@@ -136,3 +136,76 @@ def test_synth_images_table_invariants(spark):
         assert r.phash == IMG.phash64(ref_px)
         assert SWISSGRID_5.bbox[0] <= r.x <= SWISSGRID_5.bbox[2]
         assert SWISSGRID_5.bbox[1] <= r.y <= SWISSGRID_5.bbox[3]
+
+
+def test_styled_render_fill_stroke_painter_order():
+    """Mapnik-analog styled rendering: fill paints the interior, stroke the
+    outline over it, later features composite over earlier, and 50%-alpha
+    source-over blends exactly."""
+    import numpy as np
+
+    sq1 = G.parse_wkt("POLYGON((2 2, 14 2, 14 14, 2 14, 2 2))")
+    sq2 = G.parse_wkt("POLYGON((8 8, 20 8, 20 20, 8 20, 8 8))")
+    ext = (0.0, 0.0, 24.0, 24.0)
+    img = R.render_extent_styled(
+        [(sq1, {"fill": (0, 0, 255, 255), "stroke": (255, 255, 0, 255),
+                "stroke_width_px": 1.0}),
+         (sq2, {"fill": (255, 0, 0, 128)})],
+        ext, 24, 24,
+    )
+    # pixel centers at (i+0.5): interior of sq1 away from both the outline
+    # and sq2 -> pure fill
+    assert tuple(img[24 - 5, 4]) == (0, 0, 255, 255)
+    # sq1's outline -> stroke over fill
+    assert tuple(img[24 - 3, 2]) == (255, 255, 0, 255)
+    # overlap of sq2 (a=128) over sq1's fill -> exact source-over blend
+    sa = 128 / 255
+    expect = tuple(int(round(s * sa + d * (1 - sa)))
+                   for s, d in zip((255, 0, 0, 255), (0, 0, 255, 255)))
+    assert tuple(img[24 - 10, 10]) == expect
+    # sq2 alone over transparent background
+    expect_bg = tuple(int(round(s * sa)) for s in (255, 0, 0, 255))
+    assert tuple(img[24 - 19, 19]) == expect_bg
+    # outside everything stays fully transparent
+    assert tuple(img[0, 23]) == (0, 0, 0, 0)
+
+
+def test_styled_single_stroke_matches_render_extent():
+    """A single opaque red stroke reproduces render_extent's line rasterization
+    bit-for-bit (same kernels, same pixel-center predicate)."""
+    import numpy as np
+
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    grid = SWISSGRID_5
+    res = float(grid.resolutions[0])
+    span = res * grid.tile_size
+    ext = (grid.bbox[0], grid.bbox[3] - 4 * span, grid.bbox[0] + 4 * span, grid.bbox[3])
+    a = R.render_extent(geom, ext, 1024, 1024)
+    b = R.render_extent_styled([(geom, {"stroke": (255, 20, 20, 255)})], ext, 1024, 1024)
+    assert np.array_equal(a, b)
+
+
+def test_render_styled_tiles_operator(spark):
+    """DataFrame stage: styled tiles encode deterministically, decode back to
+    the exact styled raster, and n_painted counts non-transparent pixels."""
+    import numpy as np
+
+    geom = G.parse_wkt(LAYERS["polygon"].geom_wkt)
+    feats = {0: [(geom, {"fill": (10, 120, 40, 255), "stroke": (0, 0, 0, 255),
+                         "stroke_width_px": 2.0})]}
+    tiles = spark.createDataFrame([(0, 5, 6), (0, 0, 0)], "z int, x int, y int")
+    out = {(r.z, r.x, r.y): r for r in
+           R.render_styled_tiles(tiles, SWISSGRID_5, feats).collect()}
+    r56 = out[(0, 5, 6)]
+    assert r56.n_painted > 0
+    img = IMG.decode(bytes(r56.data), "png")
+    assert int((img[..., 3] > 0).sum()) == r56.n_painted
+    # direct-render equivalence for the tile extent
+    grid = SWISSGRID_5
+    res = float(grid.resolutions[0]); span = res * grid.tile_size
+    ext = (grid.bbox[0] + 5 * span, grid.bbox[3] - 7 * span,
+           grid.bbox[0] + 6 * span, grid.bbox[3] - 6 * span)
+    direct = R.render_extent_styled(feats[0], ext, grid.tile_size, grid.tile_size)
+    assert np.array_equal(img, direct)
+    # far tile renders empty
+    assert out[(0, 0, 0)].n_painted == 0

@@ -65,6 +65,25 @@ def render_extent(
     to the dense evaluation (property-tested) while a thin feature on a
     2304² metatile costs ~100k pixel evaluations instead of 5.3M (measured
     12x on the bench metatile)."""
+    mask = geom_mask(geom, extent, w, h, line_width_px)
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[mask] = (255, 20, 20, 255)
+    return img
+
+
+def geom_mask(
+    geom: Geom,
+    extent: tuple[float, float, float, float],
+    w: int,
+    h: int,
+    line_width_px: float = 2.0,
+    fill: bool = True,
+    stroke: bool = True,
+) -> np.ndarray:
+    """Sparse-aware pixel-center mask of ``geom`` over ``extent``. ``fill``
+    paints polygon interiors; ``stroke`` paints line segments and point
+    markers (and, when ``fill`` is off, polygon ring outlines as closed
+    lines — the styled renderer's stroke pass)."""
     minx, miny, maxx, maxy = extent
     res_x = (maxx - minx) / w
     res_y = (maxy - miny) / h
@@ -82,25 +101,36 @@ def render_extent(
         i1 = min(h, int(np.ceil((maxy - y0) / res_y + 0.5)) + 1)
         return i0, i1, j0, j1
 
+    def paint_polyline(points, closed: bool = False):
+        pts = list(points) + ([points[0]] if closed else [])
+        for i in range(len(pts) - 1):
+            a, b = pts[i], pts[i + 1]
+            win = window(
+                min(a[0], b[0]) - half, max(a[0], b[0]) + half,
+                min(a[1], b[1]) - half, max(a[1], b[1]) + half,
+            )
+            _paint_segment(mask, cx, cy, win, a, b, half)
+
     for kind, payload in geom.parts:
         if kind == "polygon":
-            xs = [p[0] for ring in payload for p in ring]
-            ys = [p[1] for ring in payload for p in ring]
-            i0, i1, j0, j1 = window(min(xs), max(xs), min(ys), max(ys))
-            if i0 >= i1 or j0 >= j1:
-                continue
-            px, py = np.meshgrid(cx[j0:j1], cy[i0:i1])
-            sub = Geom([(kind, payload)])
-            mask[i0:i1, j0:j1] |= sub.contains_points(px, py)
+            if fill:
+                xs = [p[0] for ring in payload for p in ring]
+                ys = [p[1] for ring in payload for p in ring]
+                i0, i1, j0, j1 = window(min(xs), max(xs), min(ys), max(ys))
+                if i0 >= i1 or j0 >= j1:
+                    continue
+                px, py = np.meshgrid(cx[j0:j1], cy[i0:i1])
+                sub = Geom([(kind, payload)])
+                mask[i0:i1, j0:j1] |= sub.contains_points(px, py)
+            elif stroke:
+                for ring in payload:
+                    paint_polyline(ring, closed=True)
         elif kind == "line":
-            for i in range(len(payload) - 1):
-                a, b = payload[i], payload[i + 1]
-                win = window(
-                    min(a[0], b[0]) - half, max(a[0], b[0]) + half,
-                    min(a[1], b[1]) - half, max(a[1], b[1]) + half,
-                )
-                _paint_segment(mask, cx, cy, win, a, b, half)
+            if stroke:
+                paint_polyline(payload)
         else:  # point: square marker
+            if not stroke:
+                continue
             r = half * 2
             i0, i1, j0, j1 = window(
                 payload[0] - r, payload[0] + r, payload[1] - r, payload[1] + r
@@ -111,9 +141,7 @@ def render_extent(
             mask[i0:i1, j0:j1] |= (np.abs(px - payload[0]) <= r) & (
                 np.abs(py - payload[1]) <= r
             )
-    img = np.zeros((h, w, 4), dtype=np.uint8)
-    img[mask] = (255, 20, 20, 255)
-    return img
+    return mask
 
 
 def _paint_segment(mask, cx, cy, win, a, b, dist, block: int = 128) -> None:
@@ -157,6 +185,97 @@ def _near_segment(px, py, a, b, dist):
     qx = ax + t * dx
     qy = ay + t * dy
     return (px - qx) ** 2 + (py - qy) ** 2 <= dist * dist
+
+
+def _composite(img: np.ndarray, mask: np.ndarray, rgba) -> None:
+    """Source-over composite ``rgba`` onto ``img`` where ``mask`` (Mapnik's
+    painter model: later symbolizers blend over earlier ones; opaque colors
+    overwrite)."""
+    r, g, b, a = (int(v) for v in rgba)
+    if a >= 255:
+        img[mask] = (r, g, b, 255)
+        return
+    dst = img[mask].astype(np.float64)
+    sa = a / 255.0
+    src = np.array([r, g, b, 255.0])
+    out = src * sa + dst * (1.0 - sa)
+    img[mask] = np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def render_extent_styled(
+    features: list[tuple[Geom, dict]],
+    extent: tuple[float, float, float, float],
+    w: int,
+    h: int,
+) -> np.ndarray:
+    """Mapnik-analog styled rasterization (the reference's render backend is
+    Mapnik XML styles — store/mapnik_.py:30-106; this is the engine-owned
+    deterministic stand-in with the same painter model): features render in
+    list order, each with a style dict:
+
+    - ``fill``: RGBA tuple — polygon interior (source-over blended)
+    - ``stroke``: RGBA tuple — polygon outlines, lines, point markers
+    - ``stroke_width_px``: line/outline width (default 2.0)
+    - ``marker_px``: point marker half-width multiplier inherits the stroke
+      width convention of :func:`geom_mask`
+
+    Same sparse-aware kernels as :func:`render_extent`; pixel-center
+    sampling keeps the metatile-slice == direct-render invariant."""
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    for geom, style in features:
+        fill = style.get("fill")
+        stroke = style.get("stroke")
+        width = float(style.get("stroke_width_px", 2.0))
+        if fill is not None:
+            m = geom_mask(geom, extent, w, h, width, fill=True, stroke=False)
+            _composite(img, m, fill)
+        if stroke is not None:
+            m = geom_mask(geom, extent, w, h, width, fill=False, stroke=True)
+            _composite(img, m, stroke)
+    return img
+
+
+def render_styled_tiles(
+    df: DataFrame,
+    grid: Grid,
+    features_by_zoom: dict[int, list[tuple[Geom, dict]]],
+    tile_size: int | None = None,
+    fmt: str = "png",
+) -> DataFrame:
+    """F2 (styled) — render tile rows [z, x, y] through the Mapnik-analog
+    styled pipeline; adds ``data`` (encoded image) and ``n_painted``
+    (non-transparent pixel count — the cheap emptiness/energy stat). Styles
+    and geometries broadcast with the closure, one Arrow stage, no
+    shuffle."""
+    ts = tile_size or grid.tile_size
+    feats = {int(k): v for k, v in features_by_zoom.items()}
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in _schema_of(df))
+        + ", n_painted int, data binary"
+    )
+
+    def render(batches):
+        for pdf in batches:
+            datas, painted = [], []
+            for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                z, x, y = int(z), int(x), int(y)
+                res = float(grid.resolutions[z])
+                span = res * ts
+                extent = (
+                    grid.bbox[0] + x * span,
+                    grid.bbox[3] - (y + 1) * span,
+                    grid.bbox[0] + (x + 1) * span,
+                    grid.bbox[3] - y * span,
+                )
+                img = render_extent_styled(feats.get(z, []), extent, ts, ts)
+                painted.append(int((img[..., 3] > 0).sum()))
+                datas.append(IMG.png_encode(img) if fmt == "png" else IMG.qpng_encode(img))
+            pdf = pdf.copy()
+            pdf["n_painted"] = pd.array(painted, dtype="int32")
+            pdf["data"] = datas
+            yield pdf
+
+    return df.mapInPandas(render, out_schema)
 
 
 def empty_tile_bytes(tile_size: int, fmt: str = "png") -> bytes:
