@@ -93,19 +93,20 @@ def jaccard_pairs(
     verify only those (the LSH path).
     Output: id_a < id_b, jaccard (rounded 6dp) >= threshold.
     """
+    if candidates is not None:
+        # restrict the DOCUMENTS to candidate ids BEFORE shingling — the
+        # verify stage must never pay the full-corpus shingle explode (at
+        # 10^12 docs the candidate set is orders of magnitude smaller), and
+        # certainly never the full pairs-sharing-a-shingle join (the
+        # all-pairs scale killer LSH exists to avoid)
+        cand_ids = candidates.select(F.col("id_a").alias(id_col)).unionAll(
+            candidates.select(F.col("id_b").alias(id_col))
+        ).distinct()
+        df = df.join(cand_ids, id_col, "left_semi")
     sh = shingles(df, k, text_col, id_col).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    if candidates is not None:
-        # restrict BOTH sides to candidate ids BEFORE the shingle join —
-        # verifying must never pay the full pairs-sharing-a-shingle join
-        # (that join is the all-pairs scale killer LSH exists to avoid)
-        cand_ids = candidates.select(F.col("id_a").alias("id")).unionAll(
-            candidates.select(F.col("id_b").alias("id"))
-        ).distinct()
-        a = a.join(cand_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
-        b = b.join(cand_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
