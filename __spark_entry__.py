@@ -331,6 +331,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(embs, q, k=5, qid_col="qid")
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity over the int8-quantized STORAGE path: quantize the
+    embedding table (scale = max|v|/127), dequantize on the fly and rank
+    cosine top-5 for three query vectors — the search-time twin of
+    cosine_topk over 4x smaller storage. The oracle replicates quantize +
+    dequantize + rank in SQL (the quantization arithmetic is itself gated
+    by quantize_embeddings)."""
+    embs = _read(spark, sf_dir, "embeddings")
+    qt = SIM.quantize_embeddings(embs)
+    q = embs.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return SIM.cosine_topk_quantized(qt, q, k=5, qid_col="qid")
+
+
 def q_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 kNN — 5 nearest documents (scattered positions) to three fixed
     query points; brute-force exact (cell-pruned variant is property-tested
@@ -834,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
         "knn_docs": q_knn_docs,
         "text_profile": q_text_profile,
         "sparse_metatiles": q_sparse_metatiles,
@@ -1156,6 +1172,36 @@ def oracle_sql() -> dict[str, str]:
           SELECT q.qid, e.vec_id,
                  CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS DOUBLE) AS cos
           FROM embeddings e CROSS JOIN q
+        ), ranked AS (
+          SELECT qid, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5
+    """
+
+    quantized_topk = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), s AS (
+          SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+          FROM v
+        ), deq AS (
+          SELECT vec_id,
+                 list_transform(
+                   list_transform(vec, x -> CAST(round(
+                     x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                   ) AS INTEGER)),
+                   x -> x * scale) AS dv
+          FROM s
+        ), qq AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ), scored AS (
+          SELECT qq.qid, d.vec_id,
+                 CAST(round(list_cosine_similarity(d.dv, qq.qv), 6) AS DOUBLE) AS cos
+          FROM deq d CROSS JOIN qq
         ), ranked AS (
           SELECT qid, vec_id, cos,
                  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
@@ -1797,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": minhash_signatures,
         "jaccard_pairs": jaccard_pairs,
         "cosine_topk": cosine_topk,
+        "quantized_topk": quantized_topk,
         "knn_docs": knn_docs,
         "text_profile": text_profile,
         "sparse_metatiles": sparse_metatiles,
