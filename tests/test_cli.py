@@ -174,3 +174,63 @@ def test_cli_copy_cache_to_cache(spark, tmp_path):
     a, b = walk(src), walk(dst)
     assert set(a) == set(b) and len(a) == 6
     assert all(a[k] == b[k] for k in a)  # byte-identical payloads
+
+
+def test_cli_import_expiretiles(spark, tmp_path, capsys):
+    """import-expiretiles analog: z/x/y file -> merged MULTIPOLYGON WKT with
+    the reference's own messages; empty file -> 'No coords found'."""
+    from tilecloud_chain_spark import cli
+
+    f = tmp_path / "expire.txt"
+    # 2x2 block at z14 -> one square ring (8 lattice vertices incl. midpoints)
+    f.write_text("14/5000/4000\n14/5001/4000\n14/5000/4001\n14/5001/4001\n")
+    out = tmp_path / "geom.wkt"
+    rc = cli.main(["import-expiretiles", str(f), "--out", str(out),
+                   "--cores", os.environ.get("TEST_SPARK_CPUS", "8")])
+    assert rc == 0
+    assert "Import successful" in capsys.readouterr().out
+    wkt = out.read_text().strip()
+    assert wkt.startswith("MULTIPOLYGON(") and wkt.count("(") == 3
+
+    empty = tmp_path / "empty.txt"
+    empty.write_text("\n")
+    rc = cli.main(["import-expiretiles", str(empty),
+                   "--cores", os.environ.get("TEST_SPARK_CPUS", "8")])
+    assert rc == 0
+    assert "No coords found" in capsys.readouterr().out
+
+
+def test_cli_process_in_place(spark, tmp_path):
+    """process command (reference copy_.py:130-167): apply an allow-listed
+    process to a cache in place — same file set, transformed payloads."""
+    import yaml
+
+    from tilecloud_chain_spark import cli
+
+    cfg_path = tmp_path / "test.yaml"
+    cfg_path.write_text(yaml.safe_dump(REF_STYLE_YAML))
+    cache = str(tmp_path / "cache")
+    rc = cli.main([
+        "generate-tiles", "--config", str(cfg_path), "--layer", "line",
+        "--zooms", "0", "--checkpoint", str(tmp_path / "ckpt"),
+        "--cache", cache, "--meta-buffer", "32",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ])
+    assert rc == 0
+
+    def walk(root):
+        out = {}
+        for r, _, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(r, f)
+                out[os.path.relpath(p, root)] = open(p, "rb").read()
+        return out
+
+    before = walk(cache)
+    rc = cli.main(["process", "--config", str(cfg_path), "--layer", "line",
+                   "--cache", cache, "--process", "png_quantize",
+                   "--cores", os.environ.get("TEST_SPARK_CPUS", "8")])
+    assert rc == 0
+    after = walk(cache)
+    assert set(before) == set(after) and len(after) == 6
+    assert any(before[k] != after[k] for k in after)  # payloads transformed

@@ -236,6 +236,45 @@ def cmd_copy(args) -> int:
     return 0
 
 
+def cmd_process(args) -> int:
+    """``generate-process`` analog (reference ``copy_.py:130-167``): apply an
+    allow-listed process to a cache IN PLACE (copy with source ==
+    destination; metatiles disabled like copy mode)."""
+    args.source = args.cache
+    args.destination = args.cache
+    return cmd_copy(args)
+
+
+def cmd_import_expiretiles(args) -> int:
+    """``import-expiretiles`` analog (reference ``expiretiles.py:19-190``):
+    read an osm2pgsql expire-tiles file (z/x/y lines on the global
+    web-mercator QuadTileGrid), merge the tile union into a MultiPolygon,
+    and emit WKT (the reference inserts into PostGIS via ST_GeomFromText /
+    ST_Transform; with no database here the WKT goes to --out or stdout —
+    srid handling matches: 3857 native, anything else reprojected through
+    the numpy CRS kernels). Prints the reference's own messages: 'No coords
+    found' on empty input, 'Import successful' otherwise."""
+    from tilecloud_chain_spark.operators.expire import expire_tiles_wkt
+    from tilecloud_chain_spark.sources.tiles_file import read_tiles_file
+
+    spark, owned = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    tiles = read_tiles_file(spark, args.file).select("z", "x", "y")
+    wkt = expire_tiles_wkt(tiles, srid=args.srid)
+    if owned:
+        spark.stop()
+    if not wkt:
+        print("No coords found")
+        return 0
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(wkt + "\n")
+    else:
+        print(wkt)
+    print("Import successful")
+    return 0
+
+
 def cmd_get_limits(args) -> int:
     from tilecloud_chain_spark.config_yaml import load_config
     from tilecloud_chain_spark.plans.wmts import capabilities_matrices, tile_matrix_limits
@@ -298,6 +337,21 @@ def main(argv=None) -> int:
     cp.add_argument("--process", default=None, help="allow-listed post-process name")
     cp.add_argument("--cores", type=int, default=None)
     cp.set_defaults(fn=cmd_copy)
+
+    pr = sub.add_parser("process")
+    pr.add_argument("--config", required=True)
+    pr.add_argument("--layer", required=True)
+    pr.add_argument("--cache", required=True, help="cache root processed in place")
+    pr.add_argument("--process", required=True, help="allow-listed post-process name")
+    pr.add_argument("--cores", type=int, default=None)
+    pr.set_defaults(fn=cmd_process)
+
+    ex = sub.add_parser("import-expiretiles")
+    ex.add_argument("file", help="osm2pgsql expire-tiles file (z/x/y lines)")
+    ex.add_argument("--srid", type=int, default=3857)
+    ex.add_argument("--out", default=None, help="write the MULTIPOLYGON WKT here")
+    ex.add_argument("--cores", type=int, default=None)
+    ex.set_defaults(fn=cmd_import_expiretiles)
 
     cap = sub.add_parser("capabilities")
     cap.add_argument("--config", required=True)
