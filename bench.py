@@ -548,8 +548,12 @@ def _write_bench_md(result: dict) -> None:
         "",
         "Per-query wall seconds at sf="
         + str(result["sf"])
-        + f" on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        + " (r2 = driver-measured BENCH_r02.json, no indicator existed then):",
+        + f" on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]."
+        + " CAVEAT on 'vs r2': r2 was ONE unnormalized pass while these are"
+        + " min-of-" + os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")
+        + " normalized — protocol alone flatters the ratio by roughly the"
+        + " phase factor plus min-vs-single selection (~10-30% combined);"
+        + " read only large ratios (>=2x either way) as code effects:",
         "",
         "| query | r2 driver sec | sec | normalized | vs r2 |",
         "|---|---|---|---|---|",

@@ -233,6 +233,41 @@ def test_merge_table_iceberg_statement_parity(tmp_path, spark, monkeypatch):
     assert executed == logged
 
 
+def test_merge_sql_qualifies_target_columns(tmp_path):
+    """The executed MERGE must qualify condition columns as t.<col> —
+    unqualified, a column present in both target and source raises
+    AMBIGUOUS_REFERENCE on a real engine (and would not mean target-row
+    semantics). String literals containing column names stay verbatim."""
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    t = MergeTable(str(tmp_path / "s"), ["k", "status", "ts"])
+    sql = t._merge_sql(["k"], True, True, "status == 'pending'")
+    assert "WHEN MATCHED AND (t.status == 'pending')" in sql
+    sql = t._merge_sql(["k"], True, False, "status == 'status' and ts > 5")
+    assert "(t.status == 'status' and t.ts > 5)" in sql  # literal untouched
+
+
+def test_exec_iceberg_pads_source_to_full_columns(tmp_path, spark, monkeypatch):
+    """UPDATE SET * / INSERT * require the source view to carry EVERY target
+    column; absent ones are None-padded — which exactly reproduces the
+    parquet path's matched-row replacement semantics."""
+    from tilecloud_chain_spark.checkpoint import merge as M
+
+    t = M.MergeTable(str(tmp_path / "s"), ["k", "status", "started_at", "error"])
+    t.spark = spark
+    captured = {}
+    monkeypatch.setattr(
+        spark.__class__, "sql", lambda self, q: captured.setdefault("sql", q),
+        raising=False,
+    )
+    t._exec_iceberg("SELECT 1", source=[{"k": 1, "status": "done"}])
+    src = spark.table("source")
+    assert set(src.columns) == {"k", "status", "started_at", "error"}
+    row = src.collect()[0]
+    assert row.k == 1 and row.status == "done"
+    assert row.started_at is None and row.error is None
+
+
 def test_merge_table_real_iceberg_roundtrip(tmp_path, spark):
     """The real catalog path — runnable only with the Iceberg runtime jars
     on the classpath (spark-submit --packages iceberg-spark-runtime)."""

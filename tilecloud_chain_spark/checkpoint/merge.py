@@ -89,11 +89,30 @@ class MergeTable:
 
     # -- SQL builders: the single source of truth for BOTH paths -------------
 
+    def _qualify(self, condition: str) -> str:
+        """Conditions come as pandas ``query`` expressions over the TARGET
+        row (e.g. ``status == 'pending'``). For the executed SQL every bare
+        column reference must be qualified as ``t.<col>`` — unqualified, a
+        column present in both target and source raises AMBIGUOUS_REFERENCE
+        (and would not mean the documented target-row semantics anyway)."""
+        import re
+
+        cols = sorted(self.columns, key=len, reverse=True)
+        pattern = r"\b(" + "|".join(re.escape(c) for c in cols) + r")\b"
+        # split out string literals so column names inside them stay verbatim
+        parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", condition)
+        return "".join(
+            part if k % 2 else re.sub(pattern, r"t.\1", part)
+            for k, part in enumerate(parts)
+        )
+
     def _merge_sql(
         self, on: list[str], update: bool, insert: bool,
         matched_condition: str | None,
     ) -> str:
-        cond_sql = f" AND ({matched_condition})" if matched_condition else ""
+        cond_sql = (
+            f" AND ({self._qualify(matched_condition)})" if matched_condition else ""
+        )
         return (
             f"MERGE INTO {self._table_name()} t USING source s ON "
             + " AND ".join(f"t.{c} = s.{c}" for c in on)
@@ -106,24 +125,37 @@ class MergeTable:
 
     def _exec_iceberg(self, sql: str, source: list[dict] | None = None) -> None:
         """Run the logged statement for real: the source rows become the
-        ``source`` temp view the MERGE references."""
+        ``source`` temp view the MERGE references. Source rows are padded to
+        the FULL column set (None for absent columns) so ``UPDATE SET *`` /
+        ``INSERT *`` resolve — and None-padding reproduces the parquet
+        path's semantics exactly (its matched-row replacement is
+        ``{**{c: None for c in columns}, **src_row}``)."""
         if source is not None:
-            self.spark.createDataFrame(pd.DataFrame(source)).createOrReplaceTempView(
-                "source"
-            )
+            padded = pd.DataFrame(source).reindex(columns=self.columns)
+            self.spark.createDataFrame(padded).createOrReplaceTempView("source")
         self.spark.sql(sql)
 
     def _log_only(self, op: str, sql: str, stats: dict) -> None:
         """Iceberg path bookkeeping: the catalog owns snapshots; only the
-        statement log is kept locally (same file the parquet path writes)."""
+        statement log is kept locally (same file the parquet path writes).
+        The sequence number continues from the last logged entry (the local
+        pointer never advances on this path)."""
+        n = (self.snapshots()[-1]["n"] + 1) if os.path.exists(
+            os.path.join(self.root, "log.jsonl")
+        ) else 1
         with open(os.path.join(self.root, "log.jsonl"), "a") as f:
             f.write(json.dumps({
-                "n": self._pointer()["n"], "at": time.time(), "op": op,
-                "sql": sql, **stats,
+                "n": n, "at": time.time(), "op": op, "sql": sql, **stats,
             }) + "\n")
 
     @contextlib.contextmanager
     def _locked(self):
+        """``lock_timeout`` must exceed the longest mutation: a lock older
+        than it is presumed abandoned and broken. Breaking is compare-and-
+        unlink — the stale identity (inode, mtime) is re-confirmed after a
+        settle delay so a racing breaker that already re-acquired (fresh
+        inode/mtime) is never unlinked; the residual stat->unlink window is
+        microseconds against a timeout measured in seconds."""
         lock = os.path.join(self.root, ".lock")
         deadline = time.time() + self.lock_timeout
         while True:
@@ -132,12 +164,18 @@ class MergeTable:
                 break
             except FileExistsError:
                 try:
-                    stale = time.time() - os.path.getmtime(lock) > self.lock_timeout
+                    st = os.stat(lock)
                 except FileNotFoundError:
                     continue  # raced the holder's release; retry immediately
-                if stale:
-                    with contextlib.suppress(FileNotFoundError):
-                        os.unlink(lock)
+                if time.time() - st.st_mtime > self.lock_timeout:
+                    time.sleep(0.05)  # settle: a live re-acquirer shows up here
+                    try:
+                        st2 = os.stat(lock)
+                    except FileNotFoundError:
+                        continue
+                    if (st2.st_ino, st2.st_mtime) == (st.st_ino, st.st_mtime):
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(lock)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(

@@ -21,6 +21,7 @@ Output format mirrors the reference's end-of-run report
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -228,8 +229,9 @@ def cmd_copy(args) -> int:
     if args.process:
         tiles = post_process(tiles, args.process, data_col="data")
     out = tiles.select("layer", "style", "dims", "z", "x", "y", "ext", "data")
-    n = out.count()
-    write_cache(out, args.destination, grid)
+    # ONE pass: write_cache counts as it writes — a separate count() action
+    # would run the whole decode/process/encode pipeline twice
+    n = write_cache(out, args.destination, grid)
     print(f"Nb copied tiles: {n}")
     if owned:
         spark.stop()
@@ -238,11 +240,31 @@ def cmd_copy(args) -> int:
 
 def cmd_process(args) -> int:
     """``generate-process`` analog (reference ``copy_.py:130-167``): apply an
-    allow-listed process to a cache IN PLACE (copy with source ==
-    destination; metatiles disabled like copy mode)."""
+    allow-listed process to a cache IN PLACE (metatiles disabled like copy
+    mode).
+
+    In-place is realized as write-to-temp-then-swap: the Spark job only ever
+    writes the temp tree (a task retry or speculative duplicate re-reads the
+    UNTOUCHED originals — a literal source==destination copy would re-process
+    already-overwritten files on retry), then the driver atomically
+    ``os.replace``s each produced file over its original after the job
+    succeeds."""
+    import shutil
+
+    tmp = args.cache.rstrip("/") + ".__process_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
     args.source = args.cache
-    args.destination = args.cache
-    return cmd_copy(args)
+    args.destination = tmp
+    rc = cmd_copy(args)
+    if rc == 0:
+        for r, _, fs in os.walk(tmp):
+            for f in fs:
+                p = os.path.join(r, f)
+                dst = os.path.join(args.cache, os.path.relpath(p, tmp))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(p, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rc
 
 
 def cmd_import_expiretiles(args) -> int:

@@ -261,6 +261,35 @@ def minhash_signatures_udf(
 
 
 # --------------------------------------------------------------------------
+# pigeonhole block-join helpers (shared by simhash and media frame dedup)
+# --------------------------------------------------------------------------
+
+
+def hash_block(col, lo: int, hi: int):
+    """Bits [lo, hi) of a 64-bit hash Column (the whole hash when the block
+    spans all 64 bits — the mask literal would overflow)."""
+    if hi - lo >= 64:
+        return col
+    return F.shiftrightunsigned(col, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
+
+def first_matching_block(col_a, col_b, bounds: list[tuple[int, int]]):
+    """Index of the FIRST block where two hashes agree (NULL if none).
+
+    The LSH output-dedup filter: a pair agreeing on several pigeonhole
+    blocks is generated once per agreeing block by the block-keyed
+    self-join; keeping rows where the join block == this expression keeps
+    EXACTLY one row per true pair (each (id, block) contributes one join
+    row) as a pure codegen filter — no distinct() shuffle over the joined
+    output."""
+    fm = F.lit(None).cast("int")
+    for c in range(len(bounds) - 1, -1, -1):
+        lo, hi = bounds[c]
+        fm = F.when(hash_block(col_a, lo, hi) == hash_block(col_b, lo, hi), c).otherwise(fm)
+    return fm
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
@@ -325,15 +354,10 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
         F.col(id_col).alias("id"), "simhash"
     ).localCheckpoint(eager=True)
 
-    def _block_key(col, lo: int, hi: int):
-        if hi - lo >= 64:  # single block == whole hash (mask would overflow)
-            return col
-        return F.shiftrightunsigned(col, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
-
     # one explode, NOT a union of nb branches — the plan stays a single
     # projection over the checkpointed simhash table
     blocks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"), _block_key(F.col("simhash"), lo, hi).alias("key"))
+        F.struct(F.lit(c).alias("chunk"), hash_block(F.col("simhash"), lo, hi).alias("key"))
         for c, (lo, hi) in enumerate(bounds)
     ])
     blocked = s.select(
@@ -341,21 +365,11 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
     ).select("id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
     a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
     b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
-    # a pair agreeing on several blocks matches once per block: keep only the
-    # FIRST agreeing block (pure codegen filter — no distinct() shuffle over
-    # the joined output; each (id, chunk) contributes exactly one join row,
-    # so first-match keeps exactly one row per true pair)
-    first_match = F.lit(None).cast("int")
-    for c in range(nb - 1, -1, -1):
-        lo, hi = bounds[c]
-        first_match = F.when(
-            _block_key(F.col("sh_a"), lo, hi) == _block_key(F.col("sh_b"), lo, hi), c
-        ).otherwise(first_match)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return (
         a.join(b, ["chunk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("chunk") == first_match)
+        .filter(F.col("chunk") == first_matching_block(F.col("sh_a"), F.col("sh_b"), bounds))
         .select("id_a", "id_b", ham)
         .filter(F.col("hamming") <= max_hamming)
     )

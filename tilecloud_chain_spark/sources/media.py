@@ -199,15 +199,15 @@ def frame_near_dup_pairs(frames: DataFrame, max_hamming: int = 6) -> DataFrame:
     The frame table is materialized first: a self-join references it twice
     and an unmaterialized lineage would run the decode+phash Arrow stage
     once per side (plan-audited: 4 python evals -> 0)."""
+    from tilecloud_chain_spark.operators.dedup import first_matching_block, hash_block
+
     frames = frames.localCheckpoint(eager=True)
     nb = int(max_hamming) + 1
     bounds = [(c * 64 // nb, (c + 1) * 64 // nb) for c in range(nb)]
     key_structs = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
-            (F.shiftrightunsigned(F.col("phash"), lo)
-             .bitwiseAND(F.lit((1 << (hi - lo)) - 1)) if hi - lo < 64
-             else F.col("phash")).alias("key"),
+            hash_block(F.col("phash"), lo, hi).alias("key"),
         )
         for c, (lo, hi) in enumerate(bounds)
     ])
@@ -220,28 +220,12 @@ def frame_near_dup_pairs(frames: DataFrame, max_hamming: int = 6) -> DataFrame:
     b = keyed.select(F.col("media_id").alias("media_b"), F.col("frame_idx").alias("frame_b"),
                      F.col("phash").alias("ph_b"), "chunk", "key")
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming")
-
-    # a pair whose hashes agree on SEVERAL blocks matches in each of them —
-    # keep it only where chunk == the FIRST agreeing block (pure filter,
-    # whole-stage codegen) instead of paying a distinct() shuffle over the
-    # joined output
-    def _block(col, lo, hi):
-        c = F.shiftrightunsigned(col, lo)
-        return c.bitwiseAND(F.lit((1 << (hi - lo)) - 1)) if hi - lo < 64 else col
-
-    first_match = F.lit(None).cast("int")
-    for c in range(nb - 1, -1, -1):
-        lo, hi = bounds[c]
-        first_match = F.when(
-            _block(F.col("ph_a"), lo, hi) == _block(F.col("ph_b"), lo, hi), c
-        ).otherwise(first_match)
-
     return (
         a.join(b, ["chunk", "key"])
         .filter((F.col("media_a") < F.col("media_b"))
                 | ((F.col("media_a") == F.col("media_b"))
                    & (F.col("frame_a") < F.col("frame_b"))))
-        .filter(F.col("chunk") == first_match)
+        .filter(F.col("chunk") == first_matching_block(F.col("ph_a"), F.col("ph_b"), bounds))
         .select("media_a", "frame_a", "media_b", "frame_b", ham)
         .filter(F.col("hamming") <= max_hamming)
     )

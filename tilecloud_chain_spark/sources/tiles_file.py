@@ -108,13 +108,19 @@ def write_cache(df: DataFrame, root: str, grid) -> int:
     ``grid`` is a Grid (the TileMatrix path segment comes from its
     ``matrix_identifiers()`` so resolution-named matrices round-trip with
     :func:`list_cache` and ``gridmath.wmts_path``); a plain string is
-    accepted for backward compatibility and implies zoom-named matrices."""
+    accepted for backward compatibility and implies zoom-named matrices.
+
+    Returns the number of tiles written (accumulator-counted in the same
+    pass — callers must not pay a second full pipeline execution just to
+    count; exact absent task retries, which can only overcount the
+    display figure, never the files)."""
     import os
 
     if isinstance(grid, str):
         grid_name, idents = grid, None
     else:
         grid_name, idents = grid.name, grid.matrix_identifiers()
+    written = df.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows):
         import sys
@@ -138,6 +144,7 @@ def write_cache(df: DataFrame, root: str, grid) -> int:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
                 f.write(bytes(r.data))
+            written.add(1)
 
     df.foreachPartition(write_part)
-    return 0
+    return written.value
