@@ -209,3 +209,60 @@ def test_render_styled_tiles_operator(spark):
     assert np.array_equal(img, direct)
     # far tile renders empty
     assert out[(0, 0, 0)].n_painted == 0
+
+
+def test_sparse_rasterizer_bit_identical_to_dense():
+    """The sparse-aware kernels (bbox windows + block-pruned segments) must
+    be BIT-IDENTICAL to dense whole-raster evaluation — the pruning skips
+    only pixels that provably cannot pass (triangle inequality). Fixed-seed
+    random multi-part geometries over several raster sizes."""
+    import numpy as np
+
+    from tilecloud_chain_spark.geometry import Geom
+
+    def render_dense(geom, extent, w, h, line_width_px=2.0):
+        minx, miny, maxx, maxy = extent
+        res_x = (maxx - minx) / w
+        res_y = (maxy - miny) / h
+        cx = minx + (np.arange(w) + 0.5) * res_x
+        cy = maxy - (np.arange(h) + 0.5) * res_y
+        px, py = np.meshgrid(cx, cy)
+        mask = np.zeros((h, w), bool)
+        half = 0.5 * line_width_px * res_x
+        for kind, payload in geom.parts:
+            if kind == "polygon":
+                mask |= Geom([(kind, payload)]).contains_points(px, py)
+            elif kind == "line":
+                for i in range(len(payload) - 1):
+                    mask |= R._near_segment(px, py, payload[i], payload[i + 1], half)
+            else:
+                mask |= (np.abs(px - payload[0]) <= half * 2) & (
+                    np.abs(py - payload[1]) <= half * 2
+                )
+        img = np.zeros((h, w, 4), np.uint8)
+        img[mask] = (255, 20, 20, 255)
+        return img
+
+    rng = np.random.default_rng(7)
+    grid = SWISSGRID_5
+    minx, miny, maxx, maxy = grid.bbox
+
+    def rpt():
+        return (float(rng.uniform(minx - 5e4, maxx + 5e4)),
+                float(rng.uniform(miny - 5e4, maxy + 5e4)))
+
+    for trial in range(10):
+        poly = [rpt() for _ in range(5)]
+        ring = ", ".join(f"{x} {y}" for x, y in poly + [poly[0]])
+        line = ", ".join(f"{x} {y}" for x, y in [rpt() for _ in range(4)])
+        px_, py_ = rpt()
+        geom = G.parse_wkt(
+            f"GEOMETRYCOLLECTION(POLYGON(({ring})), LINESTRING({line}), POINT({px_} {py_}))"
+        )
+        w = h = int(rng.choice([64, 256, 640]))
+        ext = (minx, miny,
+               minx + (maxx - minx) * rng.uniform(0.3, 1.2),
+               miny + (maxy - miny) * rng.uniform(0.3, 1.2))
+        a = R.render_extent(geom, ext, w, h)
+        b = render_dense(geom, ext, w, h)
+        assert np.array_equal(a, b), f"trial {trial}: sparse != dense"
