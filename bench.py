@@ -159,11 +159,22 @@ def w_lineitem_agg(spark: SparkSession, sf_dir: str) -> int:
     return out.count()
 
 
+def _read_docs(spark: SparkSession, sf_dir: str):
+    """documents table, split to the session's parallelism: the sf parquet
+    is ONE file/row-group = ONE scan partition, which would run every
+    Arrow-UDF stage single-core (measured 1.6 s -> 0.9 s for the minhash
+    signatures at sf0.1). A 100 TB table arrives in thousands of splits;
+    the round-robin repartition reproduces that property of the real job —
+    partitioning is a property of the job, not of the fixture file."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.repartition(spark.sparkContext.defaultParallelism * 2)
+
+
 def w_minhash(spark: SparkSession, sf_dir: str) -> int:
     """Headline MinHash = the SCALE path (Arrow-batched python-worker md5,
     one pass per doc, no shingle explode/shuffle). This is the plan the
     engine runs at 100 TB."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs(spark, sf_dir)
     return DD.minhash_signatures_udf(docs, num_hashes=8).count()
 
 
@@ -174,7 +185,7 @@ def w_minhash_sql_twin(spark: SparkSession, sf_dir: str) -> int:
     shuffle is cheap); the python-worker path wins at 100 TB where the
     shingle-hash shuffle volume (docs x shingles x hashes) dominates —
     both are kept and labeled."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs(spark, sf_dir)
     return DD.minhash_signatures(docs, num_hashes=8).count()
 
 
@@ -183,7 +194,7 @@ def w_dedup_clusters(spark: SparkSession, sf_dir: str) -> int:
     (large-star/small-star) -> keep flags. The 100 TB dedup pipeline shape."""
     from tilecloud_chain_spark.operators.dedup import dedup_clusters
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _read_docs(spark, sf_dir).select("doc_id", "text")
     return dedup_clusters(docs, threshold=0.6, num_hashes=8, bands=4).count()
 
 
