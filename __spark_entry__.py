@@ -331,6 +331,34 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(embs, q, k=5, qid_col="qid")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing — deterministic per-stratum quota sampling
+    (operators/sampling.py): md5 hash gate per key against a per-stratum
+    hex threshold (lexicographic md5 compare == numeric compare — portable
+    with zero hex-int conversion). Strata here: doc_id % 3; quotas
+    0.5 / 0.2 / 1.0."""
+    from tilecloud_chain_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 3).cast("string").alias("stratum")
+    )
+    return stratified_sample(
+        docs, "stratum", {"0": 0.5, "1": 0.2, "2": 1.0}, "doc_id"
+    )
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split — the split hashes the duplicate
+    CLUSTER (here: exact-content md5), so every copy of a document lands on
+    one side and the test set cannot contain near-copies of training rows."""
+    from tilecloud_chain_spark.operators.sampling import leakage_safe_split
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("cluster")
+    )
+    return leakage_safe_split(docs, "cluster", test_fraction=0.25)
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity over the int8-quantized STORAGE path: quantize the
     embedding table (scale = max|v|/127), dequantize on the fly and rank
@@ -850,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
+        "stratified_sample": q_stratified_sample,
+        "leakage_split": q_leakage_split,
         "knn_docs": q_knn_docs,
         "text_profile": q_text_profile,
         "sparse_metatiles": q_sparse_metatiles,
@@ -1178,6 +1208,24 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5
+    """
+
+    stratified_sample = """
+        WITH docs AS (
+          SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum FROM documents
+        )
+        SELECT doc_id, stratum FROM docs
+        WHERE md5('sample:' || CAST(doc_id AS VARCHAR)) <
+              CASE stratum WHEN '0' THEN '80000000000000000000000000000000'
+                           WHEN '1' THEN '33333333333334000000000000000000'
+                           ELSE 'g' END
+    """
+
+    leakage_split = """
+        SELECT doc_id, md5(text) AS cluster,
+               CASE WHEN md5('split:' || md5(text)) < '40000000000000000000000000000000'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
     """
 
     quantized_topk = """
@@ -1844,6 +1892,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": jaccard_pairs,
         "cosine_topk": cosine_topk,
         "quantized_topk": quantized_topk,
+        "stratified_sample": stratified_sample,
+        "leakage_split": leakage_split,
         "knn_docs": knn_docs,
         "text_profile": text_profile,
         "sparse_metatiles": sparse_metatiles,

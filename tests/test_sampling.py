@@ -1,0 +1,100 @@
+"""Deterministic sampling / leakage-safe split (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark.operators import sampling as SA
+
+
+def test_hex_threshold_edges():
+    assert SA.hex_threshold(0.0) == "0" * 32
+    assert SA.hex_threshold(1.0) == "g"  # > any md5 hex digest
+    t = SA.hex_threshold(0.5)
+    assert len(t) == 32 and t.startswith("8")
+
+
+def test_deterministic_sample_stable_and_nested(spark):
+    """Hash gating: re-runs agree exactly, and thresholds NEST — the 20%
+    sample is a strict subset of the 50% sample under the same salt (an RNG
+    sample has neither property)."""
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s50a = {r.doc_id for r in SA.deterministic_sample(df, 0.5, "doc_id").collect()}
+    s50b = {r.doc_id for r in SA.deterministic_sample(df, 0.5, "doc_id").collect()}
+    s20 = {r.doc_id for r in SA.deterministic_sample(df, 0.2, "doc_id").collect()}
+    assert s50a == s50b
+    assert s20 <= s50a
+    assert abs(len(s50a) / 5000 - 0.5) < 0.05
+    assert abs(len(s20) / 5000 - 0.2) < 0.05
+    # a different salt draws a different (still deterministic) sample
+    other = {r.doc_id for r in SA.deterministic_sample(df, 0.5, "doc_id", salt="v2").collect()}
+    assert other != s50a
+
+
+def test_stratified_sample_quotas(spark):
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+    )
+    out = SA.stratified_sample(
+        df, "stratum", {"0": 0.5, "1": 0.1, "2": 1.0}, "doc_id"
+    )
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts["2"] == 2000  # fraction 1.0 keeps everything
+    assert abs(counts["0"] / 2000 - 0.5) < 0.07
+    assert abs(counts["1"] / 2000 - 0.1) < 0.05
+    # unknown strata default to 0
+    extra = df.withColumn("stratum", F.lit("9"))
+    assert SA.stratified_sample(extra, "stratum", {"0": 1.0}, "doc_id").count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """Every member of a cluster lands on the same side — the property a
+    row-level split violates (near-dup test rows leaking train content)."""
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 500).cast("string").alias("cluster"),
+    )
+    out = SA.leakage_safe_split(df, "cluster", test_fraction=0.25)
+    per_cluster = out.groupBy("cluster").agg(
+        F.countDistinct("split").alias("sides")
+    )
+    assert per_cluster.agg(F.max("sides")).collect()[0][0] == 1
+    test_clusters = out.filter(F.col("split") == "test").select("cluster").distinct().count()
+    assert abs(test_clusters / 500 - 0.25) < 0.07
+    # rows hashed directly WOULD split clusters (sanity of the property)
+    naive = SA.leakage_safe_split(df, "doc_id", test_fraction=0.25)
+    naive_sides = naive.groupBy("cluster").agg(F.countDistinct("split").alias("s"))
+    assert naive_sides.agg(F.max("s")).collect()[0][0] == 2
+
+
+def test_resize_area_and_operator(spark):
+    """Multimodal resize: exact box means, constant stays constant bit-exact,
+    and the DataFrame stage round-trips through the codec."""
+    import numpy as np
+
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import resize_images
+    from tilecloud_chain_spark.sources.images import synth_images
+
+    # 2x2 box mean, exact
+    img = np.array([[0, 255, 0, 255], [0, 255, 0, 255],
+                    [100, 100, 200, 200], [100, 100, 200, 200]], dtype=np.uint8)
+    small = IMG.resize_area(img, 2, 2)
+    assert small.tolist() == [[128, 128], [100, 200]]
+    # constant image stays bit-exact constant at any size
+    const = np.full((32, 32, 4), 77, dtype=np.uint8)
+    assert (IMG.resize_area(const, 7, 5) == 77).all()
+
+    from tilecloud_chain_spark.config import SWISSGRID_5
+    df = synth_images(spark, 20, SWISSGRID_5, size=32)
+    out = resize_images(df.select("image_id", F.col("bytes").alias("data")), 8, 8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.src_w, r.src_h) == (32, 32)
+        dec = IMG.decode(bytes(r.data), "png")
+        assert dec.shape[:2] == (8, 8)
+    # determinism
+    again = {r.image_id: bytes(r.data) for r in
+             resize_images(df.select("image_id", F.col("bytes").alias("data")), 8, 8).collect()}
+    assert {r.image_id: bytes(r.data) for r in rows} == again

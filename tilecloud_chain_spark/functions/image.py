@@ -196,6 +196,22 @@ def _to_gray(img: np.ndarray) -> np.ndarray:
     return rgb @ np.array([0.299, 0.587, 0.114])
 
 
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box (area-mean) resample of an image: (h, w[, c]) uint8/float ->
+    (out_h, out_w[, c]) uint8. Exact mean over source-pixel boxes (integral
+    image), so a k-fold downscale of a constant image is bit-exact constant
+    and repeated runs are deterministic — the multimodal RESIZE kernel the
+    brief mandates, per-channel over :func:`_resize_area`."""
+    if img.ndim == 2:
+        return np.clip(np.rint(_resize_area(img.astype(np.float64), out_h, out_w)),
+                       0, 255).astype(np.uint8)
+    out = np.stack(
+        [_resize_area(img[..., c].astype(np.float64), out_h, out_w)
+         for c in range(img.shape[2])], axis=-1,
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Box (area-mean) resample of a 2-D array."""
     h, w = img.shape

@@ -278,6 +278,42 @@ def render_styled_tiles(
     return df.mapInPandas(render, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    data_col: str = "data",
+    fmt: str = "png",
+) -> DataFrame:
+    """Multimodal RESIZE stage (brief mandate: decode / feature-extract /
+    resize as distributed ops): decode each image, box-resample to
+    (out_w, out_h), re-encode — one Arrow batch stage, one decode per row,
+    no shuffle. Adds ``src_w``/``src_h`` and replaces ``data_col``."""
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in _schema_of(df))
+        + ", src_w int, src_h int"
+    )
+
+    def work(batches):
+        for pdf in batches:
+            datas, ws, hs = [], [], []
+            for data in pdf[data_col]:
+                img = IMG.decode(bytes(data), fmt)
+                hs.append(int(img.shape[0]))
+                ws.append(int(img.shape[1]))
+                small = IMG.resize_area(img, int(out_h), int(out_w))
+                datas.append(
+                    IMG.png_encode(small) if fmt == "png" else IMG.qpng_encode(small)
+                )
+            pdf = pdf.copy()
+            pdf[data_col] = datas
+            pdf["src_w"] = pd.array(ws, dtype="int32")
+            pdf["src_h"] = pd.array(hs, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(work, out_schema)
+
+
 def empty_tile_bytes(tile_size: int, fmt: str = "png") -> bytes:
     """The constant background tile — its digest is the layer's
     ``empty_tile_detection`` fingerprint (FL2)."""
