@@ -359,6 +359,19 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, "cluster", test_fraction=0.25)
 
 
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the documents token stream (2048-token
+    chunks): per-doc stream span + chunk ids. The Spark side is a
+    DISTRIBUTED prefix sum (range partitions + per-partition offsets —
+    never a single-partition global window); the oracle recomputes the same
+    spans with DuckDB's true global window cumsum — different formulation,
+    identical math."""
+    from tilecloud_chain_spark.operators.text import token_stream_chunks
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_stream_chunks(docs, chunk_tokens=2048)
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity over the int8-quantized STORAGE path: quantize the
     embedding table (scale = max|v|/127), dequantize on the fly and rank
@@ -880,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "stratified_sample": q_stratified_sample,
         "leakage_split": q_leakage_split,
+        "token_chunks": q_token_chunks,
         "knn_docs": q_knn_docs,
         "text_profile": q_text_profile,
         "sparse_metatiles": q_sparse_metatiles,
@@ -1219,6 +1233,28 @@ def oracle_sql() -> dict[str, str]:
               CASE stratum WHEN '0' THEN '80000000000000000000000000000000'
                            WHEN '1' THEN '33333333333334000000000000000000'
                            ELSE 'g' END
+    """
+
+    token_chunks = """
+        WITH t AS (
+          SELECT doc_id AS id,
+                 len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS end_off
+          FROM t
+        )
+        SELECT id, n_tokens,
+               CAST(end_off - n_tokens AS BIGINT) AS start_off,
+               CAST(end_off AS BIGINT) AS end_off,
+               CAST(floor((end_off - n_tokens) / 2048.0) AS BIGINT) AS chunk_first,
+               CAST(floor((end_off - 1) / 2048.0) AS BIGINT) AS chunk_last,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE floor((end_off - 1) / 2048.0)
+                         - floor((end_off - n_tokens) / 2048.0) + 1 END AS BIGINT)
+                 AS n_chunks
+        FROM c
     """
 
     leakage_split = """
@@ -1894,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_topk": quantized_topk,
         "stratified_sample": stratified_sample,
         "leakage_split": leakage_split,
+        "token_chunks": token_chunks,
         "knn_docs": knn_docs,
         "text_profile": text_profile,
         "sparse_metatiles": sparse_metatiles,

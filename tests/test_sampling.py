@@ -98,3 +98,40 @@ def test_resize_area_and_operator(spark):
     again = {r.image_id: bytes(r.data) for r in
              resize_images(df.select("image_id", F.col("bytes").alias("data")), 8, 8).collect()}
     assert {r.image_id: bytes(r.data) for r in rows} == again
+
+
+def test_token_stream_chunks(spark):
+    """Concat-and-chunk: offsets are contiguous in id order, chunk ids match
+    hand computation, boundary docs straddle, empty docs touch 0 chunks."""
+    from tilecloud_chain_spark.operators.text import token_stream_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, ""), (4, "f g h i j"), (5, "k")],
+        "doc_id int, text string",
+    )
+    rows = {r.id: r for r in token_stream_chunks(docs, chunk_tokens=4).collect()}
+    # token counts: 3, 2, 0, 5, 1 -> offsets 0..3, 3..5, 5..5, 5..10, 10..11
+    assert (rows[1].start_off, rows[1].end_off) == (0, 3)
+    assert (rows[2].start_off, rows[2].end_off) == (3, 5)
+    assert (rows[3].start_off, rows[3].end_off) == (5, 5)
+    assert (rows[4].start_off, rows[4].end_off) == (5, 10)
+    assert (rows[5].start_off, rows[5].end_off) == (10, 11)
+    # chunks of 4 tokens: doc1 -> chunk 0 only; doc2 straddles 0-1;
+    # doc3 empty -> 0 chunks; doc4 spans chunks 1-2; doc5 in chunk 2
+    assert (rows[1].chunk_first, rows[1].chunk_last, rows[1].n_chunks) == (0, 0, 1)
+    assert (rows[2].chunk_first, rows[2].chunk_last, rows[2].n_chunks) == (0, 1, 2)
+    assert rows[3].n_chunks == 0
+    assert (rows[4].chunk_first, rows[4].chunk_last, rows[4].n_chunks) == (1, 2, 2)
+    assert (rows[5].chunk_first, rows[5].chunk_last, rows[5].n_chunks) == (2, 2, 1)
+    # stream property: every chunk boundary is covered exactly once
+    total = 11
+    covered = sorted((rows[i].start_off, rows[i].end_off) for i in rows)
+    assert covered[0][0] == 0 and covered[-1][1] == total
+    for (s1, e1), (s2, e2) in zip(covered, covered[1:]):
+        assert e1 == s2
+    # scale shape: the prefix sum must NOT funnel all rows into one
+    # partition (an unpartitioned Spark window would show
+    # "Exchange SinglePartition" in the plan)
+    out = token_stream_chunks(docs, chunk_tokens=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

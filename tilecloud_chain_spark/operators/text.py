@@ -118,3 +118,69 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def token_stream_chunks(
+    df: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing — the way pretraining corpora are actually
+    consumed: documents are concatenated into one token stream in a
+    deterministic order (``id_col``, must be unique) and the stream is cut
+    every ``chunk_tokens``; each document reports its span in the stream
+    and the chunk ids it lands in.
+
+    Output: id, n_tokens, start_off, end_off (exclusive), chunk_first,
+    chunk_last, n_chunks (0 for empty documents; boundary docs straddle).
+
+    Scale shape: a DISTRIBUTED prefix sum — never a global-window funnel
+    (Spark executes an unpartitioned window by moving ALL rows to one
+    partition): range-repartition by id, cumsum WITHIN each partition, and
+    add per-partition base offsets computed from a tiny per-partition
+    totals collect (O(partitions) driver data — the zipWithIndex pattern).
+    Offsets are exact in doubles below 2^53 tokens, far past any corpus."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    base = (
+        df.select(F.col(id_col).alias("id"), token_count(t).alias("n_tokens"))
+        .repartitionByRange(parts, "id")
+        .sortWithinPartitions("id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # referenced twice: totals + cumsum
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in base.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):  # range partitions are in ascending id order
+        offsets[pid] = acc
+        acc += int(totals[pid])
+    off_map = F.create_map(
+        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+    )
+    win = (
+        Window.partitionBy("_pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win) + off_map[F.col("_pid")]
+    out = base.select(
+        "id", "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_off"),
+        cum.alias("end_off"),
+    )
+    # double division (exact for offsets < 2^53) keeps the arithmetic
+    # identical across engines for the oracle
+    c = F.lit(float(chunk_tokens))
+    first = F.floor(F.col("start_off") / c).cast("long")
+    last = F.floor((F.col("end_off") - 1) / c).cast("long")
+    return out.select(
+        "id", "n_tokens", "start_off", "end_off",
+        first.alias("chunk_first"), last.alias("chunk_last"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(last - first + 1).cast("long").alias("n_chunks"),
+    )
