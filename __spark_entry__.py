@@ -1238,7 +1238,7 @@ def oracle_sql() -> dict[str, str]:
     token_chunks = """
         WITH t AS (
           SELECT doc_id AS id,
-                 len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tokens
+                 len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS n_tokens
           FROM documents
         ), c AS (
           SELECT id, CAST(n_tokens AS INTEGER) AS n_tokens,

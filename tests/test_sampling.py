@@ -135,3 +135,43 @@ def test_token_stream_chunks(spark):
     out = token_stream_chunks(docs, chunk_tokens=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_token_chunks_oracle_tokenizer_parity(spark):
+    """The token_chunks oracle must tokenize EXACTLY like Spark's tokens()
+    (\\s+ regex) — a single-space split diverges on tabs/newlines and would
+    shift every downstream offset. Both engines over the same tricky text."""
+    import duckdb
+
+    from tilecloud_chain_spark.operators.text import token_count
+
+    tricky = [(1, "a\tb c"), (2, "x\n\ny  z"), (3, "  lead trail  "), (4, "")]
+    df = spark.createDataFrame(tricky, "doc_id int, text string")
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    con = duckdb.connect()
+    oracle = dict(con.execute(
+        "SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        " x -> x != '')) FROM (VALUES (1, 'a\tb c'), (2, 'x' || chr(10) || chr(10) || 'y  z'),"
+        " (3, '  lead trail  '), (4, '')) AS t(doc_id, text)"
+    ).fetchall())
+    assert got == {1: 3, 2: 3, 3: 2, 4: 0}
+    assert oracle == got
+
+
+def test_resize_area_upscale_no_black_rows():
+    """Upscaling must never emit the zero-filled rows/columns the raw
+    integer-boundary boxes degenerate to when out > in (advisor-confirmed
+    bug): constants stay constant, gradients stay within bounds."""
+    import numpy as np
+
+    from tilecloud_chain_spark.functions.image import resize_area
+
+    assert (resize_area(np.full((4, 4), 100, np.uint8), 8, 8) == 100).all()
+    assert (resize_area(np.full((4, 4, 4), 33, np.uint8), 9, 7) == 33).all()
+    mixed = resize_area(np.full((4, 16), 7, np.uint8), 8, 8)  # up x, down y
+    assert mixed.shape == (8, 8) and (mixed == 7).all()
+    g = (np.arange(16, dtype=np.uint8).reshape(4, 4) * 16)
+    gu = resize_area(g, 8, 8)
+    assert gu.min() >= 0 and gu.max() <= 240
+    assert all(list(gu[i]) == sorted(gu[i]) for i in range(8))  # monotone rows

@@ -198,10 +198,20 @@ def _to_gray(img: np.ndarray) -> np.ndarray:
 
 def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Box (area-mean) resample of an image: (h, w[, c]) uint8/float ->
-    (out_h, out_w[, c]) uint8. Exact mean over source-pixel boxes (integral
-    image), so a k-fold downscale of a constant image is bit-exact constant
-    and repeated runs are deterministic — the multimodal RESIZE kernel the
-    brief mandates, per-channel over :func:`_resize_area`."""
+    (out_h, out_w[, c]) uint8 — the multimodal RESIZE kernel the brief
+    mandates. Downscale is the exact mean over source-pixel boxes (integral
+    image). UPSCALE first replicates each source dimension by
+    ``ceil(out/in)`` (so every output box covers >= 1 replicated pixel) and
+    area-means down — the raw integer-boundary boxes DEGENERATE to zero
+    area when out > in and would emit black rows/columns. Constant images
+    stay bit-exact constant both ways; output is deterministic."""
+    h, w = img.shape[:2]
+    rep_h = max(1, -(-int(out_h) // h))  # ceil
+    rep_w = max(1, -(-int(out_w) // w))
+    if rep_h > 1:
+        img = np.repeat(img, rep_h, axis=0)
+    if rep_w > 1:
+        img = np.repeat(img, rep_w, axis=1)
     if img.ndim == 2:
         return np.clip(np.rint(_resize_area(img.astype(np.float64), out_h, out_w)),
                        0, 255).astype(np.uint8)

@@ -148,7 +148,8 @@ def token_stream_chunks(
     base = (
         df.select(F.col(id_col).alias("id"), token_count(t).alias("n_tokens"))
         .repartitionByRange(parts, "id")
-        .sortWithinPartitions("id")
+        # no sortWithinPartitions: nothing consumes partition-local order —
+        # the totals agg is order-free and the window re-sorts by id anyway
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # referenced twice: totals + cumsum
     )
