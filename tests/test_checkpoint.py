@@ -324,3 +324,62 @@ def test_merge_table_concurrent_writers_no_lost_update(tmp_path):
     os.utime(os.path.join(root, ".lock"), (0, 0))  # ancient mtime -> stale
     fast.merge([{"k": 999, "status": "recovered"}], on=["k"])
     assert 999 in set(fast.read().k)
+
+
+def test_live_lock_heartbeat_never_broken(tmp_path):
+    """A holder whose mutation outlives lock_timeout must NOT have its live
+    lock broken (the heartbeat refreshes mtime while held): a long-held lock
+    forces the second writer to WAIT, and both mutations land."""
+    import threading
+    import time as _time
+
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    root = str(tmp_path / "hb")
+    t = MergeTable(root, ["k", "status"], lock_timeout=0.3)
+    entered = threading.Event()
+    order = []
+
+    def slow_holder():
+        with t._locked():
+            entered.set()
+            _time.sleep(1.0)  # 3x the timeout — stale without heartbeats
+            order.append("holder_done")
+
+    th = threading.Thread(target=slow_holder)
+    th.start()
+    entered.wait(2.0)
+    w2 = MergeTable(root, ["k", "status"], lock_timeout=5.0)
+    w2.merge([{"k": 1, "status": "second"}], on=["k"])
+    order.append("second_done")
+    th.join()
+    # the second writer only got in after the holder released
+    assert order == ["holder_done", "second_done"]
+    assert set(w2.read().k) == {1}
+
+
+def test_log_only_tolerates_truncated_log(tmp_path):
+    """An existing-but-empty log.jsonl (crash truncation) must restart the
+    sequence at 1, not IndexError."""
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    root = str(tmp_path / "trunc")
+    t = MergeTable(root, ["k"])
+    open(f"{root}/log.jsonl", "w").close()  # exists, zero entries
+    t._log_only("merge", "MERGE INTO x", {})
+    snaps = t.snapshots()
+    assert [s["n"] for s in snaps] == [1]
+
+
+def test_merge_stats_shape_consistent(tmp_path):
+    """merge() returns the {'updated', 'inserted'} keys on every path —
+    parquet fills ints; the Iceberg summary helper degrades to None values
+    (never a missing key) when no snapshot metadata is reachable."""
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    t = MergeTable(str(tmp_path / "shape"), ["k", "v"])
+    stats = t.merge([{"k": 1, "v": "a"}], on=["k"])
+    assert set(stats) == {"updated", "inserted"}
+    assert stats == {"updated": 0, "inserted": 1}
+    t.spark = None  # no session: the summary query must degrade, not raise
+    assert t._iceberg_merge_stats() == {"updated": None, "inserted": None}

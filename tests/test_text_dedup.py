@@ -253,3 +253,95 @@ def test_quantize_zero_vector_survives_ansi(spark):
         "vec_id", SIM.dequantize(F.col("q"), F.col("scale")).alias("v")
     )
     assert list(back.filter(F.col("vec_id") == 1).first().v) == [0.0, 0.0, 0.0]
+
+
+def _dup_heavy_corpus(spark, docs, copies=4):
+    """Corpus with heavy exact duplication (the degenerate-bucket scenario):
+    40 base docs, each exactly duplicated `copies` times, plus near-dup
+    mutants of a few."""
+    base = docs.select("doc_id", "text").limit(40)
+    parts = [base]
+    for c in range(1, copies + 1):
+        parts.append(
+            base.select((F.col("doc_id") + 700000 * c).alias("doc_id"), "text")
+        )
+    near = base.limit(6).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.unionAll(near)
+
+
+@pytest.mark.parametrize("use_scale_path", [True, False])
+def test_collapse_exact_value_identical(spark, docs, use_scale_path):
+    """The exact-dup-collapsed pipeline (the degenerate-bucket fix) must be
+    VALUE-identical to the uncollapsed one on a duplicate-heavy corpus —
+    same (id_a, id_b, jaccard) set, both signature paths."""
+    df = _dup_heavy_corpus(spark, docs)
+    kw = dict(threshold=0.6, num_hashes=8, bands=4, rows_per_band=2,
+              use_scale_path=use_scale_path)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_dedup_pairs(df, collapse_exact=True, **kw).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_dedup_pairs(df, collapse_exact=False, **kw).collect()
+    }
+    assert got == want
+    # the scenario must actually contain exact-dup groups wide enough to
+    # have produced degenerate buckets, or this proves nothing
+    assert any(j == 1.0 for _, _, j in want)
+
+
+def test_star_mode_identical_clusters(spark, docs):
+    """exact_pairs='star' emits O(n) edges instead of O(g^2) pairs per exact
+    group; connected components (hence dedup_clusters) must be identical to
+    the expanded form."""
+    df = _dup_heavy_corpus(spark, docs)
+    kw = dict(threshold=0.6, num_hashes=8, bands=4, rows_per_band=2)
+    star = DD.minhash_dedup_pairs(df, exact_pairs="star", **kw)
+    expand = DD.minhash_dedup_pairs(df, exact_pairs="expand", **kw)
+    # star emits strictly fewer rows on a dup-heavy corpus
+    assert star.count() < expand.count()
+    cc_star = {(r.id, r.component) for r in DD.connected_components(star).collect()}
+    cc_exp = {(r.id, r.component) for r in DD.connected_components(expand).collect()}
+    assert cc_star == cc_exp
+
+
+def test_max_bucket_cap_subset_and_other_band_recall(spark, docs):
+    """max_bucket drops flooded buckets: output must be a subset of the
+    uncapped candidates, and pairs agreeing on a non-flooded band survive."""
+    base = docs.select("doc_id", "text").limit(60)
+    near = base.limit(10).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    df = base.unionAll(near)
+    sig = DD.minhash_signatures(df, num_hashes=8)
+    uncapped = {(r.id_a, r.id_b) for r in DD.lsh_candidate_pairs(sig, 4, 2).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(sig, 4, 2, max_bucket=2).collect()
+    }
+    assert capped <= uncapped
+    # exact semantics: a pair survives iff SOME band where it agrees has
+    # bucket width <= cap — recompute that directly from the signatures
+    sigs = {r.id: list(r.sig) for r in sig.collect()}
+    buckets: dict[tuple, list] = {}
+    for i, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, tuple(s[b * 2 : b * 2 + 2])), []).append(i)
+    want = set()
+    for members in buckets.values():
+        if len(members) <= 2:
+            for x in members:
+                for y in members:
+                    if x < y:
+                        want.add((x, y))
+    assert capped == want
+    # and the fixture must actually have flooded buckets, or the cap is untested
+    assert any(len(m) > 2 for m in buckets.values())

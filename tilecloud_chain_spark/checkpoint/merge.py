@@ -140,9 +140,8 @@ class MergeTable:
         statement log is kept locally (same file the parquet path writes).
         The sequence number continues from the last logged entry (the local
         pointer never advances on this path)."""
-        n = (self.snapshots()[-1]["n"] + 1) if os.path.exists(
-            os.path.join(self.root, "log.jsonl")
-        ) else 1
+        entries = self.snapshots()  # robust to an existing-but-empty log
+        n = (entries[-1]["n"] + 1) if entries else 1
         with open(os.path.join(self.root, "log.jsonl"), "a") as f:
             f.write(json.dumps({
                 "n": n, "at": time.time(), "op": op, "sql": sql, **stats,
@@ -150,12 +149,21 @@ class MergeTable:
 
     @contextlib.contextmanager
     def _locked(self):
-        """``lock_timeout`` must exceed the longest mutation: a lock older
-        than it is presumed abandoned and broken. Breaking is compare-and-
-        unlink — the stale identity (inode, mtime) is re-confirmed after a
-        settle delay so a racing breaker that already re-acquired (fresh
-        inode/mtime) is never unlinked; the residual stat->unlink window is
-        microseconds against a timeout measured in seconds."""
+        """A lock with no heartbeat for ``lock_timeout`` seconds is presumed
+        abandoned and broken. While HELD, a daemon thread touches the lock
+        file's mtime every ``lock_timeout / 3`` seconds, so a LIVE holder is
+        never broken no matter how long its mutation runs (the Iceberg path
+        holds the lock across a Spark MERGE job that can exceed any static
+        timeout) — staleness measures holder death, not mutation length.
+
+        Breaking is compare-and-unlink — the stale identity (inode, mtime)
+        is re-confirmed after a settle delay so a racing breaker that
+        already re-acquired (fresh inode/mtime) is never unlinked, and a
+        heartbeat landing during the settle window changes mtime and vetoes
+        the break; the residual stat->unlink window is microseconds against
+        a timeout measured in seconds."""
+        import threading
+
         lock = os.path.join(self.root, ".lock")
         deadline = time.time() + self.lock_timeout
         while True:
@@ -182,11 +190,22 @@ class MergeTable:
                         f"MergeTable commit lock busy for >{self.lock_timeout}s: {lock}"
                     )
                 time.sleep(0.02)
+        stop = threading.Event()
+
+        def _heartbeat() -> None:
+            while not stop.wait(self.lock_timeout / 3.0):
+                with contextlib.suppress(FileNotFoundError):
+                    os.utime(lock)
+
+        hb = threading.Thread(target=_heartbeat, daemon=True)
         try:
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
+            hb.start()
             yield
         finally:
+            stop.set()
+            hb.join(timeout=1.0)
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(lock)
 
@@ -235,15 +254,45 @@ class MergeTable:
         <condition>] THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]``.
 
         ``matched_condition`` is a pandas ``query`` expression over the
-        TARGET row (Iceberg's ``WHEN MATCHED AND t.<cond>``)."""
+        TARGET row (Iceberg's ``WHEN MATCHED AND t.<cond>``).
+
+        Returns ``{"updated": int|None, "inserted": int|None}`` on BOTH
+        paths — the Iceberg path fills the counts from the new snapshot's
+        summary when the catalog exposes it, else leaves them None (never a
+        missing key, so callers reading ``stats["updated"]`` behave the
+        same with and without the runtime jars)."""
         if self.use_iceberg:
             sql = self._merge_sql(on, update, insert, matched_condition)
             with self._locked():
                 self._exec_iceberg(sql, source)
-                self._log_only("merge", sql, {})
-            return {}  # row stats live in the Iceberg snapshot summary
+                stats = self._iceberg_merge_stats()
+                self._log_only("merge", sql, stats)
+            return stats
+
         with self._locked():
             return self._merge_locked(source, on, update, insert, matched_condition)
+
+    def _iceberg_merge_stats(self) -> dict:
+        """Row stats for the just-committed MERGE from the table's snapshot
+        summary (``<table>.snapshots`` metadata table). Iceberg reports
+        updates as replaced rows: ``updated-records`` isn't emitted by a
+        copy-on-write MERGE, so it stays None there; ``added-records`` minus
+        updates approximates inserts only under merge-on-read — report what
+        the summary actually carries, None otherwise."""
+        try:
+            row = self.spark.sql(
+                f"SELECT summary FROM {self._table_name()}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()[0]
+            summary = dict(row["summary"])
+            upd = summary.get("updated-records")
+            ins = summary.get("added-records")
+            return {
+                "updated": int(upd) if upd is not None else None,
+                "inserted": int(ins) if ins is not None else None,
+            }
+        except Exception:
+            return {"updated": None, "inserted": None}
 
     def _merge_locked(self, source, on, update, insert, matched_condition) -> dict:
         src = pd.DataFrame(source)

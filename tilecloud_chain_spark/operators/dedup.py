@@ -154,14 +154,28 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 8, rows_per_band: int = 2
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs agreeing on ALL rows of any
     band become a candidate pair. Output: id_a < id_b distinct.
 
     Single explode over a band-struct array (one pass over the signature
     table) — a union of ``bands`` branches would re-evaluate the upstream
-    signature computation per branch."""
+    signature computation per branch.
+
+    Scale note — degenerate buckets: the self-join emits |bucket|² pairs per
+    bucket, so a bucket holding B docs with IDENTICAL signatures (exact or
+    near-exact duplicates) costs B² regardless of AQE skew-splitting. The
+    primary defense is upstream: :func:`minhash_dedup_pairs` collapses exact
+    duplicates to one representative per md5(text) group BEFORE banding, so
+    identical docs never share a bucket here. ``max_bucket`` is the residual
+    backstop for near-exact floods that survive collapsing (e.g. boilerplate
+    differing only in a timestamp): buckets wider than the cap are DROPPED
+    with an explicit recall trade-off — every true pair in a dropped bucket
+    is still generated by any OTHER band the pair agrees on, so recall loss
+    only hits pairs whose every agreeing band is flooded. Default None keeps
+    exact LSH semantics (required for the cross-engine oracle)."""
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -175,6 +189,15 @@ def lsh_candidate_pairs(
     banded = sig.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
     ).localCheckpoint(eager=True)  # self-join below references it twice
+    if max_bucket is not None:
+        widths = banded.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_bw")
+        )
+        banded = (
+            banded.join(widths, ["band", "band_hash"])
+            .filter(F.col("_bw") <= int(max_bucket))
+            .drop("_bw")
+        )
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b2 = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -195,16 +218,105 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_scale_path: bool = True,
+    collapse_exact: bool = True,
+    exact_pairs: str = "expand",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets ->
     candidate pairs -> exact-Jaccard verification (only candidates pay the
     verification join). ``use_scale_path`` computes signatures with the
     python-worker twin (no shingle explode/shuffle — the 100 TB plan);
-    False uses the SQL-expressible form (value-identical, oracle parity)."""
+    False uses the SQL-expressible form (value-identical, oracle parity).
+
+    ``collapse_exact`` (default True — the degenerate-bucket fix): group
+    docs by md5(text) first and run the whole MinHash/LSH/verify pipeline on
+    ONE representative per group (the min id). Identical docs have identical
+    signatures, so without collapsing, a corpus with B copies of one
+    boilerplate page puts all B in the same bucket in EVERY band — B² join
+    output per band before any distinct, the quadratic blowup that kills
+    duplicate-heavy corpora at 10^12 rows. With collapsing, LSH work is
+    linear in the number of DISTINCT texts; exact-duplicate relations are
+    reconstructed afterwards from the md5 group table.
+
+    Value-identical to the uncollapsed pipeline (property-tested): docs a, b
+    share an LSH bucket iff their representatives do (signatures are pure
+    functions of text), and jaccard(a, b) == jaccard(rep_a, rep_b).
+
+    ``exact_pairs`` controls how within-group (exact-duplicate) relations
+    are emitted:
+    - ``"expand"`` (default): every member pair, jaccard 1.0 — the exact
+      output of the uncollapsed pipeline. Output is inherently O(sum g²)
+      rows for group sizes g, but each row is O(1) compute (no shingling,
+      no verification) and the expansion is a pair of joins on the group
+      key — never a skewed LSH bucket join.
+    - ``"star"``: within-group relations as (rep, member) star edges with
+      jaccard 1.0, and cross-group pairs at representative level only —
+      O(n) output, connectivity-equivalent (identical connected components,
+      hence identical dedup clusters). The 100 TB path for clustering.
+    """
+    if exact_pairs not in ("expand", "star"):
+        raise ValueError(f"exact_pairs must be 'expand' or 'star', got {exact_pairs!r}")
     sig_fn = minhash_signatures_udf if use_scale_path else minhash_signatures
-    sig = sig_fn(df, num_hashes, k, text_col, id_col)
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    return jaccard_pairs(df, threshold, k, text_col, id_col, candidates=cand)
+    if not collapse_exact:
+        sig = sig_fn(df, num_hashes, k, text_col, id_col)
+        cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket)
+        return jaccard_pairs(df, threshold, k, text_col, id_col, candidates=cand)
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("_chash"),
+    )
+    # one representative (min id) per distinct text; md5-equal => text-equal
+    # so any member's text stands for the group (first() over identical rows)
+    groups = keyed.groupBy("_chash").agg(
+        F.min("id").alias("rep_id"),
+        F.first("text").alias("text"),
+        F.count("*").alias("_gsz"),
+    ).localCheckpoint(eager=True)  # referenced by reps, membership, and fan-out
+    reps = groups.select(F.col("rep_id").alias(id_col), F.col("text").alias(text_col))
+
+    sig = sig_fn(reps, num_hashes, k, text_col, id_col)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket)
+    rep_pairs = jaccard_pairs(reps, threshold, k, text_col, id_col, candidates=cand)
+
+    mem = keyed.join(groups.select("_chash", "rep_id"), "_chash").select("id", "rep_id")
+    one = F.round(F.lit(1.0), 6)
+    if exact_pairs == "star":
+        within = (
+            mem.filter(F.col("id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                one.alias("jaccard"),
+            )
+        )
+        cross = rep_pairs
+    else:
+        within = (
+            mem.alias("ma")
+            .join(mem.alias("mb"), F.col("ma.rep_id") == F.col("mb.rep_id"))
+            .filter(F.col("ma.id") < F.col("mb.id"))
+            .select(
+                F.col("ma.id").alias("id_a"),
+                F.col("mb.id").alias("id_b"),
+                one.alias("jaccard"),
+            )
+        )
+        ma = mem.select(F.col("rep_id").alias("id_a"), F.col("id").alias("a_mem"))
+        mb = mem.select(F.col("rep_id").alias("id_b"), F.col("id").alias("b_mem"))
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("a_mem", "b_mem").alias("id_a"),
+                F.greatest("a_mem", "b_mem").alias("id_b"),
+                "jaccard",
+            )
+        )
+    if threshold > 1.0:
+        within = within.filter(F.lit(False))
+    return cross.unionAll(within)
 
 
 def minhash_signatures_udf(
@@ -495,9 +607,15 @@ def dedup_clusters(
 ) -> DataFrame:
     """Full near-dup dedup decision: MinHash-LSH pairs -> connected
     components -> (doc_id, cluster, keep). ``keep`` = the cluster's min id
-    (the reference-analog of HashDropper keeping one representative)."""
+    (the reference-analog of HashDropper keeping one representative).
+
+    Uses the exact-duplicate-collapsed pipeline with star edges: exact
+    duplicates contribute O(group) edges instead of O(group²) pairs, and
+    LSH banding only ever sees distinct texts — connectivity (and therefore
+    every cluster and keep decision) is identical to the expanded form."""
     prs = minhash_dedup_pairs(
-        df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col
+        df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col,
+        exact_pairs="star",
     )
     cc = connected_components(prs)
     all_ids = df.select(F.col(id_col).alias("id")).distinct()

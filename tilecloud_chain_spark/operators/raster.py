@@ -79,11 +79,14 @@ def geom_mask(
     line_width_px: float = 2.0,
     fill: bool = True,
     stroke: bool = True,
+    marker_px: float | None = None,
 ) -> np.ndarray:
     """Sparse-aware pixel-center mask of ``geom`` over ``extent``. ``fill``
     paints polygon interiors; ``stroke`` paints line segments and point
     markers (and, when ``fill`` is off, polygon ring outlines as closed
-    lines — the styled renderer's stroke pass)."""
+    lines — the styled renderer's stroke pass). ``marker_px`` sets the point
+    marker's square FULL width in pixels independently of the stroke width;
+    None keeps the default coupling (marker width = 2 x line width)."""
     minx, miny, maxx, maxy = extent
     res_x = (maxx - minx) / w
     res_y = (maxy - miny) / h
@@ -131,7 +134,7 @@ def geom_mask(
         else:  # point: square marker
             if not stroke:
                 continue
-            r = half * 2
+            r = 0.5 * marker_px * res_x if marker_px is not None else half * 2
             i0, i1, j0, j1 = window(
                 payload[0] - r, payload[0] + r, payload[1] - r, payload[1] + r
             )
@@ -216,8 +219,8 @@ def render_extent_styled(
     - ``fill``: RGBA tuple — polygon interior (source-over blended)
     - ``stroke``: RGBA tuple — polygon outlines, lines, point markers
     - ``stroke_width_px``: line/outline width (default 2.0)
-    - ``marker_px``: point marker half-width multiplier inherits the stroke
-      width convention of :func:`geom_mask`
+    - ``marker_px``: point marker square full width in px (default: twice
+      the stroke width, :func:`geom_mask`'s coupling)
 
     Same sparse-aware kernels as :func:`render_extent`; pixel-center
     sampling keeps the metatile-slice == direct-render invariant."""
@@ -230,7 +233,11 @@ def render_extent_styled(
             m = geom_mask(geom, extent, w, h, width, fill=True, stroke=False)
             _composite(img, m, fill)
         if stroke is not None:
-            m = geom_mask(geom, extent, w, h, width, fill=False, stroke=True)
+            mpx = style.get("marker_px")
+            m = geom_mask(
+                geom, extent, w, h, width, fill=False, stroke=True,
+                marker_px=float(mpx) if mpx is not None else None,
+            )
             _composite(img, m, stroke)
     return img
 

@@ -191,13 +191,18 @@ def knn_adaptive(
     sparse region silently returns < k rows.
 
     The escalation loop is driver-side CONTROL FLOW only — no query data is
-    ever collected to the driver. Each round's result is
-    ``localCheckpoint``-ed once (it is referenced by both the done-filter
-    and the final union; an uncheckpointed plan would re-run the cell join
-    per reference and grow the ``remaining`` lineage round over round), and
-    the resolved queries are removed with a broadcast **left-anti join**
-    (never ``collect()`` + ``isin`` — at millions of queries the IN-list
-    literal alone blows up the plan). Property-tested equal to
+    ever collected to the driver. One BLOCKING materialization per round:
+    the round's result ``out`` is eagerly ``localCheckpoint``-ed (it is
+    referenced by both the done-filter and the final union; an
+    uncheckpointed plan would re-run the cell join per reference).
+    ``done`` is NOT checkpointed — it is a cheap aggregation over the
+    already-checkpointed ``out`` — and ``remaining`` checkpoints LAZILY,
+    piggybacking on the emptiness-check action that runs anyway (a full
+    ``count()``, never ``limit(1)``: a partial action would checkpoint only
+    the computed partitions and later scans would hit missing blocks).
+    Resolved queries are removed with a broadcast **left-anti join** (never
+    ``collect()`` + ``isin`` — at millions of queries the IN-list literal
+    alone blows up the plan). Property-tested equal to
     :func:`knn_bruteforce` on adversarially clustered data.
     """
     w, h = grid.matrix_size(zoom)
@@ -217,12 +222,12 @@ def knn_adaptive(
         )
         done = stats.filter(
             (F.col("n") >= k) & (F.col("kth") < F.lit(float(r) * span))
-        ).select(qid_col).localCheckpoint(eager=True)
+        ).select(qid_col)
         pieces.append(out.join(broadcast(done), qid_col, "left_semi"))
         remaining = remaining.join(
             broadcast(done), qid_col, "left_anti"
-        ).localCheckpoint(eager=True)
-        if remaining.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if remaining.count() == 0:
             break
         r *= 2
     result = pieces[0]
