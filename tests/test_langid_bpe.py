@@ -1,0 +1,119 @@
+"""Trained n-gram language ID + merge-table BPE tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark.operators import bpe as BP
+from tilecloud_chain_spark.operators import langid as LI
+
+TRAIN = [
+    ("en", "the quick brown fox jumps over the lazy dog and then sleeps"),
+    ("en", "this is a sentence with common english words and the usual endings"),
+    ("en", "what are the things that make language identification work well"),
+    ("de", "der schnelle braune fuchs springt ueber den faulen hund und schlaeft"),
+    ("de", "dies ist ein satz mit den ueblichen deutschen woertern und endungen"),
+    ("de", "was sind die dinge die die spracherkennung gut funktionieren lassen"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux et dort"),
+    ("fr", "ceci est une phrase avec les mots francais habituels et les terminaisons"),
+    ("fr", "quelles sont les choses qui font bien fonctionner la reconnaissance"),
+    ("es", "el rapido zorro marron salta sobre el perro perezoso y luego duerme"),
+    ("es", "esta es una frase con las palabras espanolas habituales y terminaciones"),
+    ("es", "cuales son las cosas que hacen que funcione bien la identificacion"),
+]
+
+HELD_OUT = [
+    (1, "en", "the dog jumps over things and the fox sleeps well"),
+    (2, "de", "der hund springt und der fuchs schlaeft gut in der nacht"),
+    (3, "fr", "le chien saute et le renard dort bien dans la nuit"),
+    (4, "es", "el perro salta y el zorro duerme bien por la noche"),
+    (5, "und", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    train = spark.createDataFrame(TRAIN, "lang string, text string")
+    return LI.train_ngram_profiles(train, top_k=200).cache()
+
+
+def test_langid_classifies_held_out(spark, profiles):
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in HELD_OUT], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lang_pred for r in LI.langid_ngram(df, profiles).collect()}
+    for i, want, _ in HELD_OUT:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_langid_udf_twin_identical(spark, profiles, sf_dir):
+    """The Arrow scale path must equal the SQL-expressible form on real
+    fixture documents (plus the held-out multilingual rows)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900000 + i, t) for i, _, t in HELD_OUT], "doc_id long, text string"
+    )
+    df = docs.unionAll(extra)
+    a = {(r.doc_id, r.lang_pred, r.score)
+         for r in LI.langid_ngram(df, profiles).collect()}
+    b = {(r.doc_id, r.lang_pred, r.score)
+         for r in LI.langid_ngram_udf(df, profiles).collect()}
+    assert a == b
+
+
+def test_char_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, ""), (4, "  a   b  ")],
+        "i int, t string",
+    )
+    got = {r.i: list(r.g) for r in
+           df.select("i", LI.char_ngrams(F.col("t")).alias("g")).collect()}
+    assert got[1] == ["abc", "bcd"]
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == ["a b"]  # whitespace runs collapse to one space
+
+
+def test_bpe_trains_classic_merges(spark):
+    """Sennrich's worked example: low/lower/newest/widest learns es, est,
+    est</w>, lo, low as the first merges, and 'lowest' encodes to
+    low + est</w>."""
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = BP.train_bpe(df, num_merges=5)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                      ("l", "o"), ("lo", "w")]
+    enc = BP.bpe_encode(
+        spark.createDataFrame([(7, "lowest")], "doc_id long, text string"), merges
+    ).collect()[0]
+    assert list(enc.bpe_tokens) == ["low", "est</w>"]
+    assert enc.n_bpe_tokens == 2
+
+
+def test_bpe_encode_roundtrip_and_counts(spark, sf_dir):
+    """On fixture documents: concatenating a word's BPE symbols (minus the
+    end marker) reproduces the word, and the doc's token count is bounded by
+    its character count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50)
+    merges = BP.train_bpe(docs, num_merges=60, max_vocab=5000)
+    assert len(merges) > 0
+    rows = BP.bpe_encode(docs, merges).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows[:20]:
+        words = texts[r.doc_id].lower().split()
+        joined = "".join(r.bpe_tokens).replace(BP.EOW, " ").split()
+        assert joined == words
+        assert r.n_bpe_tokens <= sum(len(w) + 1 for w in words)
+        assert r.n_bpe_tokens >= len(words)  # at least one symbol per word
+
+
+def test_bpe_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(30)
+    m1 = BP.train_bpe(docs, num_merges=25)
+    m2 = BP.train_bpe(docs.repartition(7), num_merges=25)
+    assert m1 == m2

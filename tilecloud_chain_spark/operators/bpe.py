@@ -1,0 +1,150 @@
+"""Merge-table byte-pair encoding (training-data pipeline extension;
+upgrades the ceil(len/4) subword ESTIMATE in ``operators.text`` to a real
+trained-vocabulary tokenizer).
+
+Public-knowledge algorithm (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): train = repeatedly merge
+the most frequent adjacent symbol pair over a word-frequency vocabulary;
+encode = greedily apply the learned merges in training order per word.
+
+Scale shape (the same division of labor real tokenizer trainings use, and
+the same pattern as ``similarity.kmeans_centroids``): the CORPUS-sized work
+— word counting — is a distributed explode + groupBy (one shuffle over the
+100 TB input); the merge loop then runs driver-side over the aggregated
+(word, freq) vocabulary, which is orders of magnitude smaller and BOUNDED
+here by ``max_vocab`` top-frequency rows (deterministic order). Encoding is
+an Arrow-batched stage with the merge table broadcast in the closure — one
+pass per document, no shuffle, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tilecloud_chain_spark.operators.text import tokens
+
+#: end-of-word marker appended to each word's symbol sequence (standard BPE)
+EOW = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — the distributed,
+    corpus-sized half of BPE training."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def train_bpe_merges(
+    word_freqs: DataFrame, num_merges: int = 100, max_vocab: int = 50_000
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merge rules from a (word, freq) table.
+
+    Collects the top ``max_vocab`` words (freq desc, word asc —
+    deterministic) and runs the pair-count/merge loop driver-side; ties on
+    pair count break lexicographically so the merge table is reproducible.
+    Stops early when no pair occurs twice."""
+    rows = (
+        word_freqs.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(int(max_vocab))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(list(r["word"]) + [EOW])
+        vocab[syms] = vocab.get(syms, 0) + int(r["freq"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        top = max(counts.values())
+        if top < 2:
+            break
+        best = min(p for p, c in counts.items() if c == top)
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard greedy BPE apply: repeatedly merge the pair with the LOWEST
+    training rank until none applies."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize each document with the learned merge table. Output:
+    (id_col, bpe_tokens array<string>, n_bpe_tokens int). One Arrow-batched
+    stage; the merge table (tiny) ships in the closure; per-word results
+    are memoized within each batch (corpora repeat words heavily)."""
+    import pandas as pd
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def encode(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_col, counts = [], []
+            for t in pdf[text_col]:
+                out: list[str] = []
+                for w in (t or "").lower().split():
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        cache[w] = enc
+                    out.extend(enc)
+                toks_col.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bpe_tokens": toks_col,
+                "n_bpe_tokens": pd.array(counts, dtype="int32"),
+            })
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        encode, f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe_tokens int"
+    )
+
+
+def train_bpe(df: DataFrame, num_merges: int = 100, max_vocab: int = 50_000,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Convenience: distributed word count + driver merge loop."""
+    return train_bpe_merges(word_frequencies(df, text_col), num_merges, max_vocab)

@@ -1,0 +1,189 @@
+"""Trained character-n-gram language identification (training-data pipeline
+extension; upgrades the 5-word marker heuristic in ``operators.text``).
+
+Method is public knowledge (Cavnar & Trenkle 1994, n-gram text
+categorization; naive-Bayes n-gram scoring as in langid.py / CLD): per
+language, a profile of its top-K character n-grams with log-frequency
+weights; a document is scored per language by summing the weights of its
+n-gram occurrences (a fixed floor penalty for grams outside the profile)
+and normalizing by the document's gram count. Profiles are PLUGGABLE — any
+(lang, gram, w_micro) DataFrame trained on any corpus plugs into
+:func:`langid_ngram`.
+
+Engine-portability: weights are MICRO-integers (``round(ln(p) * 1e6)`` as
+BIGINT), so every aggregation is an exact integer sum — float group-sums
+are order-dependent in their last bits across engines, integer sums are
+not — and the whole train+classify pipeline has an exact ANSI-SQL oracle.
+
+Scale shape: training is one explode + groupBy over the training corpus
+(linear, one shuffle) + a per-language top-K window over the (lang, gram)
+counts table (small). Classification's SQL form is one explode + two
+groupBys; the scale path (:func:`langid_ngram_udf`) scores inside Arrow
+batches against the broadcast profile dict — no gram explode, no shuffle,
+one pass per document (property-tested equal to the SQL form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+#: floor log-probability (micro units) for grams absent from a profile;
+#: ln(1e-6) ~= -13.8 rounded to a portable constant
+MISS_PENALTY_MICRO = -14_000_000
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-grams of the whitespace-normalized lowercase text
+    (empty array for texts shorter than ``n``)."""
+    s = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), ln - (n - 1))
+    return F.when(
+        ln >= n, F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_ngram_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 200,
+) -> DataFrame:
+    """Train per-language profiles: the top ``top_k`` n-grams per language
+    (count desc, gram asc — deterministic) with micro-integer log-frequency
+    weights ``w_micro = round(ln(cnt / total_lang_grams) * 1e6)``."""
+    g = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = g.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .join(totals, "lang")
+        .select(
+            "lang", "gram",
+            F.round(F.log(F.col("cnt") / F.col("tot")) * F.lit(1e6))
+            .cast("long").alias("w_micro"),
+        )
+    )
+
+
+def langid_ngram(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    miss_penalty_micro: int = MISS_PENALTY_MICRO,
+) -> DataFrame:
+    """Classify each document against the profile table (SQL-expressible
+    form). Output: (id_col, lang_pred, score) — score is the winning
+    language's mean per-gram log-probability; 'und' / 0.0 for documents
+    with no n-grams. Ties break lexicographically on language."""
+    doc_n = df.select(
+        F.col(id_col).alias("id"),
+        F.size(char_ngrams(F.col(text_col), n)).alias("n_grams"),
+    )
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    matched = (
+        grams.join(broadcast(profiles), "gram")
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("w_micro")).alias("mw"),
+            F.sum("c").alias("mc"),
+        )
+    )
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_n.crossJoin(broadcast(langs))
+        .join(matched, ["id", "lang"], "left")
+        .select(
+            "id", "lang", "n_grams",
+            (
+                F.coalesce("mw", F.lit(0))
+                + (F.col("n_grams") - F.coalesce("mc", F.lit(0)))
+                * F.lit(int(miss_penalty_micro))
+            ).alias("score_micro"),
+        )
+    )
+    win = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("n_grams") == 0, F.lit("und"))
+            .otherwise(F.col("lang")).alias("lang_pred"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("score_micro") / F.col("n_grams") / F.lit(1e6), 6
+                )
+            ).alias("score"),
+        )
+    )
+
+
+def langid_ngram_udf(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    miss_penalty_micro: int = MISS_PENALTY_MICRO,
+) -> DataFrame:
+    """Scale-path twin of :func:`langid_ngram`: profiles collected once
+    (bounded: langs x top_k rows) and broadcast inside an Arrow-batched
+    stage; each document is scored in one pass with NO gram explode and no
+    shuffle. Identical output (property-tested)."""
+    import re
+
+    import pandas as pd
+
+    prof_rows = profiles.collect()  # bounded: len(langs) * top_k
+    table: dict[str, dict[str, int]] = {}
+    for r in prof_rows:
+        table.setdefault(r["lang"], {})[r["gram"]] = int(r["w_micro"])
+    langs = sorted(table)
+    pen = int(miss_penalty_micro)
+    nn = int(n)
+    ws = re.compile(r"\s+")
+
+    def score(batches):
+        for pdf in batches:
+            ids, preds, scores = pdf[id_col], [], []
+            for t in pdf[text_col]:
+                s = ws.sub(" ", (t or "").strip().lower())
+                if len(s) < nn:
+                    preds.append("und")
+                    scores.append(0.0)
+                    continue
+                grams = [s[i : i + nn] for i in range(len(s) - nn + 1)]
+                best_lang, best_score = None, None
+                for lang in langs:
+                    prof = table[lang]
+                    sc = sum(prof.get(g, pen) for g in grams)
+                    if best_score is None or sc > best_score:
+                        best_lang, best_score = lang, sc
+                preds.append(best_lang)
+                scores.append(round(best_score / len(grams) / 1e6, 6))
+            yield pd.DataFrame({id_col: ids, "lang_pred": preds, "score": scores})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        score, f"{id_col} {id_type}, lang_pred string, score double"
+    )
