@@ -345,3 +345,27 @@ def test_max_bucket_cap_subset_and_other_band_recall(spark, docs):
     assert capped == want
     # and the fixture must actually have flooded buckets, or the cap is untested
     assert any(len(m) > 2 for m in buckets.values())
+
+
+def test_dedup_lines_first_occurrence_and_empty_doc(spark):
+    """Corpus line dedup: the shared boilerplate line survives only in its
+    first (doc_id, line_no) occurrence; a doc made entirely of duplicate
+    lines keeps an empty clean_text but stays in the output."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nSUBSCRIBE NOW\ngamma delta"),
+            (2, "epsilon zeta\nSUBSCRIBE NOW\nalpha beta"),
+            (3, "SUBSCRIBE NOW\nalpha beta"),  # all lines are dups
+            (4, "unique line here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in DD.dedup_lines(df).collect()}
+    assert got[1].clean_text == "alpha beta\nSUBSCRIBE NOW\ngamma delta"
+    assert (got[1].n_lines, got[1].n_kept) == (3, 3)
+    assert got[2].clean_text == "epsilon zeta"
+    assert (got[2].n_lines, got[2].n_kept) == (3, 1)
+    assert got[3].clean_text == ""
+    assert (got[3].n_lines, got[3].n_kept) == (2, 0)
+    assert got[4].clean_text == "unique line here"
+    assert len(got) == 4

@@ -373,6 +373,54 @@ def minhash_signatures_udf(
 
 
 # --------------------------------------------------------------------------
+# corpus-level line dedup (ccnet / RefinedWeb-style boilerplate removal)
+# --------------------------------------------------------------------------
+
+
+def dedup_lines(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Remove duplicate LINES across the whole corpus, keeping each line's
+    first occurrence in (id, line_no) order — the ccnet/RefinedWeb
+    boilerplate-removal pass (navigation chrome, cookie banners, repeated
+    headers appear verbatim across millions of pages; public-knowledge
+    method, e.g. Wenzek et al. 2020 "CCNet").
+
+    Output: (id_col, clean_text, n_lines, n_kept) for EVERY input doc —
+    a doc whose every line is a duplicate keeps an empty clean_text.
+
+    Scale shape: one posexplode (linear), one window shuffle keyed on the
+    line hash (first-occurrence rank — identical lines co-locate; the skew
+    cure for a mega-duplicated line is the same hash-partition AQE handles),
+    one groupBy(id) to reassemble. No self-joins, no driver state; exactly
+    reproducible in ANSI SQL (the oracle uses the same rank formulation)."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    win = Window.partitionBy(F.md5("line")).orderBy("id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("line_no"), F.col("line"))
+    )  # no otherwise: NULLs vanish from collect_list
+    agg = ranked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+        ).alias("clean_text"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col), "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
 # pigeonhole block-join helpers (shared by simhash and media frame dedup)
 # --------------------------------------------------------------------------
 
