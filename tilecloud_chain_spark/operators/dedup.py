@@ -90,19 +90,53 @@ def jaccard_pairs(
 
     Without ``candidates``: all pairs sharing >=1 shingle (correct and
     shuffle-bound — the oracle path). With ``candidates`` (id_a, id_b):
-    verify only those (the LSH path).
+    verify ONLY those pairs, each directly via ``array_intersect`` over the
+    two docs' shingle-set arrays — two id-keyed joins plus per-pair set
+    intersection (hash-set build, linear in the pair's text), NEVER the
+    shingle-co-occurrence self-join: with a small shared vocabulary the
+    co-occurrence join degrades toward all-pairs among the candidate docs
+    even when the candidate PAIR list is tiny (measured 3.8 s -> 0.6 s for
+    811 pairs at sf0.1), and at 10^12 docs it reintroduces exactly the
+    blowup LSH exists to avoid.
     Output: id_a < id_b, jaccard (rounded 6dp) >= threshold.
     """
     if candidates is not None:
         # restrict the DOCUMENTS to candidate ids BEFORE shingling — the
         # verify stage must never pay the full-corpus shingle explode (at
-        # 10^12 docs the candidate set is orders of magnitude smaller), and
-        # certainly never the full pairs-sharing-a-shingle join (the
-        # all-pairs scale killer LSH exists to avoid)
+        # 10^12 docs the candidate set is orders of magnitude smaller)
         cand_ids = candidates.select(F.col("id_a").alias(id_col)).unionAll(
             candidates.select(F.col("id_b").alias(id_col))
         ).distinct()
-        df = df.join(cand_ids, id_col, "left_semi")
+        restricted = df.join(cand_ids, id_col, "left_semi")
+        sets = (
+            shingles(restricted, k, text_col, id_col)
+            .groupBy("id")
+            .agg(F.collect_list("shingle").alias("sh"), F.count("*").alias("sz"))
+            .localCheckpoint(eager=True)  # referenced by both pair sides
+        )
+        j = (
+            candidates.select("id_a", "id_b")
+            .join(
+                sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                            F.col("sz").alias("sz_a")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                            F.col("sz").alias("sz_b")),
+                "id_b",
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            j.select(
+                "id_a", "id_b",
+                F.round(
+                    inter / (F.col("sz_a") + F.col("sz_b") - inter), 6
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     sh = shingles(df, k, text_col, id_col).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -113,8 +147,6 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -277,7 +309,12 @@ def minhash_dedup_pairs(
     reps = groups.select(F.col("rep_id").alias(id_col), F.col("text").alias(text_col))
 
     sig = sig_fn(reps, num_hashes, k, text_col, id_col)
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket)
+    # checkpoint: the verify stage references the candidate list twice (the
+    # id-restriction semi-join and the pair join) — uncheckpointed, the band
+    # self-join would re-execute per reference
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket).localCheckpoint(
+        eager=True
+    )
     rep_pairs = jaccard_pairs(reps, threshold, k, text_col, id_col, candidates=cand)
 
     mem = keyed.join(groups.select("_chash", "rep_id"), "_chash").select("id", "rep_id")
