@@ -296,17 +296,19 @@ def minhash_dedup_pairs(
 
     keyed = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
         F.md5(F.col(text_col)).alias("_chash"),
     )
-    # one representative (min id) per distinct text; md5-equal => text-equal
-    # so any member's text stands for the group (first() over identical rows)
+    # one representative (min id) per distinct text. Only (id, hash) goes
+    # through the group shuffle — never the text bytes (at 10^12 rows the
+    # text column dwarfs everything else); representatives pick their text
+    # back up with a semi-join against the source table.
     groups = keyed.groupBy("_chash").agg(
         F.min("id").alias("rep_id"),
-        F.first("text").alias("text"),
         F.count("*").alias("_gsz"),
     ).localCheckpoint(eager=True)  # referenced by reps, membership, and fan-out
-    reps = groups.select(F.col("rep_id").alias(id_col), F.col("text").alias(text_col))
+    reps = df.select(F.col(id_col), F.col(text_col)).join(
+        groups.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+    )
 
     sig = sig_fn(reps, num_hashes, k, text_col, id_col)
     # checkpoint: the verify stage references the candidate list twice (the
