@@ -20,3 +20,61 @@ def test_marker_px_decouples_point_size_from_stroke():
     # default: full width 2*2=4px -> ~25 px^2; marker_px=16 -> ~289 px^2
     assert n_base < n_big
     assert abs(n_big - 17 * 17) <= 2 * 17  # square of half-width 8 at centers
+
+
+def test_build_overviews_mosaic_and_missing_quadrant(spark):
+    """2x2 constant-color children mosaic into exact parent quadrants
+    (box mean of a constant is bit-exact); a missing child leaves its
+    quadrant fully transparent; coordinates halve."""
+    import numpy as np
+
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import build_overviews
+
+    ts = 16
+    colors = {(0, 0): (255, 0, 0, 255), (1, 0): (0, 255, 0, 255),
+              (0, 1): (0, 0, 255, 255)}  # (2,5) quadrant (1,1) missing
+    rows = []
+    for (qx, qy), c in colors.items():
+        img = np.zeros((ts, ts, 4), np.uint8)
+        img[:] = c
+        rows.append((3, 4 + qx, 10 + qy, bytearray(IMG.png_encode(img))))
+    # a second, complete parent far away
+    full = np.zeros((ts, ts, 4), np.uint8)
+    full[:] = (9, 9, 9, 255)
+    for qx in (0, 1):
+        for qy in (0, 1):
+            rows.append((3, 20 + qx, 30 + qy, bytearray(IMG.png_encode(full))))
+    df = spark.createDataFrame(rows, "z int, x int, y int, data binary")
+    got = {(r.z, r.x, r.y): r for r in build_overviews(df, ts).collect()}
+    assert set(got) == {(2, 2, 5), (2, 10, 15)}
+    p = got[(2, 2, 5)]
+    assert p.n_children == 3
+    img = IMG.png_decode(bytes(p.data))
+    half = ts // 2
+    assert tuple(img[0, 0]) == (255, 0, 0, 255)            # qx=0,qy=0
+    assert tuple(img[0, half]) == (0, 255, 0, 255)         # qx=1,qy=0
+    assert tuple(img[half, 0]) == (0, 0, 255, 255)         # qx=0,qy=1
+    assert tuple(img[half, half]) == (0, 0, 0, 0)          # missing -> transparent
+    q = got[(2, 10, 15)]
+    assert q.n_children == 4
+    img2 = IMG.png_decode(bytes(q.data))
+    assert (img2 == np.array([9, 9, 9, 255], np.uint8)).all()
+
+
+def test_build_overviews_deterministic(spark):
+    import numpy as np
+
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import build_overviews
+
+    ts = 8
+    rows = []
+    for i in range(8):
+        img = IMG.synth_pixels(seed=i, h=ts, w=ts)
+        rows.append((5, i % 4, i // 4, bytearray(IMG.png_encode(img))))
+    df = spark.createDataFrame(rows, "z int, x int, y int, data binary")
+    a = sorted((r.z, r.x, r.y, bytes(r.data)) for r in build_overviews(df, ts).collect())
+    b = sorted((r.z, r.x, r.y, bytes(r.data))
+               for r in build_overviews(df.repartition(5), ts).collect())
+    assert a == b

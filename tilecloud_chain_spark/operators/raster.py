@@ -551,3 +551,71 @@ def psnr_vs_rerender(
 
 def _schema_of(df: DataFrame) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+def build_overviews(
+    df: DataFrame,
+    tile_size: int,
+    data_col: str = "data",
+    fmt: str = "png",
+) -> DataFrame:
+    """Build zoom z-1 OVERVIEW tiles by mosaicking each parent's up-to-four
+    z-level children (2x2 layout) and box-downsampling 2ts -> ts — the
+    inverse of the metatile split (gdal2tiles-style overview building:
+    render the deepest zoom once, derive ancestors by composition instead
+    of re-rendering every level).
+
+    Input rows: (z, x, y, data). Output: (z, x, y, n_children, data) at
+    z-1; quadrants with no child tile stay fully transparent.
+
+    Scale shape: ONE shuffle — groupBy the parent key, so each parent's
+    children co-locate (hash-partitioned by (z-1, x//2, y//2); uniform by
+    construction since every parent has <= 4 children); decode + compose +
+    area-resample + encode all happen in one Arrow stage. Iterating this
+    operator z_max times builds the whole pyramid with z_max shuffles,
+    each half the linear size of the previous."""
+    ts = int(tile_size)
+    z = F.col("z").cast("int")
+    x = F.col("x").cast("int")
+    y = F.col("y").cast("int")
+    g = df.select(
+        (z - 1).alias("z"),
+        F.floor(x / 2).cast("int").alias("x"),
+        F.floor(y / 2).cast("int").alias("y"),
+        (x % 2).alias("qx"),
+        (y % 2).alias("qy"),
+        F.col(data_col).alias("data"),
+    )
+    grouped = g.groupBy("z", "x", "y").agg(
+        F.collect_list(F.struct("qx", "qy", "data")).alias("children")
+    )
+
+    def mosaic(batches):
+        for pdf in batches:
+            datas, counts = [], []
+            for children in pdf["children"]:
+                canvas = np.zeros((2 * ts, 2 * ts, 4), dtype=np.uint8)
+                for ch in children:
+                    img = IMG.decode(bytes(ch["data"]), fmt)
+                    if img.ndim == 2:  # grayscale -> RGB
+                        img = np.stack([img] * 3, axis=-1)
+                    if img.shape[2] == 3:  # RGB -> RGBA (opaque)
+                        img = np.concatenate(
+                            [img, np.full((*img.shape[:2], 1), 255, np.uint8)],
+                            axis=2,
+                        )
+                    qx, qy = int(ch["qx"]), int(ch["qy"])
+                    canvas[qy * ts : (qy + 1) * ts, qx * ts : (qx + 1) * ts] = img
+                out = IMG.resize_area(canvas, ts, ts)
+                datas.append(
+                    IMG.png_encode(out) if fmt == "png" else IMG.qpng_encode(out)
+                )
+                counts.append(len(children))
+            out_pdf = pdf[["z", "x", "y"]].copy()
+            out_pdf["n_children"] = pd.array(counts, dtype="int32")
+            out_pdf["data"] = datas
+            yield out_pdf
+
+    return grouped.mapInPandas(
+        mosaic, "z int, x int, y int, n_children int, data binary"
+    )
