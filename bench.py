@@ -236,6 +236,88 @@ def w_image_split(spark: SparkSession, sf_dir: str) -> int:
     return children.count()
 
 
+def w_line_dedup(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus line dedup (ccnet boilerplate removal) over synthesized
+    3-line pages with a shared boilerplate line in every page: posexplode +
+    one line-hash first-occurrence window + reassembly."""
+    from tilecloud_chain_spark.operators.dedup import dedup_lines
+    from tilecloud_chain_spark.operators.text import tokens
+
+    docs = _read_docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat_ws(" ", F.slice(toks, 1, 12)),
+            F.lit("subscribe to our newsletter today"),
+            F.concat_ws(" ", F.slice(toks, 13, 12)),
+        ).alias("text"),
+    )
+    return dedup_lines(pages).count()
+
+
+def w_langid(spark: SparkSession, sf_dir: str) -> int:
+    """Trained trigram language ID, SCALE path: profiles trained on a small
+    embedded corpus (one explode+groupBy), classification in Arrow batches
+    against the broadcast profile dict — no gram explode."""
+    from tilecloud_chain_spark.operators import langid as LI
+
+    train = spark.createDataFrame(
+        [("en", "the quick brown fox jumps over the lazy dog and sleeps"),
+         ("de", "der schnelle braune fuchs springt ueber den faulen hund"),
+         ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+         ("es", "el rapido zorro marron salta sobre el perro perezoso")],
+        "lang string, text string",
+    )
+    profiles = LI.train_ngram_profiles(train, top_k=200)
+    docs = _read_docs(spark, sf_dir)
+    return LI.langid_ngram_udf(docs, profiles).count()
+
+
+def w_bpe(spark: SparkSession, sf_dir: str) -> int:
+    """Merge-table BPE: distributed word count + 60 driver-side merges +
+    Arrow-batched greedy encode of every document."""
+    from tilecloud_chain_spark.operators import bpe as BP
+
+    docs = _read_docs(spark, sf_dir)
+    merges = BP.train_bpe(docs, num_merges=60, max_vocab=20000)
+    return BP.bpe_encode(docs, merges).count()
+
+
+def w_overviews(spark: SparkSession, sf_dir: str) -> int:
+    """Pyramid overview building: 1024 synthetic 128px child tiles ->
+    256 parents (one parent-key shuffle; decode/compose/resample/encode in
+    one Arrow stage)."""
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import build_overviews
+
+    ts = 128
+    side = 32  # 32x32 children -> 16x16 parents
+    base = spark.range(side * side).select(
+        F.lit(6).alias("z"),
+        (F.col("id") % side).cast("int").alias("x"),
+        (F.col("id") / side).cast("int").alias("y"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            datas = [
+                IMG.png_encode(IMG.synth_pixels(int(z) * 100000 + int(x) * 317 + int(y), ts, ts))
+                for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"])
+            ]
+            out = pdf.copy()
+            out["data"] = datas
+            yield out
+
+    tiles = base.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        synth, "z int, x int, y int, data binary"
+    )
+    return build_overviews(tiles, ts).count()
+
+
 WORKLOADS = {
     "assign": w_assign,
     "cell_join": w_cell_join,
@@ -248,6 +330,10 @@ WORKLOADS = {
     "dedup_clusters": w_dedup_clusters,
     "frame_dedup": w_frame_dedup,
     "expire": w_expire,
+    "line_dedup": w_line_dedup,
+    "langid": w_langid,
+    "bpe": w_bpe,
+    "overviews": w_overviews,
 }
 
 
@@ -351,6 +437,16 @@ _R2_DRIVER_QUERIES = {
     "lineitem_agg": 0.436, "minhash": 1.784, "minhash_sql_twin": 1.008,
     "image_split": 8.568, "dedup_clusters": 14.934, "frame_dedup": 5.425,
     "expire": 1.842,
+}
+
+# the driver's BENCH_r03.json per-query measurements — the current
+# round-over-round anchor (r3 used the same normalized min-of-3 protocol,
+# so "vs r3" ratios are like-for-like; queries marked "new" have no anchor)
+_R3_DRIVER_QUERIES = {
+    "assign": 1.53, "cell_join": 0.917, "geom_filter": 0.538, "knn": 1.211,
+    "lineitem_agg": 0.295, "minhash": 0.718, "minhash_sql_twin": 0.812,
+    "image_split": 0.418, "dedup_clusters": 6.323, "frame_dedup": 1.472,
+    "expire": 1.457,
 }
 
 
@@ -560,20 +656,20 @@ def _write_bench_md(result: dict) -> None:
         "Per-query wall seconds at sf="
         + str(result["sf"])
         + f" on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]."
-        + " CAVEAT on 'vs r2': r2 was ONE unnormalized pass while these are"
-        + " min-of-" + os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")
-        + " normalized — protocol alone flatters the ratio by roughly the"
-        + " phase factor plus min-vs-single selection (~10-30% combined);"
-        + " read only large ratios (>=2x either way) as code effects:",
+        + " 'vs r3' is like-for-like (r3 used the same normalized min-of-"
+        + os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")
+        + " protocol, driver-measured); queries added this round have no"
+        + " anchor and are marked new — the TOTAL is therefore not"
+        + " comparable to r3's total, read per-query rows:",
         "",
-        "| query | r2 driver sec | sec | normalized | vs r2 |",
+        "| query | r3 driver sec | sec | normalized | vs r3 |",
         "|---|---|---|---|---|",
     ]
     for k, v in result["queries"].items():
-        r2 = _R2_DRIVER_QUERIES.get(k)
+        r3 = _R3_DRIVER_QUERIES.get(k)
         norm = result["queries_normalized"].get(k, v)
-        ratio = f"{norm / r2:.2f}x" if r2 else "new"
-        lines.append(f"| {k} | {r2 if r2 is not None else '—'} | {v} | {norm} | {ratio} |")
+        ratio = f"{norm / r3:.2f}x" if r3 else "new"
+        lines.append(f"| {k} | {r3 if r3 is not None else '—'} | {v} | {norm} | {ratio} |")
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))

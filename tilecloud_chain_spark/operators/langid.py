@@ -152,14 +152,28 @@ def langid_ngram_udf(
     shuffle. Identical output (property-tested)."""
     import re
 
+    import numpy as np
     import pandas as pd
 
     prof_rows = profiles.collect()  # bounded: len(langs) * top_k
-    table: dict[str, dict[str, int]] = {}
+    by_lang: dict[str, dict[str, int]] = {}
     for r in prof_rows:
-        table.setdefault(r["lang"], {})[r["gram"]] = int(r["w_micro"])
-    langs = sorted(table)
+        by_lang.setdefault(r["lang"], {})[r["gram"]] = int(r["w_micro"])
+    langs = sorted(by_lang)
     pen = int(miss_penalty_micro)
+    # ONE lookup per gram: gram -> int64 weight vector over all languages
+    # (missing-from-that-profile entries pre-filled with the penalty), so a
+    # doc scores with len(grams) dict hits + one numpy column sum instead of
+    # len(grams) * len(langs) scalar lookups
+    pen_vec = np.full(len(langs), pen, dtype=np.int64)
+    table: dict[str, np.ndarray] = {}
+    for li, lang in enumerate(langs):
+        for gram, wm in by_lang[lang].items():
+            vec = table.get(gram)
+            if vec is None:
+                vec = pen_vec.copy()
+                table[gram] = vec
+            vec[li] = wm
     nn = int(n)
     ws = re.compile(r"\s+")
 
@@ -172,15 +186,21 @@ def langid_ngram_udf(
                     preds.append("und")
                     scores.append(0.0)
                     continue
-                grams = [s[i : i + nn] for i in range(len(s) - nn + 1)]
-                best_lang, best_score = None, None
-                for lang in langs:
-                    prof = table[lang]
-                    sc = sum(prof.get(g, pen) for g in grams)
-                    if best_score is None or sc > best_score:
-                        best_lang, best_score = lang, sc
-                preds.append(best_lang)
-                scores.append(round(best_score / len(grams) / 1e6, 6))
+                n_grams = len(s) - nn + 1
+                acc = np.zeros(len(langs), dtype=np.int64)
+                found = 0
+                get = table.get
+                for i in range(n_grams):
+                    vec = get(s[i : i + nn])
+                    if vec is not None:
+                        acc += vec
+                        found += 1
+                tot = acc + pen_vec * (n_grams - found)
+                # argmax with lexicographic tiebreak == first max over the
+                # sorted language axis
+                best = int(np.argmax(tot))
+                preds.append(langs[best])
+                scores.append(round(int(tot[best]) / n_grams / 1e6, 6))
             yield pd.DataFrame({id_col: ids, "lang_pred": preds, "score": scores})
 
     id_type = dict(df.dtypes)[id_col]
