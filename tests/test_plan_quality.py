@@ -112,3 +112,53 @@ def test_expire_boundary_single_shuffle(spark):
     # one exchange for the distinct cells + one for the edge-parity groupBy
     assert plan.count("Exchange") <= 2
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def _final_plan(plan: str) -> str:
+    """AQE's executed-plan string prints the final plan AND the initial
+    plan; count operators only in the final section."""
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_build_overviews_single_shuffle(spark):
+    """Overview building = exactly one Exchange (the parent-key groupBy);
+    decode/compose/resample/encode all live in one Arrow stage after it."""
+    import numpy as np
+
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import build_overviews
+
+    ts = 8
+    img = np.zeros((ts, ts, 4), np.uint8)
+    rows = [(3, x, y, bytearray(IMG.png_encode(img))) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "z int, x int, y int, data binary")
+    plan = _final_plan(_executed(build_overviews(df, ts)))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_langid_scale_path_no_shuffle(spark):
+    """The Arrow classification path is shuffle-free: one mapInPandas over
+    the documents, profiles broadcast in the closure."""
+    from tilecloud_chain_spark.operators import langid as LI
+
+    train = spark.createDataFrame(
+        [("en", "the quick brown fox jumps over the lazy dog")],
+        "lang string, text string",
+    )
+    profiles = LI.train_ngram_profiles(train, top_k=50)
+    docs = spark.createDataFrame([(1, "hello world three grams")],
+                                 "doc_id long, text string")
+    plan = _executed(LI.langid_ngram_udf(docs, profiles))
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_lines_two_shuffles(spark):
+    """Line dedup = the first-occurrence window shuffle + the per-doc
+    reassembly shuffle; nothing else (no self-joins)."""
+    from tilecloud_chain_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    plan = _final_plan(_executed(dedup_lines(df)))
+    assert plan.count("Exchange") <= 2, plan
