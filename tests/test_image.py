@@ -76,9 +76,11 @@ def test_psnr_identical_is_inf():
     assert IMG.psnr(img, img) == float("inf")
 
 
-def test_jpeg_stub_raises():
-    with pytest.raises(NotImplementedError):
-        IMG.jpeg_encode(IMG.synth_pixels(1, 8, 8))
+def test_jpeg_real_codec_roundtrips():
+    """fmt='jpeg' is a real engine-owned baseline codec now (was a stub);
+    full conformance suite lives in tests/test_jpeg.py."""
+    img = IMG.synth_pixels(1, 8, 8)
+    assert IMG.psnr(img, IMG.decode(IMG.jpeg_encode(img), "jpeg")) >= 38.0
 
 
 def test_phash_properties():

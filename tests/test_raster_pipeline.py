@@ -266,3 +266,24 @@ def test_sparse_rasterizer_bit_identical_to_dense():
         a = R.render_extent(geom, ext, w, h)
         b = render_dense(geom, ext, w, h)
         assert np.array_equal(a, b), f"trial {trial}: sparse != dense"
+
+
+def test_split_fidelity_real_jpeg(spark):
+    """The halo/fidelity check through the REAL baseline JPEG codec
+    (functions/jpeg.py): metatile renders encode to JFIF, children slice
+    and re-encode, and every decoded child holds the BASELINE
+    PSNR >= 40 dB invariant against a direct render (alpha dropped —
+    JPEG carries none, same as the reference's Mapnik jpeg path)."""
+    geom = G.parse_wkt(LAYERS["line"].geom_wkt)
+    geoms = {0: geom}
+    metas = EN.sparse_metatiles(spark, SWISSGRID_5, geoms, [0], n=8)
+    rendered = R.render_metatiles(
+        metas, SWISSGRID_5, geoms, tile_size=TS, meta_buffer=MB, fmt="jpeg"
+    )
+    children = R.split_metatile_images(
+        rendered, tile_size=TS, meta_buffer=MB, fmt="jpeg",
+        clamp_matrix=SWISSGRID_5.matrix_size(0),
+    )
+    audited = R.psnr_vs_rerender(children, SWISSGRID_5, geoms, tile_size=TS, fmt="jpeg")
+    mins = audited.agg(F.min("psnr").alias("m")).collect()[0].m
+    assert mins >= 40.0, mins

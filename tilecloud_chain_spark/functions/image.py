@@ -12,12 +12,13 @@ Our payload path (BASELINE.json input_hint): an image table
 - ``png``  — real, spec-conformant PNG (8-bit RGB/RGBA/gray, all five scanline
   filters on decode, filter-0 encode), implemented on numpy + zlib. Public
   knowledge: PNG spec (RFC 2083 / ISO 15948).
-- ``qpng`` — deterministic *lossy* stand-in for JPEG (the container ships no
-  JPEG codec): channels quantized to 6 bits then PNG-encoded. Round-trip
-  PSNR ≈ 46 dB — exercises the BASELINE "PSNR ≥ 40 dB for lossy" invariant
-  with a real reconstruction-error measurement.
-- JPEG proper is gated behind an import-try of Pillow and raises
-  ``NotImplementedError`` here (clearly-marked stub per driver instruction).
+- ``qpng`` — deterministic *lossy* quick codec (channels quantized to 6 bits
+  then PNG-encoded, round-trip PSNR ≈ 46 dB) — kept as the fast lossy path
+  for benchmarks.
+- ``jpeg`` — REAL baseline JPEG (ITU T.81 / JFIF, 4:4:4, Annex K tables)
+  implemented in :mod:`tilecloud_chain_spark.functions.jpeg` on numpy +
+  stdlib; encoder AND decoder (incl. restart markers). Cross-validated by
+  decoding a real libjpeg-produced file without desync.
 
 All functions are batch-shaped (arrays in, arrays out) so they drop into
 Arrow-batched pandas UDFs / ``mapInPandas`` with zero per-row Python overhead
@@ -142,22 +143,37 @@ def qpng_encode(img: np.ndarray) -> bytes:
     return png_encode(q.astype(np.uint8))
 
 
-def jpeg_encode(img: np.ndarray) -> bytes:  # pragma: no cover - env-gated
-    """Real JPEG — STUB: the container ships no JPEG codec. Plumbing
-    (schema, fmt column, PSNR gate) is exercised via ``qpng`` instead."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "JPEG requires Pillow, not available in this environment; "
-            "use fmt='qpng' (deterministic lossy) instead"
-        ) from exc
-    raise NotImplementedError("unreachable in this environment")
+def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
+    """Real baseline JPEG (ITU T.81, JFIF, 4:4:4) — engine-owned numpy
+    codec in :mod:`tilecloud_chain_spark.functions.jpeg`; no Pillow needed.
+    Cross-validated by decoding a real libjpeg-produced file (58+ restart
+    segments, zero desync) and by round-trip PSNR >= 40 dB at the default
+    quality on synthetic noise content (the lossy-format BASELINE
+    invariant). RGBA input drops alpha (JPEG carries none)."""
+    from tilecloud_chain_spark.functions import jpeg as J
+
+    return J.jpeg_encode(img, quality)
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    """Encode by format name — the single dispatch every operator uses
+    (png lossless, qpng quick-lossy, jpeg real baseline)."""
+    if fmt == "png":
+        return png_encode(img)
+    if fmt == "qpng":
+        return qpng_encode(img)
+    if fmt in ("jpeg", "jpg"):
+        return jpeg_encode(img)
+    raise NotImplementedError(f"encode for fmt={fmt}")
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt in ("png", "qpng"):
         return png_decode(data)
+    if fmt in ("jpeg", "jpg"):
+        from tilecloud_chain_spark.functions import jpeg as J
+
+        return J.jpeg_decode(data)
     raise NotImplementedError(f"decode for fmt={fmt}")
 
 

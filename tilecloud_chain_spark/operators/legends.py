@@ -74,7 +74,7 @@ def legend_metadata(
                    "width": [], "height": [], "n_bytes": []}
             for z, res in zip(pdf["z"], pdf["resolution"]):
                 px = legend_pixels(name, float(res))
-                data = IMG.png_encode(px) if fmt == "png" else IMG.qpng_encode(px)
+                data = IMG.encode(px, fmt)
                 out["z"].append(int(z))
                 out["resolution"].append(float(res))
                 out["legend_hash"].append(hashlib.sha1(data).hexdigest())  # noqa: S324

@@ -276,7 +276,7 @@ def render_styled_tiles(
                 )
                 img = render_extent_styled(feats.get(z, []), extent, ts, ts)
                 painted.append(int((img[..., 3] > 0).sum()))
-                datas.append(IMG.png_encode(img) if fmt == "png" else IMG.qpng_encode(img))
+                datas.append(IMG.encode(img, fmt))
             pdf = pdf.copy()
             pdf["n_painted"] = pd.array(painted, dtype="int32")
             pdf["data"] = datas
@@ -310,7 +310,7 @@ def resize_images(
                 ws.append(int(img.shape[1]))
                 small = IMG.resize_area(img, int(out_h), int(out_w))
                 datas.append(
-                    IMG.png_encode(small) if fmt == "png" else IMG.qpng_encode(small)
+                    IMG.encode(small, fmt)
                 )
             pdf = pdf.copy()
             pdf[data_col] = datas
@@ -325,7 +325,7 @@ def empty_tile_bytes(tile_size: int, fmt: str = "png") -> bytes:
     """The constant background tile — its digest is the layer's
     ``empty_tile_detection`` fingerprint (FL2)."""
     img = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
-    return IMG.png_encode(img) if fmt == "png" else IMG.qpng_encode(img)
+    return IMG.encode(img, fmt)
 
 
 # --------------------------------------------------------------------------
@@ -366,7 +366,7 @@ def render_metatiles(
                 img = render_extent(
                     geoms_l.get(z, Geom([])), extent, px, px, line_width_px
                 )
-                datas.append(IMG.png_encode(img) if fmt == "png" else IMG.qpng_encode(img))
+                datas.append(IMG.encode(img, fmt))
             pdf = pdf.copy()
             pdf["data"] = datas
             yield pdf
@@ -397,11 +397,7 @@ def split_metatile_images(
                         r0 = meta_buffer + dy * tile_size
                         c0 = meta_buffer + dx * tile_size
                         child = img[r0 : r0 + tile_size, c0 : c0 + tile_size]
-                        enc = (
-                            IMG.png_encode(np.ascontiguousarray(child))
-                            if fmt == "png"
-                            else IMG.qpng_encode(np.ascontiguousarray(child))
-                        )
+                        enc = IMG.encode(np.ascontiguousarray(child), fmt)
                         out["z"].append(z)
                         out["x"].append(x + dx)
                         out["y"].append(y + dy)
@@ -540,6 +536,8 @@ def psnr_vs_rerender(
                 )
                 ref = render_extent(geoms_l.get(z, Geom([])), extent, tile_size, tile_size, line_width_px)
                 got = IMG.decode(bytes(data), fmt)
+                if got.ndim == 3 and got.shape[2] == 3 and ref.shape[2] == 4:
+                    ref = ref[..., :3]  # JPEG carries no alpha plane
                 p = IMG.psnr(ref, got)
                 vals.append(999.0 if p == float("inf") else p)
             pdf = pdf.copy()
@@ -608,7 +606,7 @@ def build_overviews(
                     canvas[qy * ts : (qy + 1) * ts, qx * ts : (qx + 1) * ts] = img
                 out = IMG.resize_area(canvas, ts, ts)
                 datas.append(
-                    IMG.png_encode(out) if fmt == "png" else IMG.qpng_encode(out)
+                    IMG.encode(out, fmt)
                 )
                 counts.append(len(children))
             out_pdf = pdf[["z", "x", "y"]].copy()

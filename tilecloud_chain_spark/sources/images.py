@@ -65,7 +65,7 @@ def synth_images(
             for i in ids:
                 i = int(i)
                 px = IMG.synth_pixels(i, size, size)
-                data = IMG.png_encode(px) if fmt == "png" else IMG.qpng_encode(px)
+                data = IMG.encode(px, fmt)
                 rows["image_id"].append(f"img{i:012d}")
                 rows["bytes"].append(data)
                 rows["w"].append(size)
