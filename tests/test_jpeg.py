@@ -124,9 +124,13 @@ def test_decodes_real_libjpeg_file():
 
 
 @pytest.mark.skipif(not os.path.exists(_SUBSAMPLED_JPEG), reason="fixture not present")
-def test_subsampled_file_rejected_cleanly():
-    with pytest.raises(ValueError, match="4:4:4"):
-        J.jpeg_decode(open(_SUBSAMPLED_JPEG, "rb").read())
+def test_decodes_real_420_subsampled_file():
+    """A real libjpeg 4:2:0 file (2x2 luma sampling — the most common
+    real-world layout): the generalized MCU interleave (Hi x Vi blocks per
+    MCU, nearest-neighbor chroma upsample) decodes it without desync."""
+    img = J.jpeg_decode(open(_SUBSAMPLED_JPEG, "rb").read())
+    assert img.shape == (16, 16, 3)
+    assert 30 < img.mean() < 225  # plausible logo content, not garbage
 
 
 def test_image_module_integration():

@@ -2,8 +2,11 @@
 
 Public knowledge: ITU-T T.81 / ISO 10918-1 baseline sequential DCT process,
 with the Annex K reference quantization and Huffman tables and the IJG
-quality scaling curve. No subsampling (4:4:4), 8-bit precision, JFIF
-container — the subset every decoder handles.
+quality scaling curve. The encoder emits 4:4:4 (no subsampling), 8-bit
+precision, JFIF container — the subset every decoder handles; the decoder
+additionally handles arbitrary baseline sampling factors (4:2:0 / 4:2:2,
+Hi x Vi blocks per MCU with nearest-neighbor chroma upsampling) and
+DRI/restart-marker streams, so real-world libjpeg output decodes too.
 
 This replaces the ``qpng`` lossy stand-in for ``fmt="jpeg"`` (the container
 ships no Pillow): the reference pipeline moves real JPEG bytes
@@ -435,9 +438,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 (1x1 sampling) supported")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0x{marker:02x} (baseline only)")
@@ -482,11 +486,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         i += 1
     segments.append(bytes(cur))
 
-    bh = -(-h // 8)
-    bw = -(-w // 8)
-    n_mcu = bh * bw
+    # MCU geometry for arbitrary sampling (T.81 A.2.3): an MCU carries
+    # Hi x Vi blocks per component; the image is ceil over 8*Hmax/8*Vmax
+    hmax = max(sc["h"] for sc in scan_comps)
+    vmax = max(sc["v"] for sc in scan_comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcu = mcus_x * mcus_y
+    planes = [
+        np.zeros((mcus_y * sc["v"] * 8, mcus_x * sc["h"] * 8), dtype=np.float64)
+        for sc in scan_comps
+    ]
     reader = _BitReader(segments[0])
-    planes = [np.zeros((n_mcu, 8, 8), dtype=np.float64) for _ in scan_comps]
     prev = [0] * len(scan_comps)
     d = _dct_mat()
     for m in range(n_mcu):
@@ -496,45 +507,57 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("missing restart segment")
             reader = _BitReader(segments[seg_idx])
             prev = [0] * len(scan_comps)
+        my, mx = divmod(m, mcus_x)
         for ci, sc in enumerate(scan_comps):
             dc_map = hmaps[(0, sc["dc"])]
             ac_map = hmaps[(1, sc["ac"])]
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(reader, dc_map)
-            diff = _receive_extend(reader, s)
-            prev[ci] += diff
-            zz[0] = prev[ci]
-            k = 1
-            while k < 64:
-                sym = _read_symbol(reader, ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _receive_extend(reader, size)
-                k += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[ZIGZAG] = zz
-            coefs = block.reshape(8, 8) * qtabs[sc["tq"]]
-            planes[ci][m] = d.T @ coefs @ d + 128.0
+            for bv in range(sc["v"]):
+                for bhh in range(sc["h"]):
+                    zz, prev[ci] = _decode_block(reader, dc_map, ac_map, prev[ci])
+                    block = np.zeros(64, dtype=np.float64)
+                    block[ZIGZAG] = zz
+                    coefs = block.reshape(8, 8) * qtabs[sc["tq"]]
+                    r0 = (my * sc["v"] + bv) * 8
+                    c0 = (mx * sc["h"] + bhh) * 8
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = d.T @ coefs @ d + 128.0
 
     out_planes = []
-    for p in planes:
-        full = (
-            p.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        )
-        out_planes.append(full[:h, :w])
+    for p, sc in zip(planes, scan_comps):
+        rep_y, rep_x = vmax // sc["v"], hmax // sc["h"]
+        if vmax % sc["v"] or hmax % sc["h"]:
+            raise ValueError("non-integer sampling ratio")
+        if rep_y > 1 or rep_x > 1:  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, rep_y, axis=0), rep_x, axis=1)
+        out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
         return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(out_planes, axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+def _decode_block(reader: _BitReader, dc_map, ac_map, prev_dc: int):
+    """Huffman-decode one 8x8 block -> (zigzag int64[64], new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(reader, dc_map)
+    dc = prev_dc + _receive_extend(reader, s)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(reader, ac_map)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _receive_extend(reader, size)
+        k += 1
+    return zz, dc
 
 
 def _read_symbol(reader: _BitReader, hmap: dict[tuple[int, int], int]) -> int:
