@@ -175,3 +175,57 @@ def test_resize_area_upscale_no_black_rows():
     gu = resize_area(g, 8, 8)
     assert gu.min() >= 0 and gu.max() <= 240
     assert all(list(gu[i]) == sorted(gu[i]) for i in range(8))  # monotone rows
+
+
+def test_shard_assignments_matches_global_cumsum(spark, sf_dir):
+    """Distributed prefix-sum sharding == DuckDB's true global cumsum
+    (different formulation, identical math), and shard payloads respect the
+    budget + one-sample overshoot bound."""
+    import duckdb
+
+    from tilecloud_chain_spark.operators.sampling import shard_assignments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard_assignments(
+        docs, shard_bytes=4096, size_expr=F.length("text")
+    )
+    got = {(r.id, r.n_bytes, r.shard, r.offset_in_shard) for r in out.collect()}
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(f"""
+            WITH t AS (
+              SELECT doc_id AS id, CAST(len(text) AS BIGINT) AS n_bytes
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ), c AS (
+              SELECT id, n_bytes,
+                     SUM(n_bytes) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)
+                     - n_bytes AS before
+              FROM t
+            )
+            SELECT id, n_bytes,
+                   CAST(floor(before / 4096.0) AS BIGINT) AS shard,
+                   CAST(before - CAST(floor(before / 4096.0) AS BIGINT) * 4096 AS BIGINT)
+                     AS offset_in_shard
+            FROM c
+        """).fetchall()
+    }
+    assert got == want
+    # budget bound: every shard holds <= shard_bytes + its last sample
+    rows = sorted(got, key=lambda r: (r[2], r[0]))
+    by_shard = {}
+    for _id, nb, sh, _off in rows:
+        by_shard.setdefault(sh, []).append(nb)
+    for sh, sizes in by_shard.items():
+        assert sum(sizes) - sizes[-1] < 4096
+    # contiguity: shard ids are consecutive from 0
+    assert sorted(by_shard) == list(range(len(by_shard)))
+
+
+def test_shard_assignments_partition_invariant(spark, sf_dir):
+    from tilecloud_chain_spark.operators.sampling import shard_assignments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {tuple(r) for r in shard_assignments(docs, 2048, size_expr=F.length("text")).collect()}
+    b = {tuple(r) for r in shard_assignments(docs.repartition(13), 2048, size_expr=F.length("text")).collect()}
+    assert a == b

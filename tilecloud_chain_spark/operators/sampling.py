@@ -76,3 +76,65 @@ def leakage_safe_split(
     ('train'|'test')."""
     is_test = _gate(F.col(cluster_col), salt) < F.lit(hex_threshold(test_fraction))
     return df.withColumn("split", F.when(is_test, "test").otherwise("train"))
+
+
+def shard_assignments(
+    df: DataFrame,
+    shard_bytes: int,
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+    size_expr: Column | None = None,
+) -> DataFrame:
+    """WebDataset-style export sharding: assign every sample to a
+    size-bounded shard, deterministically, in ``id_col`` order (the order a
+    sequential writer would consume). ``shard = floor(bytes_before /
+    shard_bytes)`` — the standard cumulative-size chunking: whole samples
+    never split across shards, each shard's payload stays within
+    ``shard_bytes`` plus at most one sample's overshoot (the greedy
+    sequential packer's behavior without requiring a sequential pass).
+
+    Output: (id, n_bytes, shard, offset_in_shard) — enough to drive a
+    downstream per-shard writer (``repartitionByRange("shard")`` + tar).
+
+    Scale shape: the same DISTRIBUTED prefix sum as
+    ``text.token_stream_chunks`` — range-partition by id, cumsum within
+    partitions, add per-partition base offsets from an O(partitions)
+    driver collect; never a single-partition global window. Exactly
+    reproducible in SQL (global cumsum) — pytest-oracled in
+    tests/test_sampling.py."""
+    from pyspark.sql.window import Window
+
+    if size_expr is None:
+        if size_col is None:
+            raise ValueError("pass size_col or size_expr")
+        size_expr = F.col(size_col)
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    base = (
+        df.select(F.col(id_col).alias("id"), size_expr.cast("long").alias("n_bytes"))
+        .repartitionByRange(parts, "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # referenced twice: totals + cumsum
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in base.groupBy("_pid").agg(F.sum("n_bytes").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):  # range partitions ascend in id order
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    off_map = F.create_map(
+        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+    )
+    win = (
+        Window.partitionBy("_pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_bytes").over(win) + off_map[F.col("_pid")] - F.col("n_bytes")
+    sb = F.lit(float(shard_bytes))  # double division: exact below 2^53 bytes
+    shard = F.floor(before / sb).cast("long")
+    return base.select(
+        "id", "n_bytes",
+        shard.alias("shard"),
+        (before - shard * F.lit(int(shard_bytes))).cast("long").alias("offset_in_shard"),
+    )
