@@ -139,3 +139,43 @@ def test_image_module_integration():
     data = IMG.jpeg_encode(img)
     back = IMG.decode(data, "jpeg")
     assert IMG.psnr(img, back) >= 38.0  # synthetic noise at default quality
+
+
+# --------------------------------------------------------------------------
+# property-based (hypothesis): random content must never crash or desync,
+# and fidelity bounds must hold across shapes/contents — not just the
+# handpicked cases above
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+    quality=st.integers(30, 100),
+    channels=st.sampled_from([1, 3]),
+)
+def test_roundtrip_never_desyncs_any_shape(h, w, seed, quality, channels):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = J.jpeg_decode(J.jpeg_encode(img, quality))
+    assert back.shape == shape
+    # lossy but bounded: worst-case error per pixel stays far from random
+    err = np.abs(back.astype(int) - img.astype(int)).mean()
+    assert err < 64.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(8, 32),
+    w=st.integers(8, 32),
+    seed=st.integers(0, 10_000),
+)
+def test_high_quality_noise_floor(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert IMG.psnr(img, J.jpeg_decode(J.jpeg_encode(img, 98))) >= 42.0
