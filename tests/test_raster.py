@@ -78,3 +78,30 @@ def test_build_overviews_deterministic(spark):
     b = sorted((r.z, r.x, r.y, bytes(r.data))
                for r in build_overviews(df.repartition(5), ts).collect())
     assert a == b
+
+
+def test_build_overviews_jpeg_path(spark):
+    """Overview building through the real JPEG codec: decoded parents keep
+    quadrant colors within lossy tolerance (constant blocks are DC-exact)."""
+    import numpy as np
+
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import build_overviews
+
+    ts = 16
+    rows = []
+    for qx in (0, 1):
+        for qy in (0, 1):
+            img = np.zeros((ts, ts, 3), np.uint8)
+            img[:] = (40 * (1 + qx), 60 * (1 + qy), 90)
+            rows.append((3, qx, qy, bytearray(IMG.jpeg_encode(img))))
+    df = spark.createDataFrame(rows, "z int, x int, y int, data binary")
+    got = build_overviews(df, ts, fmt="jpeg").collect()
+    assert len(got) == 1 and got[0].n_children == 4
+    img = IMG.decode(bytes(got[0].data), "jpeg")
+    half = ts // 2
+    for qx in (0, 1):
+        for qy in (0, 1):
+            px = img[qy * half, qx * half].astype(int)
+            want = np.array([40 * (1 + qx), 60 * (1 + qy), 90])
+            assert np.abs(px - want).max() <= 6, (qx, qy, px, want)
