@@ -179,3 +179,29 @@ def test_high_quality_noise_floor(h, w, seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert IMG.psnr(img, J.jpeg_decode(J.jpeg_encode(img, 98))) >= 42.0
+
+
+def test_420_subsampled_encode_roundtrip():
+    """The 4:2:0 encoder (2x2 Y blocks per MCU + box-mean chroma): constant
+    images stay exact, smooth content keeps >= 55 dB, output is smaller
+    than 4:4:4 at the same quality, SOF advertises 0x22 sampling, and odd
+    dimensions survive."""
+    c = np.zeros((24, 24, 3), np.uint8)
+    c[:] = (200, 30, 90)
+    assert (J.jpeg_decode(J.jpeg_encode(c, 90, subsampling="420")) == c).all()
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    sm = np.stack([np.tile(x, (64, 1))] * 3, -1)
+    d420 = J.jpeg_encode(sm, 95, subsampling="420")
+    assert IMG.psnr(sm, J.jpeg_decode(d420)) >= 55.0
+    assert len(d420) < len(J.jpeg_encode(sm, 95))
+    # SOF sampling byte: component 1 = 0x22
+    sof = d420.index(b"\xff\xc0")
+    # FFC0(2) + len(2) + prec(1) + h(2) + w(2) + ncomp(1) + comp-id(1) -> sampling
+    assert d420[sof + 11] == 0x22
+    odd = IMG.synth_pixels(3, 37, 29)
+    assert J.jpeg_decode(J.jpeg_encode(odd, 95, subsampling="420")).shape == (37, 29, 3)
+
+
+def test_420_invalid_subsampling_rejected():
+    with pytest.raises(ValueError, match="subsampling"):
+        J.jpeg_encode(np.zeros((8, 8, 3), np.uint8), 90, subsampling="422x")

@@ -304,10 +304,39 @@ def _encode_block(zz: np.ndarray, prev_dc: int, dc_codes, ac_codes,
     return dc
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
+def _block_grid(comp: np.ndarray, qtab: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Pad ``comp`` (float plane) to a (gh x gw)-block grid (edge replicate)
+    and return quantized zigzag coefficients, shape (gh, gw, 64)."""
+    ph = gh * 8 - comp.shape[0]
+    pw = gw * 8 - comp.shape[1]
+    comp = np.pad(comp, ((0, ph), (0, pw)), mode="edge")
+    q = _quantized_blocks(comp, qtab).reshape(-1, 64)[:, ZIGZAG]
+    return q.reshape(gh, gw, 64)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean chroma downsample (odd edges replicate)."""
+    h, w = plane.shape
+    if h % 2:
+        plane = np.vstack([plane, plane[-1:]])
+    if w % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    return (
+        plane.reshape(plane.shape[0] // 2, 2, plane.shape[1] // 2, 2)
+        .mean(axis=(1, 3))
+    )
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 95, subsampling: str = "444") -> bytes:
     """Encode (H, W[, C]) uint8 to baseline JFIF JPEG bytes. C=3 RGB, C=4
     RGBA (alpha DROPPED — JPEG carries no alpha, same as every encoder),
-    C absent/1 grayscale. 4:4:4, Annex K Huffman tables, IJG quality."""
+    C absent/1 grayscale. Annex K Huffman tables, IJG quality.
+
+    ``subsampling``: ``"444"`` (default — full chroma, the high-fidelity
+    tile path) or ``"420"`` (2x2 box-mean chroma, Y sampled 2x2 per MCU —
+    the real-world default layout; ~¼ the chroma coefficients)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[2] == 4:
         img = img[..., :3]
@@ -318,41 +347,52 @@ def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
 
-    pad_h = (-h) % 8
-    pad_w = (-w) % 8
     if gray:
-        comp = np.pad(img.astype(np.float64), ((0, pad_h), (0, pad_w)), mode="edge")
-        planes = [comp]
+        samps = [(1, 1)]
+        planes = [img.astype(np.float64)]
         qtabs = [ql]
-    else:
+    elif subsampling == "444":
+        samps = [(1, 1)] * 3
         ycc = _rgb_to_ycbcr(img)
-        ycc = np.pad(ycc, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         qtabs = [ql, qc, qc]
+    else:  # 420
+        samps = [(2, 2), (1, 1), (1, 1)]
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], _downsample2(ycc[..., 1]), _downsample2(ycc[..., 2])]
+        qtabs = [ql, qc, qc]
 
-    zz = ZIGZAG
-    quant = [
-        _quantized_blocks(p, q).reshape(-1, 64)[:, zz]
-        for p, q in zip(planes, qtabs)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = [
+        _block_grid(p, q, mcus_y * vi, mcus_x * hi)
+        for p, q, (hi, vi) in zip(planes, qtabs, samps)
     ]
 
     dc_l = _huff_codes(*DC_LUMA)
     ac_l = _huff_codes(*AC_LUMA)
     dc_c = _huff_codes(*DC_CHROMA)
     ac_c = _huff_codes(*AC_CHROMA)
-    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * 2
+    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
 
     writer = _BitWriter()
     prev = [0] * len(planes)
-    for bi in range(quant[0].shape[0]):  # interleaved MCUs (1 block/comp)
-        for ci in range(len(planes)):
-            dc_codes, ac_codes = tables[ci] if not gray else (dc_l, ac_l)
-            prev[ci] = _encode_block(
-                quant[ci][bi], prev[ci], dc_codes, ac_codes, writer
-            )
+    for m in range(mcus_y * mcus_x):
+        my, mx = divmod(m, mcus_x)
+        for ci, (hi, vi) in enumerate(samps):
+            dc_codes, ac_codes = tables[ci]
+            for bv in range(vi):
+                for bhh in range(hi):
+                    prev[ci] = _encode_block(
+                        grids[ci][my * vi + bv, mx * hi + bhh],
+                        prev[ci], dc_codes, ac_codes, writer,
+                    )
     writer.flush()
 
     # ---- container ----
+    zz = ZIGZAG
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
         struct.pack(">HHBB", 1, 1, 0, 0)  # APP0
@@ -364,7 +404,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hi, vi = samps[ci]
+        sof += struct.pack("BBB", ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1)
     out += b"\xff\xc0" + sof  # SOF0
     for cls, tid, (bits, vals) in (
         [(0, 0, DC_LUMA), (1, 0, AC_LUMA)]
