@@ -233,3 +233,36 @@ def test_streaming_render_pipeline_golden(spark, tmp_path):
         f"1.0.0/line/default/swissgrid_5/0/{y}/{x}.png"
         for x, y in [(6, 5), (7, 5), (5, 6), (6, 6), (4, 7), (5, 7)]
     }
+
+
+def test_stream_ingest_corpus_cross_batch_dedup(spark, tmp_path):
+    """Streaming corpus admission: batch 1 drops its internal duplicate and
+    low-quality rows; a LATER drain (new stream, same state) re-admits
+    nothing already seen and accepts only genuinely new docs."""
+    from tilecloud_chain_spark.streaming.corpus_stream import drain_ingest
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    good = " ".join(f"alpha{i}" for i in range(70))   # long, all-distinct -> quality 1.0
+    good2 = " ".join(f"beta{i}" for i in range(70))
+    spark.createDataFrame(
+        [(1, good), (2, good), (3, "tiny")],  # 2 dups of 1... and junk
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    drain_ingest(spark, inp, out, state, ckpt, min_quality=0.9)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1}  # dup dropped (first wins), low-quality dropped
+
+    # batch 2 arrives: one replay of doc 1's text, one new doc
+    spark.createDataFrame(
+        [(10, good), (11, good2)], "doc_id long, text string"
+    ).write.mode("append").parquet(inp)
+    drain_ingest(spark, inp, out, state, ckpt, min_quality=0.9)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 11}  # 10 is a cross-batch exact dup of 1
+
+    # re-draining with nothing new is a no-op (file-source checkpoint)
+    drain_ingest(spark, inp, out, state, ckpt, min_quality=0.9)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 11}

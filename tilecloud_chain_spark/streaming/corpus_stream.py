@@ -1,0 +1,110 @@
+"""Streaming corpus ingest — the training-data admission pipeline as a
+Structured Streaming flow (task-brief extension; the batch twin is
+``clean_corpus`` in the driver contract).
+
+Arriving document files stream through quality admission and EXACT dedup
+against everything ever admitted (cross-batch, crash-safe), and accepted
+rows append to the output corpus:
+
+    readStream(files) -> quality filter -> in-batch first-wins dedup
+        -> anti-join against the persistent seen-hash table -> append
+        corpus + append new hashes
+
+Scale shape: the seen-hash table holds one md5 per admitted doc (32 bytes
+vs the document body — tiny relative to the corpus) and the per-batch
+anti-join is one hash-keyed shuffle join; in-batch dedup is one window over
+the batch. Exactly-once: the file source's checkpoint makes each input
+file processed once; within ``foreachBatch`` the state append happens
+AFTER the corpus append so a crash between them re-admits nothing (a
+replayed batch re-reads the hash table and drops already-written rows —
+the standard idempotent-foreachBatch pattern; a duplicate hash row in
+state is harmless since the anti-join is set-semantics)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from tilecloud_chain_spark.operators.text import quality_score
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def admit_batch(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    min_quality: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pure (testable) admission kernel: quality gate + in-batch first-wins
+    exact dedup + anti-join against the ``seen`` hash table (or None).
+    Returns admitted rows with their ``content_hash``."""
+    hashed = (
+        batch.filter(quality_score(F.col(text_col)) >= min_quality)
+        .withColumn("content_hash", F.md5(F.col(text_col)))
+    )
+    win = Window.partitionBy("content_hash").orderBy(id_col)
+    first = (
+        hashed.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if seen is not None:
+        first = first.join(seen, "content_hash", "left_anti")
+    return first
+
+
+def stream_ingest_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.2,
+    available_now: bool = True,
+):
+    """Start the ingest stream (parquet file source). Returns the streaming
+    query; with ``available_now`` it drains the current files and stops —
+    rerun later to pick up new arrivals exactly where it left off."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        seen = None
+        if os.path.exists(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            seen = sess.read.parquet(state_dir).select("content_hash")
+        fresh = admit_batch(batch, seen, min_quality).localCheckpoint(eager=True)
+        fresh.drop("content_hash").write.mode("append").parquet(output_dir)
+        fresh.select("content_hash").write.mode("append").parquet(state_dir)
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def drain_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.2,
+    timeout_s: float = 120.0,
+) -> None:
+    """Run one availableNow drain to completion."""
+    q = stream_ingest_corpus(
+        spark, input_dir, output_dir, state_dir, checkpoint_dir,
+        min_quality=min_quality, available_now=True,
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError("corpus ingest drain did not finish in time")
