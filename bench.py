@@ -359,7 +359,7 @@ SCALE_IMGS = int(os.environ.get("SPARK_GRAFT_SCALE_IMGS", "40000"))
 SCALE_PTS = int(os.environ.get("SPARK_GRAFT_SCALE_PTS", "96000000"))
 
 
-def _stage_fns(spark, parts: int, sf_dir: str):
+def _stage_fns(spark, parts: int, sf_dir: str, work_mult: int = 1):
     """The flagship pipeline, staged: multimodal ingest (synth+encode+phash),
     tile assign + cell join (sized so the stage is work-dominated, not
     task-launch-dominated), MinHash dedup signatures.
@@ -378,7 +378,7 @@ def _stage_fns(spark, parts: int, sf_dir: str):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n_docs = docs.count()
-    reps = max(1, SCALE_DOCS // n_docs)
+    reps = max(1, (SCALE_DOCS * work_mult) // n_docs)
     rep = spark.range(reps).select(F.col("id").alias("rep"))
     big_docs = docs.crossJoin(broadcast(rep)).select(
         (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
@@ -403,10 +403,13 @@ def _stage_fns(spark, parts: int, sf_dir: str):
     return st_ingest, st_assign_join, st_minhash
 
 
-def _scaling_stages(fns, warmup: bool) -> dict:
+def _scaling_stages(fns, warmup: bool, work_mult: int = 1) -> dict:
     """One measured pass of the three stages; optional 1/10-size warm-up
     (JIT, codegen, python-worker spin-up) — needed once per session, not
-    once per repeat."""
+    once per repeat. ``work_mult`` scales every stage's workload — used by
+    the high-core supplementary pair so measured WORK (not task-launch
+    fixed cost) dominates at both its levels, the same work-per-core the
+    primary pair has."""
     st_ingest, st_assign_join, st_minhash = fns
     if warmup:
         st_ingest(SCALE_IMGS // 10)
@@ -414,10 +417,10 @@ def _scaling_stages(fns, warmup: bool) -> dict:
         st_minhash(0.1)
     out = {}
     t0 = time.perf_counter()
-    st_ingest(SCALE_IMGS)
+    st_ingest(SCALE_IMGS * work_mult)
     out["ingest_phash"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
-    st_assign_join(SCALE_PTS)
+    st_assign_join(SCALE_PTS * work_mult)
     out["assign_join"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     st_minhash(1)
@@ -450,7 +453,7 @@ _R3_DRIVER_QUERIES = {
 }
 
 
-def _measure_pair(lo: int, hi: int, sf_dir: str, reps: int) -> dict:
+def _measure_pair(lo: int, hi: int, sf_dir: str, reps: int, work_mult: int = 1) -> dict:
     """Run the staged pipeline at two parallelism levels on identical input;
     efficiency = (sec_lo / sec_hi) / (hi / lo).
 
@@ -471,8 +474,8 @@ def _measure_pair(lo: int, hi: int, sf_dir: str, reps: int) -> dict:
         for cores in (lo, hi):
             spark = _session(cores, shuffle_parts=parts)
             spark.sparkContext.setLogLevel("ERROR")
-            fns = _stage_fns(spark, parts, sf_dir)
-            run = _scaling_stages(fns, warmup=True)
+            fns = _stage_fns(spark, parts, sf_dir, work_mult)
+            run = _scaling_stages(fns, warmup=True, work_mult=work_mult)
             b = best[cores]
             best[cores] = run if b is None else {k: min(b[k], run[k]) for k in run}
             spark.stop()
@@ -484,7 +487,7 @@ def _measure_pair(lo: int, hi: int, sf_dir: str, reps: int) -> dict:
         levels[cores] = b
     n, n4 = levels[lo], levels[hi]
     factor = hi / lo
-    rows = SCALE_IMGS + SCALE_PTS * 2 + SCALE_DOCS  # synthesized+assigned+joined+hashed
+    rows = (SCALE_IMGS + SCALE_PTS * 2 + SCALE_DOCS) * work_mult  # synthesized+assigned+joined+hashed
     return {
         "cores_n": lo,
         "cores_4n": hi,
@@ -509,7 +512,12 @@ def _scaling(sf_dir: str) -> dict:
     out = _measure_pair(SCALE_N, SCALE_4N, sf_dir, SCALE_REPS)
     if os.environ.get("SPARK_GRAFT_SCALING_8_32", "1") != "0":
         # informational only (outside the single-box envelope) — 1 rep
-        out["supplementary_8_32"] = _measure_pair(8, 32, sf_dir, 1)
+        # 8 and 32 cores chew through the primary pair's workload so fast
+        # that task-launch fixed cost dominates (assign_join measured ~flat
+        # 1.15s->1.12s — the scheduler, not the engine); scale the work so
+        # work-per-core matches the primary pair's regime
+        supp_mult = int(os.environ.get("SPARK_GRAFT_SUPP_WORK_MULT", "4"))
+        out["supplementary_8_32"] = _measure_pair(8, 32, sf_dir, 1, supp_mult)
     return out
 
 
@@ -617,6 +625,15 @@ def _write_bench_md(result: dict) -> None:
     if sup:
         lines += [
             "## Supplementary pair: local[8] -> local[32]",
+            "",
+            "Workload sized x"
+            + os.environ.get("SPARK_GRAFT_SUPP_WORK_MULT", "4")
+            + " vs the primary pair (same multiplier at BOTH levels, so the",
+            "ratio is untouched): at 8-32 cores the primary-pair workload is",
+            "so quick that task-launch fixed cost dominates (assign_join",
+            "measured ~flat 1.15s -> 1.12s — the scheduler, not the engine);",
+            "scaling the work restores the work-per-core regime the primary",
+            "pair measures under.",
             "",
         ]
         lines += _pair_table(sup)
