@@ -369,3 +369,47 @@ def test_dedup_lines_first_occurrence_and_empty_doc(spark):
     assert (got[3].n_lines, got[3].n_kept) == (2, 0)
     assert got[4].clean_text == "unique line here"
     assert len(got) == 4
+
+
+def test_within_doc_line_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b\nc d\na b\ne f"), (2, "x y"), (3, "z\nz\nz")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.within_doc_line_stats(df).collect()}
+    assert got[1].clean_text == "a b\nc d\ne f"
+    assert (got[1].n_lines, got[1].n_distinct_lines) == (4, 3)
+    assert got[1].dup_line_ratio == 0.25
+    assert got[2].clean_text == "x y" and got[2].dup_line_ratio == 0.0
+    assert got[3].clean_text == "z" and got[3].dup_line_ratio == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_gopher_quality_flags(spark, docs):
+    """Fixture docs (50+ plain words) pass all rules; crafted violations
+    trip exactly their rule."""
+    base = (
+        docs.select("doc_id", "text")
+        .filter(TX.token_count(F.col("text")) >= 50)  # fixture has 10-99-token docs
+        .limit(20)
+    )
+    flags = base.select("doc_id", TX.gopher_quality_flags(F.col("text")).alias("f"),
+                        TX.gopher_keep(F.col("text")).alias("keep")).collect()
+    assert len(flags) > 0
+    assert all(r.keep for r in flags), [r for r in flags if not r.keep][:2]
+    bad = spark.createDataFrame(
+        [
+            (1, "too short"),                                     # word count
+            (2, " ".join(["#tag"] * 60)),                         # symbols (+alpha ok)
+            (3, "\n".join(["- item " + "word " * 9] * 20)),       # bullets
+            (4, " ".join(["12345"] * 60)),                        # no letters
+            (5, " ".join(["supercalifragilistic"] * 60)),         # mean word len
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.f.asDict() for r in
+           bad.select("doc_id", TX.gopher_quality_flags(F.col("text")).alias("f")).collect()}
+    assert not got[1]["word_count_ok"]
+    assert not got[2]["symbol_ratio_ok"]
+    assert not got[3]["bullet_ratio_ok"]
+    assert not got[4]["alpha_word_ratio_ok"]
+    assert not got[5]["mean_word_len_ok"]

@@ -185,3 +185,76 @@ def token_stream_chunks(
         F.when(F.col("n_tokens") == 0, F.lit(0))
         .otherwise(last - first + 1).cast("long").alias("n_chunks"),
     )
+
+
+def within_doc_line_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Per-document repeated-line statistics + deduplicated text (first
+    occurrence of each line kept, order preserved) — the WITHIN-document
+    half of repetition removal (the cross-corpus half is
+    ``dedup.dedup_lines``). Pure Column expressions, no shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    # first-occurrence filter: keep line i iff no earlier identical line
+    idx = F.sequence(F.lit(1), F.size(lines))
+    kept = F.filter(
+        idx,
+        lambda i: F.array_position(F.slice(lines, 1, i.cast("int")),
+                                   F.element_at(lines, i.cast("int"))) == i,
+    )
+    clean = F.concat_ws(
+        "\n", F.transform(kept, lambda i: F.element_at(lines, i.cast("int")))
+    )
+    n = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n.cast("long").alias("n_lines"),
+        n_distinct.cast("long").alias("n_distinct_lines"),
+        F.round(
+            (n - n_distinct) / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_line_ratio"),
+    )
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    knowledge) as a struct of booleans — a doc passing all is `keep`:
+
+    - word_count_ok: 50 <= tokens <= 100,000
+    - mean_word_len_ok: mean token length in [3, 10]
+    - symbol_ratio_ok: '#' or ellipsis tokens < 10% of tokens
+    - bullet_ratio_ok: <90% of lines start with a bullet
+    - alpha_word_ratio_ok: >=80% of tokens contain a letter
+
+    Pure Column expressions (one pass, codegen-friendly)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ) / safe_n
+    sym = F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    lns = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lns), F.lit(1))
+    bullets = F.size(
+        F.filter(lns, lambda x: F.trim(x).rlike(r"^([-*•])"))
+    )
+    flags = F.struct(
+        ((n >= 50) & (n <= 100_000)).alias("word_count_ok"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_word_len_ok"),
+        (sym / safe_n < 0.1).alias("symbol_ratio_ok"),
+        (bullets / n_lines < 0.9).alias("bullet_ratio_ok"),
+        (alpha / safe_n >= 0.8).alias("alpha_word_ratio_ok"),
+    )
+    return flags
+
+
+def gopher_keep(text: Column) -> Column:
+    """True iff every :func:`gopher_quality_flags` rule passes."""
+    f = gopher_quality_flags(text)
+    return (
+        f["word_count_ok"] & f["mean_word_len_ok"] & f["symbol_ratio_ok"]
+        & f["bullet_ratio_ok"] & f["alpha_word_ratio_ok"]
+    )
