@@ -205,3 +205,29 @@ def test_420_subsampled_encode_roundtrip():
 def test_420_invalid_subsampling_rejected():
     with pytest.raises(ValueError, match="subsampling"):
         J.jpeg_encode(np.zeros((8, 8, 3), np.uint8), 90, subsampling="422x")
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any marker may be preceded by extra 0xFF fill bytes —
+    inject them at real segment boundaries (walking the marker structure,
+    never touching payload bytes) and the stream must still decode to the
+    identical image."""
+    import struct as _struct
+
+    img = IMG.synth_pixels(4, 24, 24)
+    data = J.jpeg_encode(img, 95)
+    out = bytearray(data[:2])  # SOI
+    pos = 2
+    while True:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        out += b"\xff\xff\xff"  # two fill bytes, then the marker's 0xFF
+        out.append(marker)
+        pos += 2
+        seglen = _struct.unpack(">H", data[pos : pos + 2])[0]
+        out += data[pos : pos + seglen]
+        pos += seglen
+        if marker == 0xDA:  # SOS: rest is entropy data + EOI
+            out += data[pos:]
+            break
+    assert (J.jpeg_decode(bytes(out)) == J.jpeg_decode(data)).all()

@@ -117,3 +117,24 @@ def test_bpe_deterministic(spark, sf_dir):
     m1 = BP.train_bpe(docs, num_merges=25)
     m2 = BP.train_bpe(docs.repartition(7), num_merges=25)
     assert m1 == m2
+
+
+def test_langid_udf_twin_multiline_whitespace(spark, profiles):
+    """Texts with newlines/tabs/trailing whitespace — the exact class where
+    Python strip()/whitespace-class semantics silently diverge from Spark
+    trim/Java backslash-s: both paths must still agree."""
+    df = spark.createDataFrame(
+        [
+            (1, "the dog\njumps over\tthe fox  \n"),
+            (2, "\tder hund\nspringt gut\n\n"),
+            (3, "le chien \n sautebien"),
+            (4, "   "),
+            (5, "el perro\r\nsalta"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id, r.lang_pred, r.score)
+         for r in LI.langid_ngram(df, profiles).collect()}
+    b = {(r.doc_id, r.lang_pred, r.score)
+         for r in LI.langid_ngram_udf(df, profiles).collect()}
+    assert a == b

@@ -152,13 +152,18 @@ def test_langid_scale_path_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_dedup_lines_two_shuffles(spark):
-    """Line dedup = the first-occurrence window shuffle + the per-doc
-    reassembly shuffle; nothing else (no self-joins)."""
+def test_dedup_lines_no_window_sort(spark):
+    """Line dedup must contain NO window operator: a row_number window
+    partitioned by the line hash would funnel every copy of a
+    corpus-universal boilerplate line into one task's sort (AQE splits
+    skewed joins, not window partitions). The plan is a map-side-combinable
+    min aggregation + a one-row-per-hash join + the reassembly groupBy."""
     from tilecloud_chain_spark.operators.dedup import dedup_lines
 
     df = spark.createDataFrame(
         [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
     )
     plan = _final_plan(_executed(dedup_lines(df)))
-    assert plan.count("Exchange") <= 2, plan
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial_first" in plan, plan  # map-side combine
+    assert plan.count("Exchange") <= 4, plan

@@ -199,13 +199,18 @@ class MergeTable:
 
         hb = threading.Thread(target=_heartbeat, daemon=True)
         try:
+            # heartbeat starts FIRST: if the pid write below raises, the
+            # finally must still join a STARTED thread (joining an
+            # unstarted one raises RuntimeError, masking the real error
+            # and skipping the unlink — a leaked lock)
+            hb.start()
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
-            hb.start()
             yield
         finally:
             stop.set()
-            hb.join(timeout=1.0)
+            if hb.ident is not None:  # only join a thread that started
+                hb.join(timeout=1.0)
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(lock)
 

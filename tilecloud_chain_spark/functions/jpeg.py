@@ -449,6 +449,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes — any number of 0xFF
+            pos -= 1  # may precede a marker; re-scan from the second 0xFF
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI

@@ -229,7 +229,9 @@ def lsh_candidate_pairs(
             banded.join(widths, ["band", "band_hash"])
             .filter(F.col("_bw") <= int(max_bucket))
             .drop("_bw")
-        )
+        ).localCheckpoint(eager=True)  # the self-join below references the
+        # filtered table twice — uncheckpointed, the width aggregation and
+        # its join would execute once per side
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b2 = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -426,25 +428,35 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     Output: (id_col, clean_text, n_lines, n_kept) for EVERY input doc —
     a doc whose every line is a duplicate keeps an empty clean_text.
 
-    Scale shape: one posexplode (linear), one window shuffle keyed on the
-    line hash (first-occurrence rank — identical lines co-locate; the skew
-    cure for a mega-duplicated line is the same hash-partition AQE handles),
-    one groupBy(id) to reassemble. No self-joins, no driver state; exactly
-    reproducible in ANSI SQL (the oracle uses the same rank formulation)."""
-    from pyspark.sql.window import Window
-
+    Scale shape: one posexplode (linear), then first-occurrence selection
+    as a MAP-SIDE-COMBINABLE ``groupBy(md5(line)).agg(min(struct(id,
+    line_no)))`` joined back one-row-per-hash — NEVER a row_number window
+    partitioned by the line hash: a corpus-universal boilerplate line (the
+    operator's own motivating input) would put ALL its copies into one
+    window partition and a single task would have to shuffle-sort them
+    (AQE skew handling splits joins, not window sorts), whereas the min
+    aggregation combines partially on the map side and the join's build
+    side holds exactly one row per distinct line. One groupBy(id)
+    reassembles. No driver state; exactly reproducible in ANSI SQL (the
+    oracle uses the rank formulation — different plan, identical rows)."""
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("_h", F.md5("line"))
+    firsts = lines.groupBy("_h").agg(
+        F.min(F.struct("id", "line_no")).alias("_first")
     )
-    win = Window.partitionBy(F.md5("line")).orderBy("id", "line_no")
-    ranked = lines.withColumn("rn", F.row_number().over(win))
+    marked = lines.join(firsts, "_h").withColumn(
+        "_is_first",
+        (F.col("id") == F.col("_first.id"))
+        & (F.col("line_no") == F.col("_first.line_no")),
+    )
     kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("line_no"), F.col("line"))
+        F.col("_is_first"), F.struct(F.col("line_no"), F.col("line"))
     )  # no otherwise: NULLs vanish from collect_list
-    agg = ranked.groupBy("id").agg(
+    agg = marked.groupBy("id").agg(
         F.count("*").alias("n_lines"),
-        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+        F.sum(F.col("_is_first").cast("int")).alias("n_kept"),
         F.concat_ws(
             "\n",
             F.transform(

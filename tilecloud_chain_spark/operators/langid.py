@@ -34,6 +34,17 @@ from pyspark.sql.window import Window
 MISS_PENALTY_MICRO = -14_000_000
 
 
+def _round6(x: float) -> float:
+    """Spark-parity rounding: F.round applies HALF_UP to the SHORTEST
+    DECIMAL representation of the double (BigDecimal.valueOf), whereas
+    Python's round() is banker's on the binary value — they disagree on
+    exact .5 ties (e.g. -12.5 micro), which would break the UDF-twin
+    set-equality on tie-hitting corpora."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Character n-grams of the whitespace-normalized lowercase text
     (empty array for texts shorter than ``n``)."""
@@ -175,13 +186,17 @@ def langid_ngram_udf(
                 table[gram] = vec
             vec[li] = wm
     nn = int(n)
-    ws = re.compile(r"\s+")
+    # EXACT Spark-semantics normalization, or the twin silently diverges
+    # from the SQL form on multi-line/tabbed text: Spark F.trim strips
+    # SPACES only (not \n\t), and Java's \s is the ASCII class — Python's
+    # strip()/re \s additionally cover Unicode whitespace (U+00A0 etc.)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def score(batches):
         for pdf in batches:
             ids, preds, scores = pdf[id_col], [], []
             for t in pdf[text_col]:
-                s = ws.sub(" ", (t or "").strip().lower())
+                s = ws.sub(" ", (t or "").strip(" ").lower())
                 if len(s) < nn:
                     preds.append("und")
                     scores.append(0.0)
@@ -200,7 +215,7 @@ def langid_ngram_udf(
                 # sorted language axis
                 best = int(np.argmax(tot))
                 preds.append(langs[best])
-                scores.append(round(int(tot[best]) / n_grams / 1e6, 6))
+                scores.append(_round6(int(tot[best]) / n_grams / 1e6))
             yield pd.DataFrame({id_col: ids, "lang_pred": preds, "score": scores})
 
     id_type = dict(df.dtypes)[id_col]

@@ -12,13 +12,15 @@ rows append to the output corpus:
 
 Scale shape: the seen-hash table holds one md5 per admitted doc (32 bytes
 vs the document body — tiny relative to the corpus) and the per-batch
-anti-join is one hash-keyed shuffle join; in-batch dedup is one window over
-the batch. Exactly-once: the file source's checkpoint makes each input
-file processed once; within ``foreachBatch`` the state append happens
-AFTER the corpus append so a crash between them re-admits nothing (a
-replayed batch re-reads the hash table and drops already-written rows —
-the standard idempotent-foreachBatch pattern; a duplicate hash row in
-state is harmless since the anti-join is set-semantics)."""
+anti-join is one hash-keyed shuffle join; in-batch dedup is one
+first-occurrence aggregation over the batch. Exactly-once: the file
+source's checkpoint replays an unacknowledged batch with the SAME
+batch_id, and both writes are batch_id-keyed OVERWRITES
+(``.../batch=<id>/``) — a replay rewrites the identical partitions instead
+of appending duplicates, the standard idempotent-foreachBatch pattern.
+(An append-mode output would duplicate rows exactly when a crash lands
+between the corpus append and the state append: the replayed batch's
+hashes were never persisted, so the anti-join could not drop them.)"""
 
 from __future__ import annotations
 
@@ -73,13 +75,22 @@ def stream_ingest_corpus(
     def process(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         seen = None
-        if os.path.exists(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
+        has_state = os.path.exists(state_dir) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(state_dir)
+            for f in files
+        )  # an all-rejected first batch leaves partition dirs with no data
+        if has_state:
             seen = sess.read.parquet(state_dir).select("content_hash")
         fresh = admit_batch(batch, seen, min_quality).localCheckpoint(eager=True)
-        fresh.drop("content_hash").write.mode("append").parquet(output_dir)
-        fresh.select("content_hash").write.mode("append").parquet(state_dir)
+        # batch_id-keyed OVERWRITE on both sides: a replayed batch rewrites
+        # the same partitions — idempotent, never appends duplicates
+        fresh.drop("content_hash").write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
+        fresh.select("content_hash").write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
 
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     writer = stream.writeStream.foreachBatch(process).option(
