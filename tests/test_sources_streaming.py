@@ -266,3 +266,28 @@ def test_stream_ingest_corpus_cross_batch_dedup(spark, tmp_path):
     # re-draining with nothing new is a no-op (file-source checkpoint)
     drain_ingest(spark, inp, out, state, ckpt, min_quality=0.9)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 11}
+
+
+def test_corpus_ingest_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay semantics: re-running the foreachBatch body with the
+    SAME batch_id (state already written by the first attempt) must rewrite
+    the identical partitions — not drop the batch's rows by anti-joining
+    against its own hashes (the data-loss mode of a naive overwrite)."""
+    from tilecloud_chain_spark.streaming.corpus_stream import make_processor
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    process = make_processor(out, state, min_quality=0.0)
+    doc = " ".join(f"tok{i}" for i in range(60))
+    batch = spark.createDataFrame([(1, doc), (2, doc)], "doc_id long, text string")
+    process(batch, 7)
+    first = sorted((r.doc_id,) for r in spark.read.parquet(out).collect())
+    assert first == [(1,)]  # in-batch dup dropped
+    # replay: same batch, same id — state now already holds the hash
+    process(batch, 7)
+    again = sorted((r.doc_id,) for r in spark.read.parquet(out).collect())
+    assert again == first  # NOT empty, NOT duplicated
+    # and a LATER batch still dedups against batch 7
+    process(spark.createDataFrame([(9, doc)], "doc_id long, text string"), 8)
+    final = sorted((r.doc_id,) for r in spark.read.parquet(out).collect())
+    assert final == [(1,)]

@@ -413,3 +413,15 @@ def test_gopher_quality_flags(spark, docs):
     assert not got[3]["bullet_ratio_ok"]
     assert not got[4]["alpha_word_ratio_ok"]
     assert not got[5]["mean_word_len_ok"]
+
+
+def test_gopher_rules_unicode(spark):
+    """Non-Latin-script documents must PASS the alpha rule (any Unicode
+    letter counts), and U+2026 ellipsis spam must TRIP the symbol rule."""
+    ru = " ".join(["хороший", "документ", "текст", "слово", "пример"] * 12)
+    spam = " ".join(["word\u2026"] * 60)
+    df = spark.createDataFrame([(1, ru), (2, spam)], "doc_id long, text string")
+    got = {r.doc_id: r.f.asDict() for r in
+           df.select("doc_id", TX.gopher_quality_flags(F.col("text")).alias("f")).collect()}
+    assert got[1]["alpha_word_ratio_ok"]
+    assert not got[2]["symbol_ratio_ok"]

@@ -192,20 +192,35 @@ def within_doc_line_stats(df: DataFrame, id_col: str = "doc_id",
     """Per-document repeated-line statistics + deduplicated text (first
     occurrence of each line kept, order preserved) — the WITHIN-document
     half of repetition removal (the cross-corpus half is
-    ``dedup.dedup_lines``). Pure Column expressions, no shuffle."""
+    ``dedup.dedup_lines``). Pure Column expressions, no shuffle.
+
+    The first-occurrence scan is a LINEAR fold (one pass threading a
+    seen-map + kept-array accumulator) — a per-line
+    ``array_position(slice(...))`` probe would copy and rescan a growing
+    prefix per line, O(L²) time and allocation, stalling a task for
+    minutes on a single 50k-line crawled page."""
     lines = F.split(F.col(text_col), "\n")
-    # first-occurrence filter: keep line i iff no earlier identical line
-    idx = F.sequence(F.lit(1), F.size(lines))
-    kept = F.filter(
-        idx,
-        lambda i: F.array_position(F.slice(lines, 1, i.cast("int")),
-                                   F.element_at(lines, i.cast("int"))) == i,
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<boolean>")
     )
-    clean = F.concat_ws(
-        "\n", F.transform(kept, lambda i: F.element_at(lines, i.cast("int")))
+    acc0 = F.struct(
+        empty_map.alias("seen"), F.array().cast("array<string>").alias("kept")
     )
+    folded = F.aggregate(
+        lines,
+        acc0,
+        lambda acc, ln: F.when(F.map_contains_key(acc["seen"], ln), acc).otherwise(
+            F.struct(
+                F.map_concat(
+                    acc["seen"], F.create_map(ln, F.lit(True))
+                ).alias("seen"),
+                F.array_append(acc["kept"], ln).alias("kept"),
+            )
+        ),
+    )
+    clean = F.array_join(folded["kept"], "\n")
     n = F.size(lines)
-    n_distinct = F.size(F.array_distinct(lines))
+    n_distinct = F.size(folded["kept"])
     return df.select(
         F.col(id_col),
         clean.alias("clean_text"),
@@ -223,9 +238,12 @@ def gopher_quality_flags(text: Column) -> Column:
 
     - word_count_ok: 50 <= tokens <= 100,000
     - mean_word_len_ok: mean token length in [3, 10]
-    - symbol_ratio_ok: '#' or ellipsis tokens < 10% of tokens
+    - symbol_ratio_ok: '#' or ellipsis (ASCII '...' or U+2026) tokens
+      < 10% of tokens
     - bullet_ratio_ok: <90% of lines start with a bullet
-    - alpha_word_ratio_ok: >=80% of tokens contain a letter
+    - alpha_word_ratio_ok: >=80% of tokens contain a LETTER in any script
+      (Unicode \\p{L} — an ASCII [a-z] test would unconditionally reject
+      every Cyrillic/Greek/CJK document)
 
     Pure Column expressions (one pass, codegen-friendly)."""
     toks = tokens(F.lower(text))
@@ -234,8 +252,11 @@ def gopher_quality_flags(text: Column) -> Column:
     mean_len = F.aggregate(
         toks, F.lit(0), lambda a, t: a + F.length(t)
     ) / safe_n
-    sym = F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    sym = F.size(F.filter(
+        toks,
+        lambda t: t.contains("#") | t.contains("...") | t.contains("\u2026"),
+    ))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
     lns = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
     n_lines = F.greatest(F.size(lns), F.lit(1))
     bullets = F.size(

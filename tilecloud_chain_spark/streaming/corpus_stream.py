@@ -4,11 +4,11 @@ Structured Streaming flow (task-brief extension; the batch twin is
 
 Arriving document files stream through quality admission and EXACT dedup
 against everything ever admitted (cross-batch, crash-safe), and accepted
-rows append to the output corpus:
+rows land in the batch-partitioned output corpus:
 
     readStream(files) -> quality filter -> in-batch first-wins dedup
-        -> anti-join against the persistent seen-hash table -> append
-        corpus + append new hashes
+        -> anti-join against the seen-hash table (PRIOR batches only)
+        -> overwrite corpus/batch=<id> + overwrite state/batch=<id>
 
 Scale shape: the seen-hash table holds one md5 per admitted doc (32 bytes
 vs the document body — tiny relative to the corpus) and the per-batch
@@ -71,27 +71,7 @@ def stream_ingest_corpus(
     """Start the ingest stream (parquet file source). Returns the streaming
     query; with ``available_now`` it drains the current files and stops —
     rerun later to pick up new arrivals exactly where it left off."""
-
-    def process(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        seen = None
-        has_state = os.path.exists(state_dir) and any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(state_dir)
-            for f in files
-        )  # an all-rejected first batch leaves partition dirs with no data
-        if has_state:
-            seen = sess.read.parquet(state_dir).select("content_hash")
-        fresh = admit_batch(batch, seen, min_quality).localCheckpoint(eager=True)
-        # batch_id-keyed OVERWRITE on both sides: a replayed batch rewrites
-        # the same partitions — idempotent, never appends duplicates
-        fresh.drop("content_hash").write.mode("overwrite").parquet(
-            f"{output_dir}/batch={batch_id}"
-        )
-        fresh.select("content_hash").write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}"
-        )
-
+    process = make_processor(output_dir, state_dir, min_quality)
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -99,6 +79,53 @@ def stream_ingest_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_processor(output_dir: str, state_dir: str, min_quality: float = 0.2):
+    """The foreachBatch body, exposed for direct testing (replay = calling
+    it twice with the same batch_id must be a no-op rewrite)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+
+        def _has_data(d: str) -> bool:
+            # Spark ignores '_'/'.'-prefixed dirs (e.g. a crashed write's
+            # _temporary staging) — counting files inside them would claim
+            # state exists that read.parquet cannot see, wedging every
+            # replay on 'Unable to infer schema'
+            if not os.path.exists(d):
+                return False
+            for _root, dirs, files in os.walk(d):
+                dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
+        seen = None
+        if _has_data(state_dir):
+            # EXCLUDE the in-flight batch's own partition: a replay (crash
+            # after the writes, before the streaming commit) re-reads state
+            # that already holds THIS batch's hashes — without the filter
+            # the anti-join would drop every row and the overwrite below
+            # would replace the batch's corpus/state partitions with empty
+            # data (permanent loss). Prior batches only.
+            seen = (
+                sess.read.parquet(state_dir)
+                .filter(F.col("batch") != int(batch_id))
+                .select("content_hash")
+            )
+        fresh = admit_batch(batch, seen, min_quality).localCheckpoint(eager=True)
+        # batch_id-keyed OVERWRITE on both sides: a replayed batch recomputes
+        # the identical row set (state read excludes itself) and rewrites the
+        # same partitions — idempotent, never appends duplicates
+        fresh.drop("content_hash").write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}"
+        )
+        fresh.select("content_hash").write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    return process
 
 
 def drain_ingest(
