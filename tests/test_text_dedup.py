@@ -425,3 +425,28 @@ def test_gopher_rules_unicode(spark):
            df.select("doc_id", TX.gopher_quality_flags(F.col("text")).alias("f")).collect()}
     assert got[1]["alpha_word_ratio_ok"]
     assert not got[2]["symbol_ratio_ok"]
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+spam@example.co.uk or call 555-123-4567"),
+            (2, "server at 192.168.1.254 answered; backup at 10.0.0.7"),
+            (3, "(212) 555-0188 and +1 212.555.0188 both ring"),
+            (4, "no pii here just words and numbers like 42 or 3.14"),
+            (5, "version 1.2.3.4.5 is not an ip and neither is 1234.5.6.7"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean, r.c.asDict()) for r in df.select(
+        "doc_id",
+        TX.redact_pii(F.col("text")).alias("clean"),
+        TX.pii_counts(F.col("text")).alias("c"),
+    ).collect()}
+    assert got[1][0] == "contact me at <EMAIL> or call <PHONE>"
+    assert got[1][1] == {"email": 1, "phone": 1, "ipv4": 0}
+    assert got[2][0] == "server at <IP> answered; backup at <IP>"
+    assert got[2][1]["ipv4"] == 2
+    assert got[3][0] == "<PHONE> and <PHONE> both ring"
+    assert got[4][0] == df.filter(F.col("doc_id") == 4).first().text  # untouched
+    assert got[5][1]["ipv4"] == 0  # guarded boundaries

@@ -279,3 +279,35 @@ def gopher_keep(text: Column) -> Column:
         f["word_count_ok"] & f["mean_word_len_ok"] & f["symbol_ratio_ok"]
         & f["bullet_ratio_ok"] & f["alpha_word_ratio_ok"]
     )
+
+
+# PII patterns (public knowledge — the standard C4/Dolma-style scrub set);
+# Java regex syntax (these run JVM-side in regexp_replace/regexp_count)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?<![\w.])(\+?\d{1,2}[ .-]?)?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}(?![\w])",
+    "ipv4": r"(?<![\w.])(\d{1,3}\.){3}\d{1,3}(?![\w.])",
+}
+PII_TOKENS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Replace PII matches with typed placeholder tokens — the standard
+    pre-training scrub pass. Pure Column (chained JVM regexp_replace, one
+    codegen stage); kinds apply in the given order (email before phone so
+    digits inside a replaced email cannot re-match)."""
+    out = text
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], PII_TOKENS[k])
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-kind PII match counts (audit/reporting side of the
+    scrub — e.g. drop documents whose density exceeds a threshold)."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(PII_PATTERNS[k])).alias(k)
+            for k in ("email", "phone", "ipv4")
+        ]
+    )
