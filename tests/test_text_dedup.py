@@ -450,3 +450,23 @@ def test_redact_pii_and_counts(spark):
     assert got[3][0] == "<PHONE> and <PHONE> both ring"
     assert got[4][0] == df.filter(F.col("doc_id") == 4).first().text  # untouched
     assert got[5][1]["ipv4"] == 0  # guarded boundaries
+
+
+def test_normalize_text_nfc_and_controls(spark):
+    """NFC makes decomposed and composed accents byte-identical (so md5
+    dedup unifies them), control chars vanish, NBSP/thin spaces collapse."""
+    nfd = "café menu"          # e + combining accent
+    nfc = "café menu"           # precomposed
+    df = spark.createDataFrame(
+        [(1, nfd), (2, nfc), (3, "a\x00b\x07c"), (4, "x  y"), (5, None)],
+        "doc_id long, text string",
+    )
+    norm = TX.normalize_text_udf()
+    got = {r.doc_id: r.n for r in df.select("doc_id", norm(F.col("text")).alias("n")).collect()}
+    assert got[1] == got[2] == nfc
+    assert got[3] == "abc"
+    assert got[4] == "x y"
+    assert got[5] is None
+    # downstream effect: the two spellings now EXACT-dedup together
+    d = DD.exact_dedup(df.limit(2).select("doc_id", norm(F.col("text")).alias("text")))
+    assert d.count() == 1

@@ -13,6 +13,7 @@ them has an exact ANSI-SQL oracle:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - pandas_udf type hints resolve via module globals
 from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny marker sets; a real system would ship trained n-gram profiles, but the
@@ -311,3 +312,34 @@ def pii_counts(text: Column) -> Column:
             for k in ("email", "phone", "ipv4")
         ]
     )
+
+
+def normalize_text_udf():
+    """Arrow-batched Unicode normalization kernel: NFC composition,
+    control-character stripping (keeping \\n and \\t), and horizontal
+    whitespace collapse — the canonical first pass of a crawl-cleaning
+    pipeline (two byte-different encodings of the same accented word must
+    hash/shingle/dedup identically downstream). Returns a pandas_udf usable
+    as a Column function."""
+    import re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    hspace = re.compile(r"[ \t  -   　]+")
+
+    @pandas_udf("string")
+    def _normalize(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            s = unicodedata.normalize("NFC", t)
+            s = ctrl.sub("", s)
+            s = hspace.sub(" ", s)
+            out.append(s)
+        return pd.Series(out)
+
+    return _normalize
