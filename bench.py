@@ -682,6 +682,18 @@ def _write_bench_md(result: dict) -> None:
         "| query | r3 driver sec | sec | normalized | vs r3 |",
         "|---|---|---|---|---|",
     ]
+    lines = lines[:-2] + [
+        "",
+        "Intra-round note: line_dedup was reimplemented mid-round from a",
+        "line-hash row_number window to a map-side-combinable min-struct",
+        "aggregation + join — ~2x slower at this toy scale (one more",
+        "shuffle) but skew-safe at 10^12 rows (a corpus-universal",
+        "boilerplate line no longer funnels into one task's window sort);",
+        "earlier round-4 builder runs showed ~0.6s for the window form.",
+        "",
+        "| query | r3 driver sec | sec | normalized | vs r3 |",
+        "|---|---|---|---|---|",
+    ]
     for k, v in result["queries"].items():
         r3 = _R3_DRIVER_QUERIES.get(k)
         norm = result["queries_normalized"].get(k, v)

@@ -452,6 +452,26 @@ def test_redact_pii_and_counts(spark):
     assert got[5][1]["ipv4"] == 0  # guarded boundaries
 
 
+def test_redact_pii_sentence_final_ip_and_overlap_counts(spark):
+    """A sentence-final period must not shield an IP from redaction, and
+    pii_counts must agree with what redact_pii actually does on
+    overlapping matches (phone digits inside an email local part)."""
+    df = spark.createDataFrame(
+        [(1, "attacker at 203.0.113.9. Next sentence."),
+         (2, "reach 555-123-4567@example.com today")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean, r.c.asDict()) for r in df.select(
+        "doc_id",
+        TX.redact_pii(F.col("text")).alias("clean"),
+        TX.pii_counts(F.col("text")).alias("c"),
+    ).collect()}
+    assert got[1][0] == "attacker at <IP>. Next sentence."
+    assert got[1][1]["ipv4"] == 1
+    assert got[2][0] == "reach <EMAIL> today"
+    assert got[2][1] == {"email": 1, "phone": 0, "ipv4": 0}  # no double count
+
+
 def test_normalize_text_nfc_and_controls(spark):
     """NFC makes decomposed and composed accents byte-identical (so md5
     dedup unifies them), control chars vanish, NBSP/thin spaces collapse."""
@@ -467,6 +487,12 @@ def test_normalize_text_nfc_and_controls(spark):
     assert got[3] == "abc"
     assert got[4] == "x y"
     assert got[5] is None
+    # CRLF corpus == LF corpus after normalization (the \r strip)
+    crlf = spark.createDataFrame([(9, "a\r\nb"), (10, "a\nb")],
+                                 "doc_id long, text string")
+    vals = {r.doc_id: r.n for r in crlf.select(
+        "doc_id", norm(F.col("text")).alias("n")).collect()}
+    assert vals[9] == vals[10] == "a\nb"
     # downstream effect: the two spellings now EXACT-dedup together
     d = DD.exact_dedup(df.limit(2).select("doc_id", norm(F.col("text")).alias("text")))
     assert d.count() == 1

@@ -193,43 +193,49 @@ def within_doc_line_stats(df: DataFrame, id_col: str = "doc_id",
     """Per-document repeated-line statistics + deduplicated text (first
     occurrence of each line kept, order preserved) — the WITHIN-document
     half of repetition removal (the cross-corpus half is
-    ``dedup.dedup_lines``). Pure Column expressions, no shuffle.
+    ``dedup.dedup_lines``). One Arrow batch stage, no shuffle.
 
-    The first-occurrence scan is a LINEAR fold (one pass threading a
-    seen-map + kept-array accumulator) — a per-line
-    ``array_position(slice(...))`` probe would copy and rescan a growing
-    prefix per line, O(L²) time and allocation, stalling a task for
-    minutes on a single 50k-line crawled page."""
-    lines = F.split(F.col(text_col), "\n")
-    empty_map = F.map_from_arrays(
-        F.array().cast("array<string>"), F.array().cast("array<boolean>")
-    )
-    acc0 = F.struct(
-        empty_map.alias("seen"), F.array().cast("array<string>").alias("kept")
-    )
-    folded = F.aggregate(
-        lines,
-        acc0,
-        lambda acc, ln: F.when(F.map_contains_key(acc["seen"], ln), acc).otherwise(
-            F.struct(
-                F.map_concat(
-                    acc["seen"], F.create_map(ln, F.lit(True))
-                ).alias("seen"),
-                F.array_append(acc["kept"], ln).alias("kept"),
-            )
-        ),
-    )
-    clean = F.array_join(folded["kept"], "\n")
-    n = F.size(lines)
-    n_distinct = F.size(folded["kept"])
-    return df.select(
-        F.col(id_col),
-        clean.alias("clean_text"),
-        n.cast("long").alias("n_lines"),
-        n_distinct.cast("long").alias("n_distinct_lines"),
-        F.round(
-            (n - n_distinct) / F.greatest(n, F.lit(1)), 6
-        ).alias("dup_line_ratio"),
+    The first-occurrence scan runs as a genuinely O(L) Python set pass per
+    document inside ``mapInPandas``. Column-expression formulations are
+    QUADRATIC here no matter how they are phrased: a per-line
+    ``array_position(slice(...))`` probe rescans a growing prefix, and an
+    ``F.aggregate`` fold threading a seen-map/kept-array accumulator COPIES
+    the whole accumulator per element (Catalyst maps/arrays are immutable;
+    ``map_contains_key`` is itself a linear key scan) — measured ~4x per
+    input doubling, ~80 s for ONE 16k-line document, where this kernel is
+    ~milliseconds."""
+    id_type = dict(df.dtypes)[id_col]
+
+    def scan(batches):
+        for pdf in batches:
+            cleans, n_lines, n_kept = [], [], []
+            for t in pdf[text_col]:
+                lines = (t or "").split("\n")
+                seen: set[str] = set()
+                kept: list[str] = []
+                for ln in lines:
+                    if ln not in seen:
+                        seen.add(ln)
+                        kept.append(ln)
+                cleans.append("\n".join(kept))
+                n_lines.append(len(lines))
+                n_kept.append(len(kept))
+            out = pd.DataFrame({
+                id_col: pdf[id_col],
+                "clean_text": cleans,
+                "n_lines": pd.array(n_lines, dtype="int64"),
+                "n_distinct_lines": pd.array(n_kept, dtype="int64"),
+            })
+            out["dup_line_ratio"] = [
+                round((a - b) / a, 6) if a else 0.0
+                for a, b in zip(n_lines, n_kept)
+            ]
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(
+        scan,
+        f"{id_col} {id_type}, clean_text string, n_lines long, "
+        "n_distinct_lines long, dup_line_ratio double",
     )
 
 
@@ -287,7 +293,10 @@ def gopher_keep(text: Column) -> Column:
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"(?<![\w.])(\+?\d{1,2}[ .-]?)?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}(?![\w])",
-    "ipv4": r"(?<![\w.])(\d{1,3}\.){3}\d{1,3}(?![\w.])",
+    # trailing guard rejects only ".digit" / digit continuations (version
+    # strings like 1.2.3.4.5) — a bare sentence-final period must NOT
+    # block redaction ("attacker at 203.0.113.9." is the common placement)
+    "ipv4": r"(?<![\w.])(\d{1,3}\.){3}\d{1,3}(?!\.?\d)(?!\w)",
 }
 PII_TOKENS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
 
@@ -303,15 +312,22 @@ def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")
     return out
 
 
-def pii_counts(text: Column) -> Column:
+def pii_counts(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
     """Struct of per-kind PII match counts (audit/reporting side of the
-    scrub — e.g. drop documents whose density exceeds a threshold)."""
-    return F.struct(
-        *[
-            F.regexp_count(text, F.lit(PII_PATTERNS[k])).alias(k)
-            for k in ("email", "phone", "ipv4")
-        ]
-    )
+    scrub — e.g. drop documents whose density exceeds a threshold).
+
+    Counts are PROGRESSIVE over the same redaction order as
+    :func:`redact_pii` (each kind counted on the text with earlier kinds
+    already replaced), so the numbers agree with what redact_pii actually
+    redacts — independent raw-text counts would double-count overlaps
+    (the phone pattern matches the digits inside an email's local part).
+    Takes the same ``kinds`` as redact_pii for the same reason."""
+    cur = text
+    cols = []
+    for k in kinds:
+        cols.append(F.regexp_count(cur, F.lit(PII_PATTERNS[k])).alias(k))
+        cur = F.regexp_replace(cur, PII_PATTERNS[k], PII_TOKENS[k])
+    return F.struct(*cols)
 
 
 def normalize_text_udf():
@@ -326,8 +342,10 @@ def normalize_text_udf():
 
     from pyspark.sql.functions import pandas_udf
 
-    ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
-    hspace = re.compile(r"[ \t  -   　]+")
+    # strips \r too: CRLF corpora normalize to LF so "a\r\nb" == "a\nb"
+    # downstream; C1 controls (\x80-\x9f) are junk in decoded text
+    ctrl = re.compile("[\x00-\x08\x0b-\x0c\x0d\x0e-\x1f\x7f\u0080-\u009f]")
+    hspace = re.compile(r"[ \t\u1680  -   　]+")
 
     @pandas_udf("string")
     def _normalize(texts: pd.Series) -> pd.Series:
