@@ -105,3 +105,29 @@ def test_build_overviews_jpeg_path(spark):
             px = img[qy * half, qx * half].astype(int)
             want = np.array([40 * (1 + qx), 60 * (1 + qy), 90])
             assert np.abs(px - want).max() <= 6, (qx, qy, px, want)
+
+
+def test_build_pyramid_all_levels(spark):
+    """Full overview build: 16 children at z4 -> 4 at z3 -> 1 at z2; all
+    levels present, constant color preserved exactly at every level."""
+    import numpy as np
+
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import build_pyramid
+
+    ts = 8
+    img = np.zeros((ts, ts, 4), np.uint8)
+    img[:] = (120, 50, 200, 255)
+    rows = [(4, x, y, bytearray(IMG.png_encode(img)))
+            for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "z int, x int, y int, data binary")
+    got = build_pyramid(df, ts, z_to=2).collect()
+    by_z = {}
+    for r in got:
+        by_z.setdefault(r.z, []).append(r)
+    assert {z: len(v) for z, v in by_z.items()} == {4: 16, 3: 4, 2: 1}
+    assert all(r.n_children is None for r in by_z[4])  # leaves, not composites
+    assert all(r.n_children == 4 for r in by_z[3] + by_z[2])
+    top = by_z[2][0]
+    dec = IMG.png_decode(bytes(top.data))
+    assert (dec == np.array([120, 50, 200, 255], np.uint8)).all()

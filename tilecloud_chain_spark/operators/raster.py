@@ -617,3 +617,34 @@ def build_overviews(
     return grouped.mapInPandas(
         mosaic, "z int, x int, y int, n_children int, data binary"
     )
+
+
+def build_pyramid(
+    df: DataFrame,
+    tile_size: int,
+    z_to: int,
+    data_col: str = "data",
+    fmt: str = "png",
+) -> DataFrame:
+    """Iterate :func:`build_overviews` from the input's single zoom level
+    down to ``z_to`` (inclusive) and return ALL levels unioned — the
+    gdal2tiles full-overview build. Each iteration's input is a quarter the
+    previous one's tile count, so the whole pyramid costs z_max
+    geometrically-shrinking shuffles; every level is localCheckpoint-ed
+    once (it feeds both the union and the next iteration)."""
+    levels = [df.localCheckpoint(eager=True)]
+    cur = levels[0]
+    z = cur.select("z").first()
+    if z is None:
+        return df.select("z", "x", "y", F.lit(0).alias("n_children"),
+                         F.col(data_col).alias("data")).limit(0)
+    z_cur = int(z[0])
+    # source-level tiles are leaves, not composites: n_children is NULL
+    out = cur.select("z", "x", "y",
+                     F.lit(None).cast("int").alias("n_children"),
+                     F.col(data_col).alias("data"))
+    while z_cur > int(z_to):
+        cur = build_overviews(cur, tile_size, fmt=fmt).localCheckpoint(eager=True)
+        out = out.unionAll(cur)
+        z_cur -= 1
+    return out
