@@ -634,11 +634,15 @@ def build_pyramid(
     once (it feeds both the union and the next iteration)."""
     levels = [df.localCheckpoint(eager=True)]
     cur = levels[0]
-    z = cur.select("z").first()
-    if z is None:
+    zs = [r[0] for r in cur.select("z").distinct().collect()]
+    if not zs:
         return df.select("z", "x", "y", F.lit(0).alias("n_children"),
                          F.col(data_col).alias("data")).limit(0)
-    z_cur = int(z[0])
+    if len(zs) != 1:
+        raise ValueError(
+            f"build_pyramid input must hold exactly one zoom level, got {sorted(zs)}"
+        )
+    z_cur = int(zs[0])
     # source-level tiles are leaves, not composites: n_children is NULL
     out = cur.select("z", "x", "y",
                      F.lit(None).cast("int").alias("n_children"),
