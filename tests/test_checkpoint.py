@@ -383,3 +383,99 @@ def test_merge_stats_shape_consistent(tmp_path):
     assert stats == {"updated": 0, "inserted": 1}
     t.spark = None  # no session: the summary query must degrade, not raise
     assert t._iceberg_merge_stats() == {"updated": None, "inserted": None}
+
+
+def test_short_timeout_breaker_never_breaks_live_holder(tmp_path):
+    """Cross-timeout safety: a breaker whose lock_timeout is SHORTER than the
+    holder's heartbeat gap must not stale-break the live holder (two
+    concurrent holders, lost updates). Staleness is judged against the
+    holder's declared cadence (written into the lock file), so the breaker
+    times out as 'busy' instead of usurping."""
+    import json
+    import os
+    import threading
+    import time as _time
+
+    import pytest
+
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    root = str(tmp_path / "xt")
+    holder = MergeTable(root, ["k", "status"], lock_timeout=10.0)  # hb capped at 1s
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow_holder():
+        with holder._locked():
+            entered.set()
+            release.wait(5.0)
+
+    th = threading.Thread(target=slow_holder)
+    th.start()
+    assert entered.wait(2.0)
+    lock = os.path.join(root, ".lock")
+    with open(lock) as f:
+        meta = json.loads(f.read())
+    assert meta["hb"] == 1.0  # cadence capped, declared in the lock file
+    # age the mtime past the breaker's own timeout but inside 3x the
+    # holder's declared cadence — pre-fix this was the usurpation window
+    st = os.stat(lock)
+    os.utime(lock, (st.st_atime, _time.time() - 0.5))
+    breaker = MergeTable(root, ["k", "status"], lock_timeout=0.3)
+    with pytest.raises(TimeoutError):
+        breaker.merge([{"k": 1, "status": "usurped"}], on=["k"])
+    assert os.path.exists(lock)  # holder's lock survived
+    release.set()
+    th.join()
+    assert not os.path.exists(lock)  # holder released its own lock normally
+
+
+def test_release_unlink_checks_token_ownership(tmp_path):
+    """If the lock was (wrongly or rightly) replaced while held, the
+    holder's release must not delete the new owner's lock file. Ownership is
+    a uuid token in the lock content — inode numbers are recycled on
+    unlink+create, so inode identity would false-positive here."""
+    import os
+
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    root = str(tmp_path / "ino")
+    t = MergeTable(root, ["k"], lock_timeout=5.0)
+    lock = os.path.join(root, ".lock")
+    with t._locked():
+        os.unlink(lock)
+        with open(lock, "w") as f:  # a usurper's fresh lock (new inode)
+            f.write("usurper")
+    assert os.path.exists(lock)  # release did NOT unlink the usurper's
+    with open(lock) as f:
+        assert f.read() == "usurper"
+
+
+def test_iceberg_stats_cow_does_not_inflate_inserted(tmp_path):
+    """Copy-on-write MERGE snapshot summaries carry added-records that counts
+    every rewritten row (not just inserts) and no updated-records; the stats
+    helper must return inserted=None there instead of the inflated number.
+    Merge-on-read (updated-records present) keeps both counts."""
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    t = MergeTable(str(tmp_path / "cow"), ["k"])
+
+    class _FakeSpark:
+        def __init__(self, summary):
+            self._summary = summary
+
+        def sql(self, _):
+            fake = self
+
+            class _Res:
+                def collect(self):
+                    return [{"summary": fake._summary}]
+
+            return _Res()
+
+    t.use_iceberg = True
+    t.iceberg_table = "cat.db.t"
+    t.spark = _FakeSpark({"added-records": "7"})  # CoW: rewritten rows, no upd
+    assert t._iceberg_merge_stats() == {"updated": None, "inserted": None}
+    t.spark = _FakeSpark({"added-records": "3", "updated-records": "2"})  # MoR
+    assert t._iceberg_merge_stats() == {"updated": 2, "inserted": 3}

@@ -131,3 +131,27 @@ def test_build_pyramid_all_levels(spark):
     top = by_z[2][0]
     dec = IMG.png_decode(bytes(top.data))
     assert (dec == np.array([120, 50, 200, 255], np.uint8)).all()
+
+
+def test_build_pyramid_custom_data_col(spark):
+    """A non-default data_col must be normalized up front — unforwarded, the
+    first build_overviews iteration failed on the missing 'data' column (or
+    silently read an unrelated one)."""
+    import numpy as np
+
+    from tilecloud_chain_spark.functions import image as IMG
+    from tilecloud_chain_spark.operators.raster import build_pyramid
+
+    ts = 8
+    img = np.zeros((ts, ts, 4), np.uint8)
+    img[:] = (10, 220, 30, 255)
+    rows = [(3, x, y, b"DECOY", bytearray(IMG.png_encode(img)))
+            for x in range(2) for y in range(2)]
+    df = spark.createDataFrame(rows, "z int, x int, y int, data binary, img binary")
+    got = build_pyramid(df, ts, z_to=2, data_col="img").collect()
+    by_z = {}
+    for r in got:
+        by_z.setdefault(r.z, []).append(r)
+    assert {z: len(v) for z, v in by_z.items()} == {3: 4, 2: 1}
+    dec = IMG.png_decode(bytes(by_z[2][0].data))
+    assert (dec == np.array([10, 220, 30, 255], np.uint8)).all()

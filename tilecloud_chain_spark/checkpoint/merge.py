@@ -147,24 +147,55 @@ class MergeTable:
                 "n": n, "at": time.time(), "op": op, "sql": sql, **stats,
             }) + "\n")
 
+    # heartbeats never slower than this, regardless of lock_timeout — so a
+    # breaker's staleness bound (3x the holder's declared cadence) is small
+    # even when the holder was configured with a very long timeout
+    _HB_CAP = 1.0
+
+    def _holder_stale_after(self, lock: str) -> float:
+        """Seconds without an mtime refresh before the lock at ``lock`` is
+        presumed abandoned. Judged against the HOLDER's declared heartbeat
+        cadence (written into the lock file), not this breaker's own
+        ``lock_timeout``: two MergeTable instances on the same root may be
+        configured with different timeouts, and a breaker whose timeout is
+        shorter than the holder's heartbeat gap would otherwise stale-break
+        a LIVE holder (two concurrent writers, lost updates). Unreadable /
+        not-yet-written lock content falls back to the cadence cap — the
+        holder's cadence never exceeds it."""
+        hb = self._HB_CAP
+        try:
+            with open(lock) as f:
+                hb = float(json.loads(f.read())["hb"])
+        except Exception:
+            pass
+        return max(self.lock_timeout, 3.0 * hb)
+
     @contextlib.contextmanager
     def _locked(self):
-        """A lock with no heartbeat for ``lock_timeout`` seconds is presumed
-        abandoned and broken. While HELD, a daemon thread touches the lock
-        file's mtime every ``lock_timeout / 3`` seconds, so a LIVE holder is
-        never broken no matter how long its mutation runs (the Iceberg path
-        holds the lock across a Spark MERGE job that can exceed any static
-        timeout) — staleness measures holder death, not mutation length.
+        """A lock with no heartbeat for :meth:`_holder_stale_after` seconds
+        is presumed abandoned and broken. While HELD, a daemon thread touches
+        the lock file's mtime every ``min(lock_timeout / 3, 1s)`` seconds, so
+        a LIVE holder is never broken no matter how long its mutation runs
+        (the Iceberg path holds the lock across a Spark MERGE job that can
+        exceed any static timeout) — staleness measures holder death, not
+        mutation length. The cadence is written INTO the lock file so
+        breakers with a different ``lock_timeout`` judge staleness against
+        the holder's actual cadence, never their own shorter timeout.
 
         Breaking is compare-and-unlink — the stale identity (inode, mtime)
         is re-confirmed after a settle delay so a racing breaker that
         already re-acquired (fresh inode/mtime) is never unlinked, and a
         heartbeat landing during the settle window changes mtime and vetoes
         the break; the residual stat->unlink window is microseconds against
-        a timeout measured in seconds."""
+        a timeout measured in seconds. The release unlink re-checks
+        ownership via a uuid token in the lock content (inode numbers are
+        recycled on unlink+create, so inode identity is NOT ownership): a
+        holder that WAS stale-broken while running must not delete the
+        usurper's fresh lock."""
         import threading
 
         lock = os.path.join(self.root, ".lock")
+        hb_period = min(self.lock_timeout / 3.0, self._HB_CAP)
         deadline = time.time() + self.lock_timeout
         while True:
             try:
@@ -175,7 +206,7 @@ class MergeTable:
                     st = os.stat(lock)
                 except FileNotFoundError:
                     continue  # raced the holder's release; retry immediately
-                if time.time() - st.st_mtime > self.lock_timeout:
+                if time.time() - st.st_mtime > self._holder_stale_after(lock):
                     time.sleep(0.05)  # settle: a live re-acquirer shows up here
                     try:
                         st2 = os.stat(lock)
@@ -190,29 +221,35 @@ class MergeTable:
                         f"MergeTable commit lock busy for >{self.lock_timeout}s: {lock}"
                     )
                 time.sleep(0.02)
+        my_token = uuid.uuid4().hex
         stop = threading.Event()
 
         def _heartbeat() -> None:
-            while not stop.wait(self.lock_timeout / 3.0):
+            while not stop.wait(hb_period):
                 with contextlib.suppress(FileNotFoundError):
                     os.utime(lock)
 
         hb = threading.Thread(target=_heartbeat, daemon=True)
         try:
-            # heartbeat starts FIRST: if the pid write below raises, the
+            # heartbeat starts FIRST: if the content write below raises, the
             # finally must still join a STARTED thread (joining an
             # unstarted one raises RuntimeError, masking the real error
             # and skipping the unlink — a leaked lock)
             hb.start()
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, json.dumps({
+                "pid": os.getpid(), "hb": hb_period, "token": my_token,
+            }).encode())
             os.close(fd)
             yield
         finally:
             stop.set()
             if hb.ident is not None:  # only join a thread that started
                 hb.join(timeout=1.0)
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock)
+            with contextlib.suppress(FileNotFoundError, ValueError, KeyError):
+                with open(lock) as f:
+                    owner = json.loads(f.read()).get("token")
+                if owner == my_token:  # never unlink a usurper's lock
+                    os.unlink(lock)
 
     # -- snapshot plumbing --------------------------------------------------
 
@@ -280,10 +317,13 @@ class MergeTable:
     def _iceberg_merge_stats(self) -> dict:
         """Row stats for the just-committed MERGE from the table's snapshot
         summary (``<table>.snapshots`` metadata table). Iceberg reports
-        updates as replaced rows: ``updated-records`` isn't emitted by a
-        copy-on-write MERGE, so it stays None there; ``added-records`` minus
-        updates approximates inserts only under merge-on-read — report what
-        the summary actually carries, None otherwise."""
+        updates as replaced rows: under copy-on-write MERGE,
+        ``updated-records`` is absent and ``added-records`` counts EVERY row
+        in the rewritten files (updates plus carried-over unchanged rows) —
+        reporting it as "inserted" would inflate the count precisely in that
+        mode. So: inserted is only reported when ``updated-records`` IS
+        present (merge-on-read, where added-records means new rows); both
+        stay None otherwise rather than report a known-wrong number."""
         try:
             row = self.spark.sql(
                 f"SELECT summary FROM {self._table_name()}.snapshots "
@@ -294,7 +334,7 @@ class MergeTable:
             ins = summary.get("added-records")
             return {
                 "updated": int(upd) if upd is not None else None,
-                "inserted": int(ins) if ins is not None else None,
+                "inserted": int(ins) if upd is not None and ins is not None else None,
             }
         except Exception:
             return {"updated": None, "inserted": None}

@@ -631,13 +631,20 @@ def build_pyramid(
     gdal2tiles full-overview build. Each iteration's input is a quarter the
     previous one's tile count, so the whole pyramid costs z_max
     geometrically-shrinking shuffles; every level is localCheckpoint-ed
-    once (it feeds both the union and the next iteration)."""
-    levels = [df.localCheckpoint(eager=True)]
-    cur = levels[0]
+    once (it feeds both the union and the next iteration).
+
+    The input is normalized to a ``data`` column ONCE up front — every
+    subsequent :func:`build_overviews` level emits ``data``, so a custom
+    ``data_col`` only describes the source level (unforwarded, the first
+    iteration would look for a missing — or worse, unrelated — ``data``
+    column)."""
+    cur = df.select(
+        "z", "x", "y", F.col(data_col).alias("data")
+    ).localCheckpoint(eager=True)
     zs = [r[0] for r in cur.select("z").distinct().collect()]
     if not zs:
-        return df.select("z", "x", "y", F.lit(0).alias("n_children"),
-                         F.col(data_col).alias("data")).limit(0)
+        return cur.select("z", "x", "y", F.lit(0).alias("n_children"),
+                          "data").limit(0)
     if len(zs) != 1:
         raise ValueError(
             f"build_pyramid input must hold exactly one zoom level, got {sorted(zs)}"
@@ -645,8 +652,7 @@ def build_pyramid(
     z_cur = int(zs[0])
     # source-level tiles are leaves, not composites: n_children is NULL
     out = cur.select("z", "x", "y",
-                     F.lit(None).cast("int").alias("n_children"),
-                     F.col(data_col).alias("data"))
+                     F.lit(None).cast("int").alias("n_children"), "data")
     while z_cur > int(z_to):
         cur = build_overviews(cur, tile_size, fmt=fmt).localCheckpoint(eager=True)
         out = out.unionAll(cur)
