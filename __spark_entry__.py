@@ -707,7 +707,15 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-admission decision a training pipeline runs:
     quality gate (token count + repetition ratio) AND exact-dup keep (min id
     per content hash) AND near-dup cluster keep (connected components over
-    jaccard>=0.5 pairs). One boolean per document, every stage oracled."""
+    MinHash-LSH-verified jaccard>=0.5 pairs). One boolean per document,
+    every stage oracled.
+
+    The near-dup stage runs the SCALE recipe — ``minhash_dedup_pairs`` with
+    exact-dup collapse and star edges (LSH banding over distinct texts only,
+    O(n) within-group edges) — never the all-pairs shingle co-occurrence
+    join; the oracle expresses the identical LSH formulation in SQL
+    (uncollapsed/expanded, which is pair-set-equivalent — signatures are
+    pure functions of text; property-tested)."""
     from pyspark.sql.window import Window
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -716,7 +724,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = F.col("doc_id") == F.min("doc_id").over(
         Window.partitionBy(F.md5(t))
     )
-    prs = DD.jaccard_pairs(docs, threshold=0.5)
+    prs = DD.minhash_dedup_pairs(docs, threshold=0.5, exact_pairs="star")
     cc = DD.connected_components(prs)
     base = docs.select(
         "doc_id", quality.alias("quality_pass"), exact_keep.alias("exact_keep")
@@ -812,24 +820,24 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup clusters — connected components (large-star/small-star, the
-    O(log n)-round distributed formulation) over exact-Jaccard near-dup
-    pairs; every doc mapped to its cluster's min id + a keep flag. Oracle:
-    DuckDB recursive-CTE transitive closure over the same pairs."""
+    """Dedup clusters — the 100 TB recipe end-to-end: exact-dup collapse by
+    md5(text) -> MinHash-LSH banding over DISTINCT texts -> per-pair
+    array_intersect verification -> star edges -> connected components
+    (large-star/small-star, O(log n) rounds) -> (doc_id, cluster, keep).
+    Exact duplicates (injected % 50) exercise the collapse; near mutants
+    (injected % 25) exercise banding + verify. Oracle: the SAME LSH
+    formulation in SQL (uncollapsed — pair-set-equivalent since signatures
+    are pure functions of text) + recursive-CTE transitive closure."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz zz zz")).alias("text"),
     )
-    all_docs = docs.unionAll(near)
-    prs = DD.jaccard_pairs(all_docs, threshold=0.5)
-    cc = DD.connected_components(prs)
-    ids = all_docs.select(F.col("doc_id").alias("id"))
-    return ids.join(cc, "id", "left").select(
-        F.col("id").alias("doc_id"),
-        F.coalesce("component", F.col("id")).alias("cluster"),
-        (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
+    exact = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
+    all_docs = docs.unionAll(near).unionAll(exact)
+    return DD.dedup_clusters(all_docs, threshold=0.5)
 
 
 def q_feature_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,7 +961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmts_paths": q_wmts_paths,
         "cell_key_roundtrip": q_cell_key_roundtrip,
         "process_partition": q_process_partition,
-        "top_events_per_user": q_top_events_per_user,
         "event_rollup": q_event_rollup,
         "legend_dedup": q_legend_dedup,
         "interval_islands": q_interval_islands,
@@ -963,7 +970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
-        "quantize_embeddings": q_quantize_embeddings,
         "ivf_topk": q_ivf_topk,
         "asof_join": q_asof_join,
         "stratified_sample": q_stratified_sample,
@@ -992,19 +998,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_decisions": q_serving_decisions,
         "host_serving_decisions": q_host_serving_decisions,
         "styled_tiles": q_styled_tiles,
-        # --- gate-ordering note: the driver's correctness gate runs the
-        # FIRST 50 entries (r3 recorded exactly 50 of 52). Entries whose
-        # implementations were recently touched or newly added sit above
-        # this line so they carry a CURRENT cross-engine pass; the five
-        # below are the lowest-risk rows to fall outside a 50-entry window:
-        # three frozen-since-r1 pure-SQL rollups (window/groupBy
-        # aggregations, green r1-r3 gates, unchanged code), the composite
-        # clean_corpus pipeline (frozen since r2, green r2+r3, and every
-        # operator it composes is gated individually above), and the
-        # pinned-golden utfgrid query (green r3, operators/utfgrid.py
-        # untouched since).
         "clean_corpus": q_clean_corpus,
         "utfgrid_tiles": q_utfgrid_tiles,
+        # --- gate-ordering note: the driver's correctness gate runs the
+        # FIRST 50 entries. STANDING POLICY (r4 verdict): any entry whose
+        # implementation OR composed dependencies changed in-round must sit
+        # inside the window. This round clean_corpus (rewired to the
+        # collapsed-LSH scale path) and utfgrid_tiles (rotated back per the
+        # r4 verdict) moved in; the five below are frozen, r4-green (or
+        # r3-green with untouched code), and dependency-stable this round:
+        # quantize_embeddings + top_events_per_user (r4-green, similarity.py
+        # / window code untouched in r5), and three pure-SQL rollups green
+        # since r1. The FULL registry (including these five) is still
+        # cross-engine-checked every round by tests/test_entry_oracle.py,
+        # which parametrizes over ALL oracle_sql() keys — the rotation only
+        # affects which rows land in the driver's CORRECTNESS file.
+        "quantize_embeddings": q_quantize_embeddings,
+        "top_events_per_user": q_top_events_per_user,
         "daily_event_windows": q_daily_event_windows,
         "pricing_summary": q_pricing_summary,
         "orders_rollup": q_orders_rollup,
@@ -1108,6 +1118,61 @@ def _shingles_sql(src: str) -> str:
               FROM {src}
             )
     """
+
+
+def _lsh_prs_sql(src: str, threshold: float = 0.5,
+                 num_hashes: int = 16, bands: int = 8) -> str:
+    """CTE chain ending in ``prs(id_a, id_b)`` — near-dup pairs by the SAME
+    MinHash-LSH + exact-verify formulation the Spark scale path runs
+    (``minhash_dedup_pairs``): 2-row bands over ``num_hashes`` md5
+    min-hashes, band-bucket join for candidates, exact shingle-Jaccard
+    verification of candidates only. The Spark side additionally collapses
+    exact duplicates before banding and emits star edges; that is
+    pair-set-equivalent (expand) / connectivity-equivalent (star) to this
+    uncollapsed form because signatures are pure functions of the text
+    (property-tested in tests/test_property_r4.py)."""
+    rows = 2
+    hcols = ",\n                 ".join(
+        f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(h{rows * b} || '|' || h{rows * b + 1}) AS band_hash FROM lsh_sig"
+        for b in range(bands)
+    )
+    return f"""
+        lsh_sh AS (
+          SELECT DISTINCT doc_id AS id, shingle FROM ({_shingles_sql(src)})
+        ),
+        lsh_sizes AS (SELECT id, count(*) AS sz FROM lsh_sh GROUP BY id),
+        lsh_sig AS (
+          SELECT id AS doc_id,
+                 {hcols}
+          FROM lsh_sh GROUP BY id
+        ),
+        lsh_banded AS (
+          {band_rows}
+        ),
+        lsh_cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM lsh_banded a JOIN lsh_banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        lsh_inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM lsh_cand c
+          JOIN lsh_sh a ON a.id = c.id_a
+          JOIN lsh_sh b ON b.id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        ),
+        prs AS (
+          SELECT c.id_a, c.id_b
+          FROM lsh_inter c
+          JOIN lsh_sizes sa ON sa.id = c.id_a
+          JOIN lsh_sizes sb ON sb.id = c.id_b
+          WHERE round(c.i / (sa.sz + sb.sz - c.i), 6) >= {threshold}
+        )"""
 
 
 def _simhash_sql(src: str) -> str:
@@ -1793,28 +1858,18 @@ def oracle_sql() -> dict[str, str]:
 
     # connected components == transitive closure with min labels: recursive
     # CTE (UNION = distinct => terminates); the Spark side runs the
-    # large-star/small-star rounds, both must agree per node
+    # large-star/small-star rounds over the collapsed-LSH star edges, the
+    # oracle closes over the equivalent uncollapsed LSH-verified pair set —
+    # both must agree per node
     dedup_clusters = f"""
         WITH RECURSIVE all_docs AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 1000000, text || ' zz zz zz' FROM documents WHERE doc_id % 25 = 0
-        ), sh AS (
-          SELECT DISTINCT doc_id AS id, shingle FROM (
-            {_shingles_sql('all_docs')}
-          )
-        ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        inter AS (
-          SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-          GROUP BY 1, 2
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0
         ),
-        prs AS (
-          SELECT id_a, id_b FROM inter
-          JOIN sizes sa ON sa.id = id_a
-          JOIN sizes sb ON sb.id = id_b
-          WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
-        ),
+        {_lsh_prs_sql('all_docs', threshold=0.5)},
         edges AS (
           SELECT id_a AS u, id_b AS v FROM prs
           UNION
@@ -1880,24 +1935,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # corpus admission: quality exprs mirror text_profile's oracled pieces;
-    # near-dup keep = recursive-CTE components over jaccard>=0.5 pairs
+    # near-dup keep = recursive-CTE components over the SAME MinHash-LSH +
+    # verify pair formulation the Spark scale path runs (never all-pairs)
     clean_corpus = f"""
-        WITH RECURSIVE sh AS (
-          SELECT DISTINCT doc_id AS id, shingle FROM (
-            {_shingles_sql('documents')}
-          )
-        ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        inter AS (
-          SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-          GROUP BY 1, 2
-        ),
-        prs AS (
-          SELECT id_a, id_b FROM inter
-          JOIN sizes sa ON sa.id = id_a
-          JOIN sizes sb ON sb.id = id_b
-          WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
-        ),
+        WITH RECURSIVE
+        {_lsh_prs_sql('documents', threshold=0.5)},
         edges AS (
           SELECT id_a AS u, id_b AS v FROM prs
           UNION
