@@ -118,20 +118,64 @@ def test_cosine_topk_exact(embs, spark):
         assert cos == pytest.approx(1.0, abs=1e-4)
 
 
-def test_ann_recall_vs_bruteforce(embs, spark):
-    q = embs.limit(5).select(F.col("vec_id").cast("string").alias("qid"), "embedding")
-    bf = SIM.cosine_topk(embs, q, k=10)
-    ann = SIM.ann_topk(embs, q, dim=64, k=10, bits=8, probe_hamming=3)
-    bf_sets = {}
-    for r in bf.collect():
+def _seeded_embs(spark, clustered: bool):
+    """Deterministic embedding fixtures for PINNED recall goldens (the
+    loose >= 0.5/0.6 floors the r3/r4 verdicts flagged could not catch a
+    real recall regression). Two regimes: ``clustered`` mimics real
+    corpus embeddings (20 well-separated modes — what IVF/LSH are built
+    for); unclustered isotropic gaussian is the known worst case for both
+    index families (no structure to exploit). Both are seeded, so every
+    recall value below is exact and any drop — even one neighbor on one
+    query — fails."""
+    rng = np.random.default_rng(42)
+    if clustered:
+        centers = rng.standard_normal((20, 64)) * 3.0
+        pts = centers[np.arange(400) % 20] + rng.standard_normal((400, 64))
+    else:
+        pts = rng.standard_normal((400, 64))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(400)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def _recalls(bf_df, got_df):
+    """Per-query top-10 recall lists (qid-sorted) vs the brute-force sets."""
+    bf_sets, got_sets = {}, {}
+    for r in bf_df.collect():
         bf_sets.setdefault(r.qid, set()).add(r.vec_id)
-    ann_sets = {}
-    for r in ann.collect():
-        ann_sets.setdefault(r.qid, set()).add(r.vec_id)
-    recalls = [
-        len(bf_sets[qid] & ann_sets.get(qid, set())) / 10 for qid in bf_sets
+    for r in got_df.collect():
+        got_sets.setdefault(r.qid, set()).add(r.vec_id)
+    return [
+        round(len(bf_sets[q] & got_sets.get(q, set())) / 10, 2)
+        for q in sorted(bf_sets)
     ]
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ann_recall_pinned(spark):
+    """Hyperplane-LSH ANN recall pinned at measured strength (fixed seed):
+    on clustered data the default-ish operating point (bits=8, probe 3) is
+    EXACT top-10 recall; on unstructured gaussian the measured curve is
+    0.70 -> 0.98 as multi-probe widens, with probe 5 the documented
+    >= 0.95 operating point. A 2-point recall drop changes at least one
+    pinned list entry and fails."""
+    clustered = _seeded_embs(spark, clustered=True)
+    q = clustered.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("qid"), "embedding"
+    )
+    bf = SIM.cosine_topk(clustered, q, k=10)
+    assert _recalls(bf, SIM.ann_topk(clustered, q, dim=64, k=10, bits=8,
+                                     probe_hamming=3)) == [1.0] * 5
+
+    gauss = _seeded_embs(spark, clustered=False)
+    qg = gauss.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("qid"), "embedding"
+    )
+    bfg = SIM.cosine_topk(gauss, qg, k=10)
+    got3 = _recalls(bfg, SIM.ann_topk(gauss, qg, dim=64, k=10, bits=8,
+                                      probe_hamming=3))
+    got5 = _recalls(bfg, SIM.ann_topk(gauss, qg, dim=64, k=10, bits=8,
+                                      probe_hamming=5))
+    assert got3 == [0.6, 0.7, 0.6, 1.0, 0.6], got3  # mean 0.70, worst case
+    assert got5 == [1.0, 1.0, 0.9, 1.0, 1.0], got5  # mean 0.98 >= 0.95
 
 
 def test_cosine_near_dup_pairs_finds_injected(spark, embs):
@@ -154,19 +198,33 @@ def test_minhash_udf_matches_sql_version(spark, docs):
     assert a == b
 
 
-def test_ivf_recall_vs_bruteforce(embs, spark):
-    q = embs.limit(5).select(F.col("vec_id").cast("string").alias("qid"), "embedding")
-    bf = SIM.cosine_topk(embs, q, k=10)
-    ivf = SIM.ivf_topk(embs, q, k=10, n_centroids=16, nprobe=6)
-    bf_sets, ivf_sets = {}, {}
-    for r in bf.collect():
-        bf_sets.setdefault(r.qid, set()).add(r.vec_id)
-    for r in ivf.collect():
-        ivf_sets.setdefault(r.qid, set()).add(r.vec_id)
-    recalls = [len(bf_sets[k2] & ivf_sets.get(k2, set())) / 10 for k2 in bf_sets]
-    assert sum(recalls) / len(recalls) >= 0.6, recalls
+def test_ivf_recall_pinned(spark):
+    """IVF recall pinned at measured strength (fixed seed): on clustered
+    data (the workload IVF exists for) nprobe=2 of 16 already gives EXACT
+    top-10 recall; on unstructured gaussian — worst case, no clusters to
+    prune by — the measured curve is 0.70@6 -> 0.92@12, and the >= 0.95
+    operating point is exhaustive-probe (nprobe=16 == exact, cross-engine
+    oracled as ivf_topk). Any 2-point drop changes a pinned entry."""
+    clustered = _seeded_embs(spark, clustered=True)
+    q = clustered.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("qid"), "embedding"
+    )
+    bf = SIM.cosine_topk(clustered, q, k=10)
+    ivf = SIM.ivf_topk(clustered, q, k=10, n_centroids=16, nprobe=2)
+    assert _recalls(bf, ivf) == [1.0] * 5
+
+    gauss = _seeded_embs(spark, clustered=False)
+    qg = gauss.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("qid"), "embedding"
+    )
+    bfg = SIM.cosine_topk(gauss, qg, k=10)
+    got6 = _recalls(bfg, SIM.ivf_topk(gauss, qg, k=10, n_centroids=16, nprobe=6))
+    got12 = _recalls(bfg, SIM.ivf_topk(gauss, qg, k=10, n_centroids=16, nprobe=12))
+    assert got6 == [0.6, 0.7, 0.7, 0.8, 0.7], got6    # mean 0.70
+    assert got12 == [0.8, 1.0, 1.0, 0.9, 0.9], got12  # mean 0.92
+
     # determinism: same seed -> same result
-    ivf2 = SIM.ivf_topk(embs, q, k=10, n_centroids=16, nprobe=6)
+    ivf2 = SIM.ivf_topk(clustered, q, k=10, n_centroids=16, nprobe=2)
     a = sorted((r.qid, r.vec_id, r.rank) for r in ivf.collect())
     b = sorted((r.qid, r.vec_id, r.rank) for r in ivf2.collect())
     assert a == b
@@ -220,20 +278,19 @@ def test_dedup_clusters_lsh_refines_exact(spark, docs):
 
 def test_quantized_topk_recall(spark, embs):
     """int8 quantization: 4x smaller ints, zero scale=0 corner cases, and
-    top-10 recall >= 0.9 vs full precision on real fixtures."""
+    top-10 recall PINNED exact (1.0 on both seeded fixtures — int8 error
+    is far below the neighbor margins; one displaced neighbor fails)."""
     qt = SIM.quantize_embeddings(embs)
     row = qt.first()
     assert all(-127 <= int(x) <= 127 for x in row.q)
-    q = embs.limit(5).select(F.col("vec_id").cast("string").alias("qid"), "embedding")
-    exact = SIM.cosine_topk(embs, q, k=10)
-    quant = SIM.cosine_topk_quantized(qt, q, k=10)
-    ex, qu = {}, {}
-    for r in exact.collect():
-        ex.setdefault(r.qid, set()).add(r.vec_id)
-    for r in quant.collect():
-        qu.setdefault(r.qid, set()).add(r.vec_id)
-    recalls = [len(ex[k2] & qu.get(k2, set())) / 10 for k2 in ex]
-    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    for clustered in (True, False):
+        se = _seeded_embs(spark, clustered=clustered)
+        q = se.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").cast("string").alias("qid"), "embedding"
+        )
+        exact = SIM.cosine_topk(se, q, k=10)
+        quant = SIM.cosine_topk_quantized(SIM.quantize_embeddings(se), q, k=10)
+        assert _recalls(exact, quant) == [1.0] * 5, clustered
 
 
 def test_quantize_zero_vector_survives_ansi(spark):
