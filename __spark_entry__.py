@@ -431,27 +431,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared train corpus for the langid gate — the SQL VALUES are generated
-# from this same constant so the two engines cannot drift
-_LANGID_TRAIN = [
-    ("en", "the quick brown fox jumps over the lazy dog and then sleeps"),
-    ("en", "this is a sentence with common english words and the usual endings"),
-    ("en", "what are the things that make language identification work well"),
-    ("de", "der schnelle braune fuchs springt ueber den faulen hund und schlaeft"),
-    ("de", "dies ist ein satz mit den ueblichen deutschen woertern und endungen"),
-    ("de", "was sind die dinge die die spracherkennung gut funktionieren lassen"),
-    ("fr", "le renard brun rapide saute par dessus le chien paresseux et dort"),
-    ("fr", "ceci est une phrase avec les mots francais habituels et les terminaisons"),
-    ("fr", "quelles sont les choses qui font bien fonctionner la reconnaissance"),
-    ("es", "el rapido zorro marron salta sobre el perro perezoso y luego duerme"),
-    ("es", "esta es una frase con las palabras espanolas habituales y terminaciones"),
-    ("es", "cuales son las cosas que hacen que funcione bien la identificacion"),
-]
+# from the operator module's single-source constant so the two engines (and
+# the held-out pytest suite) cannot drift; 9 languages as of round 5
+from tilecloud_chain_spark.operators.langid import DEMO_TRAIN as _LANGID_TRAIN  # noqa: E402
 
 
 def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained character-trigram language ID (Cavnar-Trenkle-style profiles,
     naive-Bayes scoring): train top-200 trigram profiles with micro-integer
-    log-frequency weights on an embedded 4-language corpus, classify every
+    log-frequency weights on the embedded 9-language corpus, classify every
     document. Integer score sums make the train+classify pipeline exactly
     reproducible in ANSI SQL; the Arrow scale path (no gram explode) is
     property-tested equal in tests/test_langid_bpe.py."""

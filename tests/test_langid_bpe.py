@@ -6,20 +6,9 @@ from pyspark.sql import functions as F
 from tilecloud_chain_spark.operators import bpe as BP
 from tilecloud_chain_spark.operators import langid as LI
 
-TRAIN = [
-    ("en", "the quick brown fox jumps over the lazy dog and then sleeps"),
-    ("en", "this is a sentence with common english words and the usual endings"),
-    ("en", "what are the things that make language identification work well"),
-    ("de", "der schnelle braune fuchs springt ueber den faulen hund und schlaeft"),
-    ("de", "dies ist ein satz mit den ueblichen deutschen woertern und endungen"),
-    ("de", "was sind die dinge die die spracherkennung gut funktionieren lassen"),
-    ("fr", "le renard brun rapide saute par dessus le chien paresseux et dort"),
-    ("fr", "ceci est une phrase avec les mots francais habituels et les terminaisons"),
-    ("fr", "quelles sont les choses qui font bien fonctionner la reconnaissance"),
-    ("es", "el rapido zorro marron salta sobre el perro perezoso y luego duerme"),
-    ("es", "esta es una frase con las palabras espanolas habituales y terminaciones"),
-    ("es", "cuales son las cosas que hacen que funcione bien la identificacion"),
-]
+# single source: the 9-language corpus shipped with the operator (also
+# feeds the entry-gate oracle — drift here would show up cross-engine)
+TRAIN = LI.DEMO_TRAIN
 
 HELD_OUT = [
     (1, "en", "the dog jumps over things and the fox sleeps well"),
@@ -27,6 +16,11 @@ HELD_OUT = [
     (3, "fr", "le chien saute et le renard dort bien dans la nuit"),
     (4, "es", "el perro salta y el zorro duerme bien por la noche"),
     (5, "und", ""),
+    (6, "it", "il cane salta e la volpe dorme bene durante la notte"),
+    (7, "pt", "o cachorro salta e a raposa dorme bem durante a noite"),
+    (8, "nl", "de hond springt en de vos slaapt goed in de nacht"),
+    (9, "sv", "hunden hoppar och raven sover bra under natten"),
+    (10, "pl", "pies skacze a lis spi dobrze w nocy"),
 ]
 
 
@@ -138,3 +132,71 @@ def test_langid_udf_twin_multiline_whitespace(spark, profiles):
     b = {(r.doc_id, r.lang_pred, r.score)
          for r in LI.langid_ngram_udf(df, profiles).collect()}
     assert a == b
+
+
+def test_bpe_external_gpt2_merge_table(spark, tmp_path):
+    """A hand-written 10-merge GPT-2-format merges.txt (version header, one
+    'left right' pair per rank line, no </w> convention) loads and encodes
+    a fixture exactly as greedy lowest-rank application dictates."""
+    from tilecloud_chain_spark.operators import bpe as B
+
+    merges_txt = "\n".join([
+        "#version: 0.2",
+        "",            # blank lines are skipped
+        "t h",         # rank 0
+        "th e",        # rank 1
+        "i n",         # rank 2
+        "a n",         # rank 3
+        "an d",        # rank 4
+        "r e",         # rank 5
+        "e r",         # rank 6
+        "in g",        # rank 7
+        "th ing",      # rank 8  (builds on ranks 0 and 7)
+        "s o",         # rank 9
+    ])
+    p = tmp_path / "merges.txt"
+    p.write_text(merges_txt)
+    merges = B.load_merges(str(p))
+    assert len(merges) == 10 and merges[0] == ("t", "h") and merges[8] == ("th", "ing")
+
+    df = spark.createDataFrame(
+        [(1, "the thing and reso rering")], "doc_id long, text string"
+    )
+    got = B.bpe_encode(df, merges, add_eow=False).collect()[0]
+    # 'the'    -> th+e via ranks 0,1; 'thing' -> th+ing+merge via 0,7,8;
+    # 'and'    -> an+d via 3,4; 'reso' -> re,s,o then s+o via 5,9;
+    # 'rering' -> re,r,ing then no (re,r)/(r,ing) rule -> stays split
+    assert list(got.bpe_tokens) == [
+        "the", "thing", "and", "re", "so", "re", "r", "ing"
+    ], got.bpe_tokens
+    assert got.n_bpe_tokens == 8
+
+
+def test_bpe_merge_table_roundtrip_parity(spark):
+    """Trained merges serialized to GPT-2 lines and re-loaded encode
+    byte-identically to the in-memory table (the pinned Sennrich golden
+    corpus) — external-vocab interchange cannot drift from the trained
+    path."""
+    from tilecloud_chain_spark.operators import bpe as B
+
+    corpus = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = B.train_bpe(corpus, num_merges=5)
+    reloaded = B.load_merges(B.merges_to_lines(merges))
+    assert reloaded == merges
+    probe = spark.createDataFrame([(1, "lowest widest")], "doc_id long, text string")
+    a = B.bpe_encode(probe, merges).collect()[0]
+    b = B.bpe_encode(probe, reloaded).collect()[0]
+    assert list(a.bpe_tokens) == list(b.bpe_tokens)
+
+
+def test_bpe_load_merges_rejects_malformed(tmp_path):
+    import pytest
+
+    from tilecloud_chain_spark.operators import bpe as B
+
+    with pytest.raises(ValueError, match="line 2"):
+        B.load_merges(["#version: 0.2", "a b c"])

@@ -88,10 +88,48 @@ def train_bpe_merges(
     return merges
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def load_merges(source) -> list[tuple[str, str]]:
+    """Parse a public GPT-2-style ``merges.txt`` into a merge table usable
+    by :func:`bpe_encode`: one ``left right`` pair per line in rank order,
+    an optional ``#version`` header, blank lines skipped (the format
+    popularized by the GPT-2 release and used by most published
+    tokenizers). ``source`` is a file path or an iterable of lines.
+
+    Tables trained elsewhere usually carry no ``</w>`` end-of-word marker
+    (GPT-2 is byte-level with a space-prefix convention instead) — encode
+    such tables with ``bpe_encode(..., add_eow=False)``. Tables written by
+    :func:`merges_to_lines` round-trip exactly, marker included."""
+    if isinstance(source, str):
+        with open(source) as f:
+            lines = f.read().splitlines()
+    else:
+        lines = list(source)
+    merges: list[tuple[str, str]] = []
+    for ln, line in enumerate(lines, 1):
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        parts = s.split(" ")
+        if len(parts) != 2:
+            raise ValueError(
+                f"merges line {ln}: expected 'left right', got {line!r}"
+            )
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
+def merges_to_lines(merges: list[tuple[str, str]]) -> list[str]:
+    """Serialize a merge table to GPT-2 ``merges.txt`` lines (with the
+    conventional version header); ``load_merges`` round-trips exactly."""
+    return ["#version: 0.2"] + [f"{a} {b}" for a, b in merges]
+
+
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int], add_eow: bool = True
+) -> list[str]:
     """Standard greedy BPE apply: repeatedly merge the pair with the LOWEST
     training rank until none applies."""
-    syms = list(word) + [EOW]
+    syms = list(word) + ([EOW] if add_eow else [])
     while len(syms) > 1:
         best_rank, best_i = None, -1
         for i in range(len(syms) - 1):
@@ -109,11 +147,15 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    add_eow: bool = True,
 ) -> DataFrame:
-    """Tokenize each document with the learned merge table. Output:
-    (id_col, bpe_tokens array<string>, n_bpe_tokens int). One Arrow-batched
-    stage; the merge table (tiny) ships in the closure; per-word results
-    are memoized within each batch (corpora repeat words heavily)."""
+    """Tokenize each document with a merge table — trained here
+    (:func:`train_bpe`, default) or loaded from a public GPT-2-format
+    ``merges.txt`` (:func:`load_merges`; pass ``add_eow=False`` for tables
+    with no ``</w>`` convention). Output: (id_col, bpe_tokens
+    array<string>, n_bpe_tokens int). One Arrow-batched stage; the merge
+    table (tiny) ships in the closure; per-word results are memoized
+    within each batch (corpora repeat words heavily)."""
     import pandas as pd
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
@@ -127,7 +169,7 @@ def bpe_encode(
                 for w in (t or "").lower().split():
                     enc = cache.get(w)
                     if enc is None:
-                        enc = _encode_word(w, ranks)
+                        enc = _encode_word(w, ranks, add_eow)
                         cache[w] = enc
                     out.extend(enc)
                 toks_col.append(out)

@@ -33,6 +33,41 @@ from pyspark.sql.window import Window
 #: ln(1e-6) ~= -13.8 rounded to a portable constant
 MISS_PENALTY_MICRO = -14_000_000
 
+#: embedded 9-language demo training corpus (ASCII transliteration — the
+#: md5/trigram pipeline is byte-exact across engines without any encoding
+#: negotiation). Real deployments train profiles on their own corpus and
+#: pass any (lang, gram, w_micro) table; this constant is the single
+#: source for the entry-gate oracle and the held-out tests.
+DEMO_TRAIN = [
+    ("en", "the quick brown fox jumps over the lazy dog and then sleeps"),
+    ("en", "this is a sentence with common english words and the usual endings"),
+    ("en", "what are the things that make language identification work well"),
+    ("de", "der schnelle braune fuchs springt ueber den faulen hund und schlaeft"),
+    ("de", "dies ist ein satz mit den ueblichen deutschen woertern und endungen"),
+    ("de", "was sind die dinge die die spracherkennung gut funktionieren lassen"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux et dort"),
+    ("fr", "ceci est une phrase avec les mots francais habituels et les terminaisons"),
+    ("fr", "quelles sont les choses qui font bien fonctionner la reconnaissance"),
+    ("es", "el rapido zorro marron salta sobre el perro perezoso y luego duerme"),
+    ("es", "esta es una frase con las palabras espanolas habituales y terminaciones"),
+    ("es", "cuales son las cosas que hacen que funcione bien la identificacion"),
+    ("it", "la volpe marrone veloce salta sopra il cane pigro e poi dorme"),
+    ("it", "questa e una frase con le solite parole italiane e le desinenze"),
+    ("it", "quali sono le cose che fanno funzionare bene il riconoscimento"),
+    ("pt", "a raposa marrom rapida salta sobre o cachorro preguicoso e dorme"),
+    ("pt", "esta e uma frase com as palavras portuguesas habituais e terminacoes"),
+    ("pt", "quais sao as coisas que fazem o reconhecimento funcionar bem"),
+    ("nl", "de snelle bruine vos springt over de luie hond en slaapt daarna"),
+    ("nl", "dit is een zin met de gebruikelijke nederlandse woorden en uitgangen"),
+    ("nl", "wat zijn de dingen die taalherkenning goed laten werken"),
+    ("sv", "den snabba bruna raven hoppar over den lata hunden och sover sedan"),
+    ("sv", "detta ar en mening med de vanliga svenska orden och andelserna"),
+    ("sv", "vilka ar de saker som far sprakigenkanning att fungera bra"),
+    ("pl", "szybki brazowy lis skacze nad leniwym psem a potem spi"),
+    ("pl", "to jest zdanie ze zwyklymi polskimi slowami i koncowkami"),
+    ("pl", "jakie sa rzeczy ktore sprawiaja ze rozpoznawanie dziala dobrze"),
+]
+
 
 def _round6(x: float) -> float:
     """Spark-parity rounding: F.round applies HALF_UP to the SHORTEST
