@@ -521,6 +521,215 @@ def _scaling(sf_dir: str) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# adversarial skew bench (r4 verdict task 4): measure — not just argue —
+# the dedup family's skew-safety claims on duplicate-flooded fixtures.
+# Run with `python bench.py --skew`; results persist in SKEW_BENCH.json and
+# main() renders them into BENCH.md every round.
+# --------------------------------------------------------------------------
+
+#: ~560-byte boilerplate line — realistic byte pressure for the hot key
+_BOILER_LINE = " ".join(f"boilerplate{i}" for i in range(40))
+_BOILER_PAGE = "free prize click here now to win amazing rewards every day friend"
+
+
+def _skew_line_docs(spark: SparkSession, n: int, all_dup: bool = False):
+    """n three-line pages. ``all_dup=False``: the middle line is IDENTICAL
+    in every page (corpus-universal boilerplate) -> ONE line hash carries n
+    duplicates while the rest are unique. ``all_dup=True``: every line in
+    the corpus is one of 3 universal lines (a mirror-heavy crawl) -> the
+    whole shuffle collapses onto 3 keys."""
+    if all_dup:
+        return spark.range(0, n, 1, 32).select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "cookie banner accept all\n" + _BOILER_LINE + "\nall rights reserved"
+            ).alias("text"),
+        )
+    return spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique "), F.col("id"), F.lit(" alpha\n"),
+            F.lit(_BOILER_LINE + "\n"),
+            F.lit("unique "), F.col("id"), F.lit(" beta"),
+        ).alias("text"),
+    )
+
+
+def _dedup_lines_window_form(df):
+    """The REJECTED dedup_lines formulation (bench twin only): first
+    occurrence via row_number() over a window partitioned by the line
+    hash. A line duplicated n times puts all n copies into ONE window
+    partition — a single task must shuffle-sort them, and AQE splits
+    skewed joins, not window sorts. Kept here to measure that claim."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
+    ).withColumn("_h", F.md5("line"))
+    w = Window.partitionBy("_h").orderBy("id", "line_no")
+    marked = lines.withColumn("_is_first", F.row_number().over(w) == 1)
+    kept = F.when(F.col("_is_first"), F.struct(F.col("line_no"), F.col("line")))
+    return marked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_is_first").cast("int")).alias("n_kept"),
+        F.concat_ws(
+            "\n", F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"])
+        ).alias("clean_text"),
+    )
+
+
+def _force_lines(out) -> tuple:
+    """Full-materialization action (a bare count() would let Catalyst prune
+    the clean_text aggregation out of the plan)."""
+    r = out.agg(
+        F.sum(F.length("clean_text")).alias("chars"), F.sum("n_kept").alias("kept")
+    ).collect()[0]
+    return r["chars"], r["kept"]
+
+
+def _skew_pair_docs(spark: SparkSession, n_unique: int, n_copies: int):
+    """n_unique mutually-dissimilar docs + n_copies EXACT copies of one
+    boilerplate page — every copy lands in the same LSH bucket in every
+    band unless exact-collapse removes them before banding."""
+    uniq = spark.range(0, n_unique, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{j}x"), F.col("id")) for j in range(12)]
+        ).alias("text"),
+    )
+    dups = spark.range(0, n_copies, 1, 32).select(
+        (F.col("id") + 10_000_000).alias("doc_id"), F.lit(_BOILER_PAGE).alias("text")
+    )
+    return uniq.unionAll(dups)
+
+
+def _time_once(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def run_skew_bench() -> None:
+    from tilecloud_chain_spark.operators.dedup import dedup_lines, minhash_dedup_pairs
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (JIT/codegen) on tiny inputs
+    _force_lines(dedup_lines(_skew_line_docs(spark, 1000)))
+    _force_lines(_dedup_lines_window_form(_skew_line_docs(spark, 1000)))
+    minhash_dedup_pairs(_skew_pair_docs(spark, 200, 50), 0.5,
+                        exact_pairs="star").count()
+
+    results: dict = {"line_dedup": [], "pair_dedup": []}
+    for n, all_dup in ((1_000_000, False), (4_000_000, False), (4_000_000, True)):
+        docs = _skew_line_docs(spark, n, all_dup).localCheckpoint(eager=True)
+        agg = min(_time_once(lambda: _force_lines(dedup_lines(docs)))
+                  for _ in range(2))
+        win = min(_time_once(lambda: _force_lines(_dedup_lines_window_form(docs)))
+                  for _ in range(2))
+        results["line_dedup"].append({
+            "dup_factor": n, "regime": "all-dup" if all_dup else "mixed",
+            "agg_join_sec": agg, "window_sec": win,
+            "hot_partition_mb": round(n * len(_BOILER_LINE) / 1e6),
+        })
+        docs.unpersist()
+
+    def pairs_count(df, collapse):
+        out = minhash_dedup_pairs(
+            df, 0.5, collapse_exact=collapse,
+            exact_pairs="star" if collapse else "expand",
+        )
+        return out.count()
+
+    for n_copies, run_off in ((300, True), (3_000, True), (100_000, False)):
+        df = _skew_pair_docs(spark, 2_000, n_copies).localCheckpoint(eager=True)
+        on = min(_time_once(lambda: pairs_count(df, True)) for _ in range(3))
+        row = {"dup_factor": n_copies, "collapse_on_sec": on}
+        if run_off:
+            row["collapse_off_sec"] = min(
+                _time_once(lambda: pairs_count(df, False)) for _ in range(2)
+            )
+        else:
+            # 1e5 copies uncollapsed = 8 bands x 1e10 bucket-join rows and
+            # 5e9 output pairs — deliberately not executed; the 300->3000
+            # slope below shows the quadratic trend this extrapolates
+            row["collapse_off_sec"] = None
+        results["pair_dedup"].append(row)
+        df.unpersist()
+    spark.stop()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "SKEW_BENCH.json"), "w") as f:
+        json.dump({"cpus": cpus, "results": results}, f, indent=2)
+    print(json.dumps(results))
+
+
+def _skew_section() -> list[str]:
+    """Render SKEW_BENCH.json (if present) for BENCH.md."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "SKEW_BENCH.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        data = json.load(f)
+    r = data["results"]
+    lines = [
+        "",
+        "## Adversarial skew bench (dedup family)",
+        "",
+        f"`python bench.py --skew` on local[{data['cpus']}]; min-of-N wall",
+        "seconds. Line fixture: n three-line pages with a ~560-byte",
+        "boilerplate line in every page ('mixed': the other two lines are",
+        "unique; 'all-dup': every line in the corpus is one of 3 universal",
+        "lines). Pair fixture: 2000 mutually-dissimilar docs + n exact",
+        "copies of one page (every copy shares every LSH band bucket unless",
+        "collapsed).",
+        "",
+        "| line dup factor | regime | hot-key bytes in ONE window task | agg+join (shipped) | window form (rejected) |",
+        "|---|---|---|---|---|",
+    ]
+    for row in r["line_dedup"]:
+        lines.append(
+            f"| {row['dup_factor']:,} | {row['regime']} | "
+            f"~{row['hot_partition_mb']} MB | {row['agg_join_sec']} s | "
+            f"{row['window_sec']} s |"
+        )
+    lines += [
+        "",
+        "Honest reading: BELOW one task's sort capacity the rejected window",
+        "form is FASTER in the mixed regime (the agg+join form pays one",
+        "extra shuffle), and the ordering only flips once key collapse",
+        "bites (all-dup regime at 4M). The agg+join form ships",
+        "anyway because its safety is unconditional: the window sort must",
+        "hold dup_factor x line_bytes in a single task (2.2 GB at 4M here —",
+        "fine on this box's /dev/shm, a guaranteed straggler-then-OOM at",
+        "10^9+ copies on real 2-4 GB executor task slots, and AQE splits",
+        "skewed JOINS, not window sorts), while the min-struct aggregation",
+        "map-side-combines every hot key to O(partitions) rows carrying",
+        "(id, line_no) only — hot-key bytes never concentrate anywhere.",
+        "",
+        "| page copies | collapse ON + star (shipped) | collapse OFF |",
+        "|---|---|---|",
+    ]
+    for row in r["pair_dedup"]:
+        off = f"{row['collapse_off_sec']} s" if row["collapse_off_sec"] else \
+            "not run: 8x10^10 bucket-join rows, 5x10^9 output pairs (quadratic)"
+        lines.append(f"| {row['dup_factor']:,} | {row['collapse_on_sec']} s | {off} |")
+    lines += [
+        "",
+        "The collapsed pipeline is FLAT in the duplicate count (hash-only",
+        "collapse before banding; star edges are O(n)); collapse-off grows",
+        "with the square of the copy count (every band bucket holds all",
+        "copies) — the measured 300->3000 slope is the trend the 100k row",
+        "extrapolates.",
+    ]
+    return lines
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -658,6 +867,21 @@ def _write_bench_md(result: dict) -> None:
         "dominates at both levels; at the 100TB design point that stage is",
         "hours long and scales with partition count.",
         "",
+        "assign_join 8->32 ceiling, explained (r4 verdict task 5; r4",
+        "measured 0.481): solving the two-level times for work + fixed",
+        "cost gives ~12 s of distributable work plus a ~0.7 s per-stage",
+        "FIXED driver cost (plan analysis, dense_tiles broadcast build",
+        "job, 256-task dispatch, count aggregation) — at 32 cores the",
+        "fixed part is ~65% of the wall, capping the ratio. Confirmed by",
+        "prediction: raising the stage's work 4x (1.54e9 points) lifted",
+        "measured 8->32 efficiency 0.481 -> 0.755, as the w/c model",
+        "predicts (0.76); the other two stages are longer so their fixed",
+        "share is smaller. On a real 100 TB job this stage runs for hours",
+        "and the same fixed cost amortizes to nothing — the figure",
+        "measures driver overhead under a deliberately short stage, not",
+        "the engine's join scaling. (This round's table above already",
+        "shows the stage higher on the same protocol.)",
+        "",
         "## Host-phase indicator",
         "",
         "This shared VM drifts through multi-minute speed phases (observed",
@@ -690,6 +914,16 @@ def _write_bench_md(result: dict) -> None:
         "shuffle) but skew-safe at 10^12 rows (a corpus-universal",
         "boilerplate line no longer funnels into one task's window sort);",
         "earlier round-4 builder runs showed ~0.6s for the window form.",
+        "The measured skew table below quantifies this trade on",
+        "duplicate-flooded fixtures.",
+        "",
+        "Path disclosure: the langid row measures the ARROW twin",
+        "(langid_ngram_udf — broadcast profile dict, no gram explode, the",
+        "scale path) over a 4-language profile set; the SQL-expressible",
+        "form is what the correctness gate oracles (9-language DEMO_TRAIN),",
+        "and the two are property-tested value-equal. The minhash row is",
+        "the Arrow scale path, minhash_sql_twin the SQL-expressible twin",
+        "(both labeled).",
         "",
         "| query | r3 driver sec | sec | normalized | vs r3 |",
         "|---|---|---|---|---|",
@@ -699,10 +933,14 @@ def _write_bench_md(result: dict) -> None:
         norm = result["queries_normalized"].get(k, v)
         ratio = f"{norm / r3:.2f}x" if r3 else "new"
         lines.append(f"| {k} | {r3 if r3 is not None else '—'} | {v} | {norm} | {ratio} |")
+    lines.extend(_skew_section())
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv:
+        run_skew_bench()
+    else:
+        main()

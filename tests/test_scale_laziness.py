@@ -69,3 +69,19 @@ def test_deep_sparse_planning_is_distributed(spark):
     cols_expected = int(1000 / span) + 2
     assert rows_expected <= n <= rows_expected * cols_expected
     assert wall < 60, wall
+
+
+def test_ensure_parallelism_gate(spark):
+    """The narrow-input guard repartitions only when the input has fewer
+    partitions than default parallelism — a well-partitioned (scale) input
+    must pass through untouched (no shuffle added to 100 TB plans)."""
+    from tilecloud_chain_spark.session import ensure_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1).selectExpr("id")
+    widened = ensure_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == par
+
+    wide = spark.range(0, 1000, 1, par * 2).selectExpr("id")
+    passed = ensure_parallelism(wide)
+    assert passed is wide  # identity: not even a new plan node

@@ -181,7 +181,10 @@ def bpe_encode(
             })
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    from tilecloud_chain_spark.session import ensure_parallelism
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(
         encode, f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe_tokens int"
     )
 

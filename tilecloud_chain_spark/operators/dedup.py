@@ -27,20 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from tilecloud_chain_spark.operators.text import tokens
-
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition a NARROW input (fewer partitions than the cluster's
-    default parallelism — e.g. one small parquet file, or the output of a
-    broadcast semi-join over one) up to default parallelism, so the
-    compute-bound stage that follows doesn't run on one core. The gate only
-    fires on tiny inputs: at 100 TB the scan already yields orders of
-    magnitude more partitions than cores and this is a no-op (no shuffle
-    added)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        return df.repartition(parallelism)
-    return df
+from tilecloud_chain_spark.session import ensure_parallelism as _ensure_parallelism
 
 
 # --------------------------------------------------------------------------
@@ -63,16 +50,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --------------------------------------------------------------------------
 
 
-def shingle_sets(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-doc DISTINCT k-token shingle SET as an array column:
-    (id, sh array<string>, sz int) — built entirely inside one projection
-    (``transform`` + ``array_distinct``), so it costs ZERO shuffle. The
-    explode/distinct/groupBy-collect_list route to the same arrays pays two
-    shuffles linear in total shingle volume (measured 3.3 s -> 1.6 s for
-    the sf0.1 verify stage); at 10^12 docs those shuffles move the whole
-    shingle universe.
+def _shingle_base(df: DataFrame, k: int, text_col: str, id_col: str):
+    """(base, sh_expr): the (id, toks) projection plus the per-doc DISTINCT
+    shingle-array expression over it.
 
     Docs with fewer than k tokens contribute one whole-text shingle (same
     rule as the python-worker twin) — guarded with a CASE so ANSI mode's
@@ -95,7 +75,21 @@ def shingle_sets(
             lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", t)))
-    return base.select("id", F.array_distinct(sh).alias("sh")).select(
+    return base, F.array_distinct(sh)
+
+
+def shingle_sets(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc DISTINCT k-token shingle SET as an array column:
+    (id, sh array<string>, sz int) — built entirely inside one projection
+    (``transform`` + ``array_distinct``), so it costs ZERO shuffle. The
+    explode/distinct/groupBy-collect_list route to the same arrays pays two
+    shuffles linear in total shingle volume (measured 3.3 s -> 1.6 s for
+    the sf0.1 verify stage); at 10^12 docs those shuffles move the whole
+    shingle universe."""
+    base, sh = _shingle_base(df, k, text_col, id_col)
+    return base.select("id", sh.alias("sh")).select(
         "id", "sh", F.size("sh").alias("sz")
     )
 
@@ -103,12 +97,18 @@ def shingle_sets(
 def shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """k-token shingle table: (id, shingle) distinct — the exploded twin of
     :func:`shingle_sets` (the terminal distinct only matters when the input
-    carries duplicate ids; per-doc shingles are already unique)."""
-    return (
-        shingle_sets(df, k, text_col, id_col)
-        .select("id", F.explode("sh").alias("shingle"))
-        .distinct()
-    )
+    carries duplicate ids; per-doc shingles are already unique).
+
+    The explode MUST take the inline array expression, never an aliased
+    attribute from a sub-select: Spark's InferFiltersFromGenerate adds a
+    ``size(attr) > 0`` filter before Generate when (and only when) the
+    generator child is a plain attribute, and predicate pushdown then
+    substitutes the whole tokenize+transform expression into that filter —
+    the entire shingle computation runs TWICE per row at the scan (measured
+    0.8 s -> 10 s on the sf0.1 MinHash SQL twin when this was refactored
+    through an attribute)."""
+    base, sh = _shingle_base(df, k, text_col, id_col)
+    return base.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def jaccard_pairs(
@@ -578,7 +578,11 @@ def _make_simhash64():
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash", _make_simhash64()(F.col(text_col)))
+    # narrow-input guard: the 64-slice accumulation is compute-bound and a
+    # one-file input would otherwise run it on one core
+    return _ensure_parallelism(df).withColumn(
+        "simhash", _make_simhash64()(F.col(text_col))
+    )
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,

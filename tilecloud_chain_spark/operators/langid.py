@@ -254,6 +254,9 @@ def langid_ngram_udf(
             yield pd.DataFrame({id_col: ids, "lang_pred": preds, "score": scores})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    from tilecloud_chain_spark.session import ensure_parallelism
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(
         score, f"{id_col} {id_type}, lang_pred string, score double"
     )

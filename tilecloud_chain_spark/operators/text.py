@@ -232,7 +232,10 @@ def within_doc_line_stats(df: DataFrame, id_col: str = "doc_id",
             ]
             yield out
 
-    return df.select(id_col, text_col).mapInPandas(
+    from tilecloud_chain_spark.session import ensure_parallelism
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(
         scan,
         f"{id_col} {id_type}, clean_text string, n_lines long, "
         "n_distinct_lines long, dup_line_ratio double",

@@ -36,3 +36,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+def ensure_parallelism(df):
+    """Repartition a NARROW DataFrame (fewer partitions than the cluster's
+    default parallelism — e.g. one small parquet file, or the output of a
+    broadcast join over one) up to default parallelism, so a compute-bound
+    Arrow/UDF stage downstream doesn't run on one core. The gate only ever
+    fires on tiny inputs: at 100 TB the scan already yields orders of
+    magnitude more partitions than cores and this is a no-op (no shuffle
+    added). Shared by the MinHash/langid/BPE/line-stats scale paths."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
