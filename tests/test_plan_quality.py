@@ -167,3 +167,19 @@ def test_dedup_lines_no_window_sort(spark):
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial_first" in plan, plan  # map-side combine
     assert plan.count("Exchange") <= 4, plan
+
+
+def test_shingle_pipeline_tokenizes_once(spark):
+    """Regression guard for the InferFiltersFromGenerate trap: exploding an
+    ALIASED shingle-array attribute lets Catalyst add a size()>0 filter
+    whose pushdown re-inlines the whole tokenize+transform at the scan —
+    the tokenizer then runs twice per row (measured 0.8s -> 10s at sf0.1).
+    The optimized MinHash plan must contain the regex split exactly once."""
+    from tilecloud_chain_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    sig = DD.minhash_signatures(df, num_hashes=4)
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
