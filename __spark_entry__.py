@@ -1119,7 +1119,15 @@ def _lsh_prs_sql(src: str, threshold: float = 0.5,
     pair-set-equivalent (expand) / connectivity-equivalent (star) to this
     uncollapsed form because signatures are pure functions of the text
     (property-tested in tests/test_property_r4.py)."""
-    rows = 2
+    rows, rem = divmod(num_hashes, bands)
+    if rem or rows != 2:
+        # the band expressions below hash h[rows*b] .. h[rows*b+rows-1];
+        # only the 2-rows-per-band layout is generated — mismatched
+        # parameters would silently band the wrong signature rows
+        raise ValueError(
+            f"_lsh_prs_sql requires num_hashes == 2 * bands, got "
+            f"{num_hashes} hashes / {bands} bands"
+        )
     hcols = ",\n                 ".join(
         f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(num_hashes)
     )

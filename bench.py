@@ -716,8 +716,11 @@ def _skew_section() -> list[str]:
         "|---|---|---|",
     ]
     for row in r["pair_dedup"]:
-        off = f"{row['collapse_off_sec']} s" if row["collapse_off_sec"] else \
-            "not run: 8x10^10 bucket-join rows, 5x10^9 output pairs (quadratic)"
+        off = (
+            f"{row['collapse_off_sec']} s"
+            if row["collapse_off_sec"] is not None
+            else "not run: 8x10^10 bucket-join rows, 5x10^9 output pairs (quadratic)"
+        )
         lines.append(f"| {row['dup_factor']:,} | {row['collapse_on_sec']} s | {off} |")
     lines += [
         "",

@@ -477,5 +477,7 @@ def test_iceberg_stats_cow_does_not_inflate_inserted(tmp_path):
     t.iceberg_table = "cat.db.t"
     t.spark = _FakeSpark({"added-records": "7"})  # CoW: rewritten rows, no upd
     assert t._iceberg_merge_stats() == {"updated": None, "inserted": None}
-    t.spark = _FakeSpark({"added-records": "3", "updated-records": "2"})  # MoR
-    assert t._iceberg_merge_stats() == {"updated": 2, "inserted": 3}
+    # MoR: updated rows are ALSO written as new data records, so
+    # added-records = inserts + updates -> inserted = 3 - 2 = 1
+    t.spark = _FakeSpark({"added-records": "3", "updated-records": "2"})
+    assert t._iceberg_merge_stats() == {"updated": 2, "inserted": 1}

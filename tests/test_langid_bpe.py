@@ -200,3 +200,15 @@ def test_bpe_load_merges_rejects_malformed(tmp_path):
 
     with pytest.raises(ValueError, match="line 2"):
         B.load_merges(["#version: 0.2", "a b c"])
+
+
+def test_bpe_load_merges_hash_left_token(tmp_path):
+    """Only the FIRST line's '#version' prefix is a header: published merge
+    tables contain pairs whose left token starts with '#' (e.g. '# #'
+    building a '##' token) — those must load, not be dropped as comments."""
+    from tilecloud_chain_spark.operators import bpe as B
+
+    merges = B.load_merges(["#version: 0.2", "# #", "a b"])
+    assert merges == [("#", "#"), ("a", "b")]
+    # round-trip: a trained table with a '#' left token survives
+    assert B.load_merges(B.merges_to_lines(merges)) == merges

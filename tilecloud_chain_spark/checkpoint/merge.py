@@ -206,7 +206,11 @@ class MergeTable:
                     st = os.stat(lock)
                 except FileNotFoundError:
                     continue  # raced the holder's release; retry immediately
-                if time.time() - st.st_mtime > self._holder_stale_after(lock):
+                age = time.time() - st.st_mtime
+                # stat-first fast path: _holder_stale_after is >= our own
+                # lock_timeout (max() floor), so a younger lock can never be
+                # stale — skip the per-poll open+json parse entirely
+                if age > self.lock_timeout and age > self._holder_stale_after(lock):
                     time.sleep(0.05)  # settle: a live re-acquirer shows up here
                     try:
                         st2 = os.stat(lock)
@@ -245,9 +249,12 @@ class MergeTable:
             stop.set()
             if hb.ident is not None:  # only join a thread that started
                 hb.join(timeout=1.0)
-            with contextlib.suppress(FileNotFoundError, ValueError, KeyError):
+            with contextlib.suppress(Exception):  # unknown content (e.g. a
+                # legacy bare-pid lock parses as a non-dict) must mean "not
+                # mine", never an exception escaping the finally block
                 with open(lock) as f:
-                    owner = json.loads(f.read()).get("token")
+                    content = json.loads(f.read())
+                owner = content.get("token") if isinstance(content, dict) else None
                 if owner == my_token:  # never unlink a usurper's lock
                     os.unlink(lock)
 
@@ -321,9 +328,11 @@ class MergeTable:
         ``updated-records`` is absent and ``added-records`` counts EVERY row
         in the rewritten files (updates plus carried-over unchanged rows) —
         reporting it as "inserted" would inflate the count precisely in that
-        mode. So: inserted is only reported when ``updated-records`` IS
-        present (merge-on-read, where added-records means new rows); both
-        stay None otherwise rather than report a known-wrong number."""
+        mode. So: inserted is only derivable when ``updated-records`` IS
+        present (merge-on-read) — and even there, MoR writes each updated
+        row's new version as an added data record, so inserts =
+        added-records MINUS updated-records; both stay None otherwise
+        rather than report a known-wrong number."""
         try:
             row = self.spark.sql(
                 f"SELECT summary FROM {self._table_name()}.snapshots "
@@ -334,7 +343,11 @@ class MergeTable:
             ins = summary.get("added-records")
             return {
                 "updated": int(upd) if upd is not None else None,
-                "inserted": int(ins) if upd is not None and ins is not None else None,
+                "inserted": (
+                    max(0, int(ins) - int(upd))
+                    if upd is not None and ins is not None
+                    else None
+                ),
             }
         except Exception:
             return {"updated": None, "inserted": None}

@@ -107,7 +107,11 @@ def load_merges(source) -> list[tuple[str, str]]:
     merges: list[tuple[str, str]] = []
     for ln, line in enumerate(lines, 1):
         s = line.strip()
-        if not s or s.startswith("#"):
+        # ONLY the first line's '#version' prefix is a header — published
+        # merge tables legitimately contain pairs whose left token starts
+        # with '#' (e.g. '# #' building a '##' token); skipping every
+        # '#'-line would silently drop those merges
+        if not s or (ln == 1 and s.startswith("#version")):
             continue
         parts = s.split(" ")
         if len(parts) != 2:

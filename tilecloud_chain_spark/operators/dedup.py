@@ -132,6 +132,12 @@ def jaccard_pairs(
     811 pairs at sf0.1), and at 10^12 docs it reintroduces exactly the
     blowup LSH exists to avoid.
     Output: id_a < id_b, jaccard (rounded 6dp) >= threshold.
+
+    Input contract: ``id_col`` must be unique per row (the standard doc
+    table shape). The candidates branch builds one shingle-set row per
+    INPUT row — a duplicated id would join each candidate pair against
+    every copy and emit duplicated pair rows (the no-candidates oracle
+    path still merges duplicate ids via its exploded distinct).
     """
     if candidates is not None:
         # restrict the DOCUMENTS to candidate ids BEFORE shingling — the
@@ -140,7 +146,12 @@ def jaccard_pairs(
         cand_ids = candidates.select(F.col("id_a").alias(id_col)).unionAll(
             candidates.select(F.col("id_b").alias(id_col))
         ).distinct()
-        restricted = _ensure_parallelism(df.join(cand_ids, id_col, "left_semi"))
+        # widen against the SCAN-side probe (df): the semi-join output's own
+        # plan carries an Exchange, which the guard must not probe (AQE
+        # would execute the join's stages twice — see ensure_parallelism)
+        restricted = _ensure_parallelism(
+            df.join(cand_ids, id_col, "left_semi"), probe=df
+        )
         # per-doc set arrays straight from one projection — never the
         # explode + re-group route (two shuffles over the shingle volume)
         sets = shingle_sets(restricted, k, text_col, id_col).localCheckpoint(
@@ -322,6 +333,10 @@ def minhash_dedup_pairs(
     """
     if exact_pairs not in ("expand", "star"):
         raise ValueError(f"exact_pairs must be 'expand' or 'star', got {exact_pairs!r}")
+    # widen ONCE at the pipeline entry (scan-fed input, exchange-free probe);
+    # every downstream join/signature/verify stage inherits the partitioning,
+    # so no probe ever lands on a join-fed plan
+    df = _ensure_parallelism(df)
     sig_fn = minhash_signatures_udf if use_scale_path else minhash_signatures
     if not collapse_exact:
         sig = sig_fn(df, num_hashes, k, text_col, id_col)

@@ -37,15 +37,32 @@ def get_spark(
     )
     return builder.getOrCreate()
 
-def ensure_parallelism(df):
+def ensure_parallelism(df, probe=None):
     """Repartition a NARROW DataFrame (fewer partitions than the cluster's
     default parallelism — e.g. one small parquet file, or the output of a
     broadcast join over one) up to default parallelism, so a compute-bound
     Arrow/UDF stage downstream doesn't run on one core. The gate only ever
     fires on tiny inputs: at 100 TB the scan already yields orders of
-    magnitude more partitions than cores and this is a no-op (no shuffle
-    added). Shared by the MinHash/langid/BPE/line-stats scale paths."""
+    magnitude more partitions than cores and this is a no-op. Shared by
+    the MinHash/langid/BPE/line-stats scale paths.
+
+    Probing cost: under AQE, ``Dataset.rdd`` on a plan containing an
+    Exchange finalizes the adaptive plan — which EXECUTES the exchange's
+    upstream stages just to answer ``getNumPartitions`` (measured: 2 jobs
+    / 2.1 s for a semi-join probe whose stages then re-run in the real
+    action). So the partition count is only ever probed on an
+    EXCHANGE-FREE plan (scans, checkpoints — there the RDD conversion is
+    lazy metadata, zero jobs, measured 0 jobs / 50 ms). A caller whose
+    ``df`` is join-fed passes ``probe`` = the scan-sourced input whose
+    partitioning the join's streamed side inherits (broadcast joins
+    preserve it); with no probe and an exchange-bearing plan the guard
+    backs off untouched — post-shuffle parallelism is config-driven, not
+    file-driven."""
+    target = probe if probe is not None else df
+    qe = target._jdf.queryExecution()
+    if "Exchange" in qe.sparkPlan().toString():
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    if target.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)
     return df
