@@ -553,3 +553,28 @@ def test_normalize_text_nfc_and_controls(spark):
     # downstream effect: the two spellings now EXACT-dedup together
     d = DD.exact_dedup(df.limit(2).select("doc_id", norm(F.col("text")).alias("text")))
     assert d.count() == 1
+
+
+def test_dedup_clusters_rep_cc_equals_star_cc(spark, docs):
+    """dedup_clusters runs connected components over REPRESENTATIVE-level
+    pairs only and joins members in afterwards; its (doc_id, cluster, keep)
+    must equal the construction that pushes star edges through the CC loop
+    (itself property-equal to the fully expanded form) on a duplicate-heavy
+    corpus."""
+    df = _dup_heavy_corpus(spark, docs)
+    kw = dict(threshold=0.6, num_hashes=8, bands=4, rows_per_band=2)
+    got = {
+        (r.doc_id, r.cluster, r.keep)
+        for r in DD.dedup_clusters(df, **kw).collect()
+    }
+    star = DD.minhash_dedup_pairs(df, exact_pairs="star", **kw)
+    cc = DD.connected_components(star)
+    all_ids = df.select(F.col("doc_id").alias("id")).distinct()
+    want = {
+        (r.id, r.component if r.component is not None else r.id,
+         (r.component if r.component is not None else r.id) == r.id)
+        for r in all_ids.join(cc, "id", "left").collect()
+    }
+    assert got == want
+    # the fixture must actually exercise multi-member groups
+    assert sum(1 for _, _, keep in got if not keep) > 0

@@ -343,32 +343,10 @@ def minhash_dedup_pairs(
         cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket)
         return jaccard_pairs(df, threshold, k, text_col, id_col, candidates=cand)
 
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.md5(F.col(text_col)).alias("_chash"),
+    rep_pairs, mem = _collapsed_rep_pairs(
+        df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col,
+        sig_fn, max_bucket,
     )
-    # one representative (min id) per distinct text. Only (id, hash) goes
-    # through the group shuffle — never the text bytes (at 10^12 rows the
-    # text column dwarfs everything else); representatives pick their text
-    # back up with a semi-join against the source table.
-    groups = keyed.groupBy("_chash").agg(
-        F.min("id").alias("rep_id"),
-        F.count("*").alias("_gsz"),
-    ).localCheckpoint(eager=True)  # referenced by reps, membership, and fan-out
-    reps = df.select(F.col(id_col), F.col(text_col)).join(
-        groups.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
-    )
-
-    sig = sig_fn(reps, num_hashes, k, text_col, id_col)
-    # checkpoint: the verify stage references the candidate list twice (the
-    # id-restriction semi-join and the pair join) — uncheckpointed, the band
-    # self-join would re-execute per reference
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket).localCheckpoint(
-        eager=True
-    )
-    rep_pairs = jaccard_pairs(reps, threshold, k, text_col, id_col, candidates=cand)
-
-    mem = keyed.join(groups.select("_chash", "rep_id"), "_chash").select("id", "rep_id")
     one = F.round(F.lit(1.0), 6)
     if exact_pairs == "star":
         within = (
@@ -405,6 +383,53 @@ def minhash_dedup_pairs(
     if threshold > 1.0:
         within = within.filter(F.lit(False))
     return cross.unionAll(within)
+
+
+def _collapsed_rep_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+    sig_fn,
+    max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared collapsed-LSH core: (rep_pairs, mem) where ``rep_pairs`` are
+    verified near-dup pairs among one REPRESENTATIVE per distinct text and
+    ``mem`` maps every input row's id to its group representative.
+    ``minhash_dedup_pairs`` expands these into pair output;
+    ``dedup_clusters`` runs connected components over ``rep_pairs`` ONLY
+    and attaches members by a join — exact-duplicate members never enter
+    the CC loop at all."""
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_chash"),
+    )
+    # one representative (min id) per distinct text. Only (id, hash) goes
+    # through the group shuffle — never the text bytes (at 10^12 rows the
+    # text column dwarfs everything else); representatives pick their text
+    # back up with a semi-join against the source table.
+    groups = keyed.groupBy("_chash").agg(
+        F.min("id").alias("rep_id"),
+        F.count("*").alias("_gsz"),
+    ).localCheckpoint(eager=True)  # referenced by reps, membership, and fan-out
+    reps = df.select(F.col(id_col), F.col(text_col)).join(
+        groups.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+    sig = sig_fn(reps, num_hashes, k, text_col, id_col)
+    # checkpoint: the verify stage references the candidate list twice (the
+    # id-restriction semi-join and the pair join) — uncheckpointed, the band
+    # self-join would re-execute per reference
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket).localCheckpoint(
+        eager=True
+    )
+    rep_pairs = jaccard_pairs(reps, threshold, k, text_col, id_col, candidates=cand)
+    mem = keyed.join(groups.select("_chash", "rep_id"), "_chash").select("id", "rep_id")
+    return rep_pairs, mem
 
 
 def minhash_signatures_udf(
@@ -770,21 +795,28 @@ def dedup_clusters(
     components -> (doc_id, cluster, keep). ``keep`` = the cluster's min id
     (the reference-analog of HashDropper keeping one representative).
 
-    Uses the exact-duplicate-collapsed pipeline with star edges: exact
-    duplicates contribute O(group) edges instead of O(group²) pairs, and
-    LSH banding only ever sees distinct texts — connectivity (and therefore
-    every cluster and keep decision) is identical to the expanded form."""
-    prs = minhash_dedup_pairs(
+    Uses the exact-duplicate-collapsed pipeline, and runs the CC loop over
+    REPRESENTATIVE-level pairs ONLY — exact-duplicate members never enter
+    the loop (strictly less join work per round than even star edges: at a
+    50% duplicate rate the loop input halves); members pick up their
+    cluster afterwards through one hash join on the group representative.
+    Equivalent to components over the expanded pair set because every
+    member is connected to its rep (jaccard 1.0) and reps are group
+    minima, so the cluster label (min id of the connected cluster) is the
+    min over the connected reps — property-tested against the star-edge
+    CC formulation."""
+    df = _ensure_parallelism(df)
+    rep_pairs, mem = _collapsed_rep_pairs(
         df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col,
-        exact_pairs="star",
+        minhash_signatures_udf, None,
     )
-    cc = connected_components(prs)
-    all_ids = df.select(F.col(id_col).alias("id")).distinct()
-    return (
-        all_ids.join(cc, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("component", F.col("id")).alias("cluster"),
-            (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
-        )
+    cc = connected_components(rep_pairs)
+    labeled = (
+        mem.distinct()
+        .join(cc.withColumnRenamed("id", "rep_id"), "rep_id", "left")
+        .select("id", F.coalesce("component", F.col("rep_id")).alias("cluster"))
+    )
+    return labeled.select(
+        F.col("id").alias(id_col), "cluster",
+        (F.col("cluster") == F.col("id")).alias("keep"),
     )
