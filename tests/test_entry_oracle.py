@@ -79,3 +79,50 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 def test_image_pipeline_stored_golden(spark, sf_dir):
     rows = ENTRY.queries()["image_pipeline_stored"](spark, sf_dir).collect()
     assert {(r.x, r.y) for r in rows} == {(6, 5), (7, 5), (5, 6), (6, 6), (4, 7), (5, 7)}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_lsh_prs_sql_matches_collapsed_pipeline_randomized(spark, seed):
+    """Randomized cross-engine equivalence of the round-5 oracle claim: the
+    Spark COLLAPSED MinHash-LSH pipeline (exact-dup collapse + expand) must
+    produce exactly the pair set of the UNCOLLAPSED SQL formulation
+    (_lsh_prs_sql) that the dedup_clusters/clean_corpus oracles splice in —
+    on corpora with injected exact duplicates and near mutants, both
+    signature paths."""
+    import random
+
+    import duckdb as _ddb
+    import pandas as _pd
+
+    from tilecloud_chain_spark.operators import dedup as DD
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(12))))
+    base = dict(rows)
+    for j, i in enumerate(rng.sample(range(60), 10)):
+        rows.append((1000 + j, base[i]))  # exact duplicates
+    for j, i in enumerate(rng.sample(range(60), 10)):
+        rows.append((2000 + j, base[i] + " zz zz"))  # near mutants
+    pdf = _pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    con = _ddb.connect()
+    con.register("docs", pdf)
+    sql = ("WITH " + ENTRY._lsh_prs_sql("docs", threshold=0.5, num_hashes=4,
+                                        bands=2)
+           + " SELECT id_a, id_b FROM prs")
+    want = set(map(tuple, con.execute(sql).fetchall()))
+
+    df = spark.createDataFrame(pdf)
+    for scale_path in (True, False):
+        got = {
+            (r.id_a, r.id_b)
+            for r in DD.minhash_dedup_pairs(
+                df, threshold=0.5, num_hashes=4, bands=2, rows_per_band=2,
+                use_scale_path=scale_path, exact_pairs="expand",
+            ).collect()
+        }
+        assert got == want, (seed, scale_path, got ^ want)
+    assert want, "fixture produced no pairs — proves nothing"
