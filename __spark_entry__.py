@@ -475,6 +475,22 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_lines(pages)
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram collision flagging, the standard
+    LM-corpus hygiene pass): an eval set is synthesized as 5-token excerpts
+    of every 40th document; every train doc sharing a 5-gram with any eval
+    doc is flagged with its distinct-collision count. Eval shingles
+    broadcast (benchmarks are tiny next to a 10^12-doc corpus); the train
+    side pays one shingle projection + broadcast join + per-doc count."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    eval_df = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 3, 5)).alias("text"),
+    )
+    return DD.decontaminate(docs, eval_df, n=5)
+
+
 def q_sparse_metatiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — distributed sparse metatile enumeration for the polygon layer,
     z0..z3 (row-band interval planning in mapInPandas)."""
@@ -967,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "langid_ngram": q_langid_ngram,
         "line_dedup_docs": q_line_dedup_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "sparse_metatiles": q_sparse_metatiles,
         "hash_drop_docs": q_hash_drop_docs,
         "fingerprint_docs": q_fingerprint_docs,
@@ -982,7 +999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "feature_info": q_feature_info,
         "dedup_clusters": q_dedup_clusters,
-        "media_frames": q_media_frames,
         "serving_decisions": q_serving_decisions,
         "host_serving_decisions": q_host_serving_decisions,
         "styled_tiles": q_styled_tiles,
@@ -996,11 +1012,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 verdict) moved in; the five below are frozen, r4-green (or
         # r3-green with untouched code), and dependency-stable this round:
         # quantize_embeddings + top_events_per_user (r4-green, similarity.py
-        # / window code untouched in r5), and three pure-SQL rollups green
-        # since r1. The FULL registry (including these five) is still
-        # cross-engine-checked every round by tests/test_entry_oracle.py,
-        # which parametrizes over ALL oracle_sql() keys — the rotation only
-        # affects which rows land in the driver's CORRECTNESS file.
+        # / window code untouched in r5), media_frames (r4-green,
+        # sources/media.py untouched in r5 — rotated out to make room for
+        # the new decontaminate_docs entry inside the window), and three
+        # pure-SQL rollups green since r1. The FULL registry (including
+        # these six) is still cross-engine-checked every round by
+        # tests/test_entry_oracle.py, which parametrizes over ALL
+        # oracle_sql() keys — the rotation only affects which rows land in
+        # the driver's CORRECTNESS file.
+        "media_frames": q_media_frames,
         "quantize_embeddings": q_quantize_embeddings,
         "top_events_per_user": q_top_events_per_user,
         "daily_event_windows": q_daily_event_windows,
@@ -1087,17 +1107,18 @@ def _langid_sql() -> str:
     """
 
 
-def _shingles_sql(src: str) -> str:
+def _shingles_sql(src: str, n: int = 3) -> str:
     """(doc_id, shingle) rows mirroring ``operators.text.tokens`` +
     ``operators.dedup.shingles`` exactly: split on ``\\s+`` (not single
-    spaces), drop empty tokens, and docs with <3 tokens contribute ONE
-    whole-text shingle instead of NULL-padded 3-grams (DuckDB concat skips
+    spaces), drop empty tokens, and docs with <n tokens contribute ONE
+    whole-text shingle instead of NULL-padded n-grams (DuckDB concat skips
     NULLs, so an unguarded oracle would silently diverge on short docs)."""
+    concat = "concat(" + ", ' ', ".join(f"toks[i+{j}]" for j in range(n)) + ")"
     return f"""
             SELECT doc_id, unnest(
-                     CASE WHEN len(toks) >= 3 THEN
-                       list_transform(range(1, len(toks) - 2 + 1),
-                                      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                     CASE WHEN len(toks) >= {n} THEN
+                       list_transform(range(1, len(toks) - {n} + 2),
+                                      i -> {concat})
                      ELSE [array_to_string(toks, ' ')] END) AS shingle
             FROM (
               SELECT doc_id,
@@ -1473,6 +1494,32 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_lines,
                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM ranked GROUP BY doc_id
+    """
+
+    decontaminate_docs = f"""
+        WITH ev AS (
+          SELECT doc_id + 5000000 AS doc_id,
+                 array_to_string(toks[3:7], ' ') AS text
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+          WHERE doc_id % 40 = 0
+        ),
+        evsh AS (
+          SELECT DISTINCT shingle FROM ({_shingles_sql('ev', 5)})
+        ),
+        trsh AS (
+          SELECT DISTINCT doc_id AS id, shingle FROM ({_shingles_sql('documents', 5)})
+        ),
+        hits AS (
+          SELECT id, count(*) AS n_hits
+          FROM trsh JOIN evsh USING (shingle) GROUP BY id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
     """
 
     # exhaustive IVF (nprobe == n_centroids) is exact, so the oracle is the
@@ -2175,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": exact_dedup,
         "minhash_signatures": minhash_signatures,
         "jaccard_pairs": jaccard_pairs,
+        "decontaminate_docs": decontaminate_docs,
         "cosine_topk": cosine_topk,
         "quantized_topk": quantized_topk,
         "stratified_sample": stratified_sample,

@@ -578,3 +578,32 @@ def test_dedup_clusters_rep_cc_equals_star_cc(spark, docs):
     assert got == want
     # the fixture must actually exercise multi-member groups
     assert sum(1 for _, _, keep in got if not keep) > 0
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """A train doc containing an eval benchmark's n-gram is flagged with its
+    distinct-collision count; clean docs pass with zero hits."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "one two three four five six seven"),
+         (3, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon"),  # 4-token excerpt of doc 1
+         (101, "totally unrelated benchmark prompt")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in DD.decontaminate(train, eval_df, n=4).collect()}
+    # doc 1 shares the 4-grams 'beta gamma delta epsilon' (1 distinct hit)
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    # case-insensitive: shingling lowercases both sides
+    upper = spark.createDataFrame(
+        [(200, "BETA GAMMA DELTA EPSILON")], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r.contaminated
+            for r in DD.decontaminate(train, upper, n=4).collect()}
+    assert got2[1] is True

@@ -820,3 +820,48 @@ def dedup_clusters(
         F.col("id").alias(id_col), "cluster",
         (F.col("cluster") == F.col("id")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# train/eval decontamination (n-gram collision flagging)
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the standard LM-corpus hygiene pass
+    (public method: n-gram collision flagging, as described for GPT-2/GPT-3
+    and The Pile): flag every TRAIN document sharing at least one n-token
+    shingle with ANY document of an evaluation set, so benchmark material
+    can be removed from (or audited in) the training corpus.
+
+    Output: one row per train doc — (id_col, n_hits, contaminated), where
+    ``n_hits`` counts the doc's DISTINCT colliding shingles.
+
+    Scale shape: eval sets are the SMALL side (benchmarks are thousands of
+    docs vs 10^12 train docs) — their distinct shingle set is broadcast, so
+    the train side pays exactly one shingle projection + broadcast
+    semi-style join + map-side-combinable count, no train-sized shuffle
+    beyond the per-doc groupBy. If an eval set ever outgrew the broadcast
+    threshold, dropping the hint degrades to a plain hash join with the
+    same semantics."""
+    from pyspark.sql.functions import broadcast
+
+    tr = shingles(train, n, text_col, id_col)
+    ev = shingles(eval_df, n, text_col, id_col).select("shingle").distinct()
+    hits = (
+        tr.join(broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    all_ids = train.select(F.col(id_col).alias("id"))
+    return all_ids.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
