@@ -826,8 +826,10 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters — the 100 TB recipe end-to-end: exact-dup collapse by
     md5(text) -> MinHash-LSH banding over DISTINCT texts -> per-pair
-    array_intersect verification -> star edges -> connected components
-    (large-star/small-star, O(log n) rounds) -> (doc_id, cluster, keep).
+    array_intersect verification -> connected components over
+    REPRESENTATIVE-level pairs only (large-star/small-star, O(log n)
+    rounds; duplicate members never enter the loop, they pick up their
+    cluster by one join on the group rep) -> (doc_id, cluster, keep).
     Exact duplicates (injected % 50) exercise the collapse; near mutants
     (injected % 25) exercise banding + verify. Oracle: the SAME LSH
     formulation in SQL (uncollapsed — pair-set-equivalent since signatures
@@ -1009,7 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # implementation OR composed dependencies changed in-round must sit
         # inside the window. This round clean_corpus (rewired to the
         # collapsed-LSH scale path) and utfgrid_tiles (rotated back per the
-        # r4 verdict) moved in; the five below are frozen, r4-green (or
+        # r4 verdict) moved in; the six below are frozen, r4-green (or
         # r3-green with untouched code), and dependency-stable this round:
         # quantize_embeddings + top_events_per_user (r4-green, similarity.py
         # / window code untouched in r5), media_frames (r4-green,
@@ -1508,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         evsh AS (
           SELECT DISTINCT shingle FROM ({_shingles_sql('ev', 5)})
+          WHERE shingle <> ''
         ),
         trsh AS (
           SELECT DISTINCT doc_id AS id, shingle FROM ({_shingles_sql('documents', 5)})
@@ -1901,9 +1904,10 @@ def oracle_sql() -> dict[str, str]:
 
     # connected components == transitive closure with min labels: recursive
     # CTE (UNION = distinct => terminates); the Spark side runs the
-    # large-star/small-star rounds over the collapsed-LSH star edges, the
-    # oracle closes over the equivalent uncollapsed LSH-verified pair set —
-    # both must agree per node
+    # large-star/small-star rounds over REPRESENTATIVE-level collapsed-LSH
+    # pairs and joins members to their rep's cluster, the oracle closes
+    # over the equivalent uncollapsed LSH-verified pair set — both must
+    # agree per node
     dedup_clusters = f"""
         WITH RECURSIVE all_docs AS (
           SELECT doc_id, text FROM documents

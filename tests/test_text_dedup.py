@@ -607,3 +607,30 @@ def test_decontaminate_flags_eval_overlap(spark):
     got2 = {r.doc_id: r.contaminated
             for r in DD.decontaminate(train, upper, n=4).collect()}
     assert got2[1] is True
+
+
+def test_dedup_clusters_impossible_threshold_all_singletons(spark, docs):
+    """threshold > 1.0 admits no pair (jaccard <= 1), so even EXACT
+    duplicates must stay singleton clusters — the rep-level member merge
+    must not glue them (matches the expanded-pair semantics, where the
+    within-group emission is filtered at impossible thresholds)."""
+    df = _dup_heavy_corpus(spark, docs, copies=2)
+    out = DD.dedup_clusters(df, threshold=1.5).collect()
+    assert all(r.cluster == r.doc_id and r.keep for r in out)
+    assert len(out) == df.count()
+
+
+def test_decontaminate_empty_eval_excerpt_not_contaminating(spark):
+    """Empty-text eval rows contribute no shingles: without the filter,
+    their whole-text '' shingle would flag every empty train doc."""
+    train = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real content words here")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, ""), (101, "unrelated benchmark prompt text")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contaminated
+           for r in DD.decontaminate(train, eval_df, n=4).collect()}
+    assert got == {1: False, 2: False, 3: False}

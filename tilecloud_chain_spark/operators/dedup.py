@@ -805,6 +805,14 @@ def dedup_clusters(
     minima, so the cluster label (min id of the connected cluster) is the
     min over the connected reps — property-tested against the star-edge
     CC formulation."""
+    if threshold > 1.0:
+        # no pair can reach jaccard > 1.0, so the expanded pair set is
+        # empty and every doc is its own cluster — the member->rep merge
+        # below must NOT run (it would still glue exact duplicates)
+        all_ids = df.select(F.col(id_col)).distinct()
+        return all_ids.select(
+            id_col, F.col(id_col).alias("cluster"), F.lit(True).alias("keep")
+        )
     df = _ensure_parallelism(df)
     rep_pairs, mem = _collapsed_rep_pairs(
         df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col,
@@ -833,6 +841,7 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination — the standard LM-corpus hygiene pass
     (public method: n-gram collision flagging, as described for GPT-2/GPT-3
@@ -844,18 +853,33 @@ def decontaminate(
     ``n_hits`` counts the doc's DISTINCT colliding shingles.
 
     Scale shape: eval sets are the SMALL side (benchmarks are thousands of
-    docs vs 10^12 train docs) — their distinct shingle set is broadcast, so
-    the train side pays exactly one shingle projection + broadcast
-    semi-style join + map-side-combinable count, no train-sized shuffle
-    beyond the per-doc groupBy. If an eval set ever outgrew the broadcast
-    threshold, dropping the hint degrades to a plain hash join with the
-    same semantics."""
+    docs vs 10^12 train docs) — their distinct shingle set is broadcast by
+    default, so the train side pays exactly one shingle projection (the
+    per-doc arrays are already distinct; NO corpus-wide distinct shuffle —
+    ``shingles()``'s terminal distinct would exchange the whole train
+    shingle universe before the join can filter anything) + broadcast join
+    + map-side-combinable per-doc count. Pass ``broadcast_eval=False`` for
+    an eval set too large to broadcast — the explicit hint would otherwise
+    override ``autoBroadcastJoinThreshold`` and force-collect it.
+
+    Input contract: ``id_col`` unique per train row (as elsewhere in this
+    module); empty-text eval rows contribute no shingles (an empty excerpt
+    protects nothing — unfiltered, its whole-text '' shingle would flag
+    every empty train doc as contaminated)."""
     from pyspark.sql.functions import broadcast
 
-    tr = shingles(train, n, text_col, id_col)
-    ev = shingles(eval_df, n, text_col, id_col).select("shingle").distinct()
+    base, sh = _shingle_base(train, n, text_col, id_col)
+    tr = base.select("id", F.explode(sh).alias("shingle"))
+    ev = (
+        shingles(eval_df, n, text_col, id_col)
+        .select("shingle")
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = broadcast(ev)
     hits = (
-        tr.join(broadcast(ev), "shingle")
+        tr.join(ev, "shingle")
         .groupBy("id")
         .agg(F.count("*").alias("n_hits"))
     )
