@@ -318,6 +318,22 @@ def w_overviews(spark: SparkSession, sf_dir: str) -> int:
     return build_overviews(tiles, ts).count()
 
 
+def w_decontam(spark: SparkSession, sf_dir: str) -> int:
+    """Benchmark decontamination at sf: every 40th doc contributes a
+    5-token excerpt as the eval set; the train side pays one shingle
+    projection + broadcast join + per-doc count."""
+    from tilecloud_chain_spark.operators.dedup import decontaminate
+    from tilecloud_chain_spark.operators.text import tokens as _tokens
+
+    docs = _read_docs(spark, sf_dir).select("doc_id", "text")
+    toks = _tokens(F.col("text"))
+    eval_df = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 3, 5)).alias("text"),
+    )
+    return decontaminate(docs, eval_df, n=5).count()
+
+
 WORKLOADS = {
     "assign": w_assign,
     "cell_join": w_cell_join,
@@ -334,6 +350,7 @@ WORKLOADS = {
     "langid": w_langid,
     "bpe": w_bpe,
     "overviews": w_overviews,
+    "decontam": w_decontam,
 }
 
 
