@@ -85,3 +85,26 @@ def test_ensure_parallelism_gate(spark):
     wide = spark.range(0, 1000, 1, par * 2).selectExpr("id")
     passed = ensure_parallelism(wide)
     assert passed is wide  # identity: not even a new plan node
+
+
+def test_ensure_parallelism_never_executes_join_stages(spark):
+    """Probing partition counts on a join-fed plan under AQE finalizes the
+    adaptive plan and EXECUTES the join's stages (measured 2 jobs / 2.1 s)
+    — the guard must back off from exchange-bearing plans without
+    launching a single job."""
+    from pyspark.sql import functions as F
+
+    from tilecloud_chain_spark.session import ensure_parallelism
+
+    docs = spark.range(0, 5000, 1, 2).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    ids = docs.select((F.col("doc_id") % 97).alias("doc_id")).distinct()
+    joined = docs.join(ids, "doc_id", "left_semi")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = ensure_parallelism(joined)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert out is joined  # backed off untouched
+    assert after == before, "probe launched Spark jobs on a join-fed plan"

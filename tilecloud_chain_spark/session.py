@@ -50,17 +50,19 @@ def ensure_parallelism(df, probe=None):
     Exchange finalizes the adaptive plan — which EXECUTES the exchange's
     upstream stages just to answer ``getNumPartitions`` (measured: 2 jobs
     / 2.1 s for a semi-join probe whose stages then re-run in the real
-    action). So the partition count is only ever probed on an
-    EXCHANGE-FREE plan (scans, checkpoints — there the RDD conversion is
-    lazy metadata, zero jobs, measured 0 jobs / 50 ms). A caller whose
-    ``df`` is join-fed passes ``probe`` = the scan-sourced input whose
-    partitioning the join's streamed side inherits (broadcast joins
-    preserve it); with no probe and an exchange-bearing plan the guard
-    backs off untouched — post-shuffle parallelism is config-driven, not
-    file-driven."""
+    action). AQE wraps a plan in ``AdaptiveSparkPlan`` exactly when it
+    holds an exchange or subquery, so the guard probes ONLY unwrapped
+    plans (scans, checkpoints — there the RDD conversion is lazy
+    metadata, zero jobs; detection must use the EXECUTED plan string: the
+    pre-``EnsureRequirements`` ``sparkPlan()`` shows joins without their
+    exchanges). A caller whose ``df`` is join-fed passes ``probe`` = the
+    scan-sourced input whose partitioning the join's streamed side
+    inherits (broadcast joins preserve it); with no probe and a wrapped
+    plan the guard backs off untouched — post-shuffle parallelism is
+    config-driven, not file-driven."""
     target = probe if probe is not None else df
     qe = target._jdf.queryExecution()
-    if "Exchange" in qe.sparkPlan().toString():
+    if "AdaptiveSparkPlan" in qe.executedPlan().toString():
         return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if target.rdd.getNumPartitions() < parallelism:
