@@ -481,3 +481,30 @@ def test_iceberg_stats_cow_does_not_inflate_inserted(tmp_path):
     # added-records = inserts + updates -> inserted = 3 - 2 = 1
     t.spark = _FakeSpark({"added-records": "3", "updated-records": "2"})
     assert t._iceberg_merge_stats() == {"updated": 2, "inserted": 1}
+
+
+def test_legacy_lock_without_cadence_presumed_slow(tmp_path):
+    """A legacy (bare-pid) lock declares no heartbeat cadence. A pre-upgrade
+    holder may heartbeat as slowly as lock_timeout/3 UNCAPPED, so a breaker
+    must presume a slow cadence (its own lock_timeout) and only stale-break
+    after 3x its timeout — not after max(timeout, 3s) as the 1s-cap fallback
+    implied. A legacy lock older than the breaker's timeout but younger than
+    3x it must survive."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from tilecloud_chain_spark.checkpoint.merge import MergeTable
+
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    lock = os.path.join(root, ".lock")
+    with open(lock, "w") as f:
+        f.write("12345")  # pre-upgrade content: bare pid, no hb/token
+    old = _time.time() - 0.6
+    os.utime(lock, (old, old))
+    breaker = MergeTable(root, ["k", "status"], lock_timeout=0.5)
+    with pytest.raises(TimeoutError):
+        breaker.merge([{"k": 1, "status": "usurped"}], on=["k"])
+    assert os.path.exists(lock)  # live-presumed legacy holder survived

@@ -137,6 +137,29 @@ def _seeded_embs(spark, clustered: bool):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
 
 
+# The exact pinned recall lists below are float-derived: cosine ties and
+# float summation order can legally differ across BLAS builds/architectures
+# (the pins were measured on this sandbox: x86-64 linux, numpy 1.26,
+# single-threaded kernels). On the reference env the exact lists are
+# asserted (a 2-point recall drop fails); elsewhere the suite stays
+# portable by asserting the documented mean-recall floors instead.
+def _reference_recall_env() -> bool:
+    import platform
+
+    return (
+        platform.machine() == "x86_64"
+        and platform.system() == "Linux"
+        and np.__version__.startswith("1.26")
+    )
+
+
+def _assert_recalls(got: list, pinned: list, floor: float) -> None:
+    if _reference_recall_env():
+        assert got == pinned, (got, pinned)
+    else:  # pragma: no cover - non-reference architectures only
+        assert sum(got) / len(got) >= floor, (got, floor)
+
+
 def _recalls(bf_df, got_df):
     """Per-query top-10 recall lists (qid-sorted) vs the brute-force sets."""
     bf_sets, got_sets = {}, {}
@@ -162,8 +185,11 @@ def test_ann_recall_pinned(spark):
         F.col("vec_id").cast("string").alias("qid"), "embedding"
     )
     bf = SIM.cosine_topk(clustered, q, k=10)
-    assert _recalls(bf, SIM.ann_topk(clustered, q, dim=64, k=10, bits=8,
-                                     probe_hamming=3)) == [1.0] * 5
+    _assert_recalls(
+        _recalls(bf, SIM.ann_topk(clustered, q, dim=64, k=10, bits=8,
+                                  probe_hamming=3)),
+        [1.0] * 5, floor=0.95,
+    )
 
     gauss = _seeded_embs(spark, clustered=False)
     qg = gauss.filter(F.col("vec_id") < 5).select(
@@ -174,8 +200,8 @@ def test_ann_recall_pinned(spark):
                                       probe_hamming=3))
     got5 = _recalls(bfg, SIM.ann_topk(gauss, qg, dim=64, k=10, bits=8,
                                       probe_hamming=5))
-    assert got3 == [0.6, 0.7, 0.6, 1.0, 0.6], got3  # mean 0.70, worst case
-    assert got5 == [1.0, 1.0, 0.9, 1.0, 1.0], got5  # mean 0.98 >= 0.95
+    _assert_recalls(got3, [0.6, 0.7, 0.6, 1.0, 0.6], floor=0.5)   # mean 0.70
+    _assert_recalls(got5, [1.0, 1.0, 0.9, 1.0, 1.0], floor=0.9)   # mean 0.98
 
 
 def test_cosine_near_dup_pairs_finds_injected(spark, embs):
@@ -211,7 +237,7 @@ def test_ivf_recall_pinned(spark):
     )
     bf = SIM.cosine_topk(clustered, q, k=10)
     ivf = SIM.ivf_topk(clustered, q, k=10, n_centroids=16, nprobe=2)
-    assert _recalls(bf, ivf) == [1.0] * 5
+    _assert_recalls(_recalls(bf, ivf), [1.0] * 5, floor=0.95)
 
     gauss = _seeded_embs(spark, clustered=False)
     qg = gauss.filter(F.col("vec_id") < 5).select(
@@ -220,8 +246,8 @@ def test_ivf_recall_pinned(spark):
     bfg = SIM.cosine_topk(gauss, qg, k=10)
     got6 = _recalls(bfg, SIM.ivf_topk(gauss, qg, k=10, n_centroids=16, nprobe=6))
     got12 = _recalls(bfg, SIM.ivf_topk(gauss, qg, k=10, n_centroids=16, nprobe=12))
-    assert got6 == [0.6, 0.7, 0.7, 0.8, 0.7], got6    # mean 0.70
-    assert got12 == [0.8, 1.0, 1.0, 0.9, 0.9], got12  # mean 0.92
+    _assert_recalls(got6, [0.6, 0.7, 0.7, 0.8, 0.7], floor=0.55)   # mean 0.70
+    _assert_recalls(got12, [0.8, 1.0, 1.0, 0.9, 0.9], floor=0.85)  # mean 0.92
 
     # determinism: same seed -> same result
     ivf2 = SIM.ivf_topk(clustered, q, k=10, n_centroids=16, nprobe=2)
@@ -290,7 +316,7 @@ def test_quantized_topk_recall(spark, embs):
         )
         exact = SIM.cosine_topk(se, q, k=10)
         quant = SIM.cosine_topk_quantized(SIM.quantize_embeddings(se), q, k=10)
-        assert _recalls(exact, quant) == [1.0] * 5, clustered
+        _assert_recalls(_recalls(exact, quant), [1.0] * 5, floor=0.95)
 
 
 def test_quantize_zero_vector_survives_ansi(spark):
@@ -634,3 +660,30 @@ def test_decontaminate_empty_eval_excerpt_not_contaminating(spark):
     got = {r.doc_id: r.contaminated
            for r in DD.decontaminate(train, eval_df, n=4).collect()}
     assert got == {1: False, 2: False, 3: False}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Cluster-run setting (SCALE.md): with a reliable checkpoint dir
+    configured, connected_components truncates per-round lineage through
+    Dataset.checkpoint (survives executor loss) instead of localCheckpoint
+    — auto-selected, identical components, and checkpoint files actually
+    land in the configured directory."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    local = {(r.id, r.component)
+             for r in DD.connected_components(pairs, reliable=False).collect()}
+
+    ckpt_dir = str(tmp_path / "cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    assert DD._has_reliable_checkpoint_dir(pairs)  # auto-detect fires
+    rel = {(r.id, r.component)
+           for r in DD.connected_components(pairs).collect()}
+    assert rel == local
+    written = []
+    for root, _dirs, files in os.walk(ckpt_dir):
+        written.extend(os.path.join(root, f) for f in files)
+    assert written, "reliable checkpoint path produced no checkpoint files"

@@ -159,15 +159,23 @@ class MergeTable:
         ``lock_timeout``: two MergeTable instances on the same root may be
         configured with different timeouts, and a breaker whose timeout is
         shorter than the holder's heartbeat gap would otherwise stale-break
-        a LIVE holder (two concurrent writers, lost updates). Unreadable /
-        not-yet-written lock content falls back to the cadence cap — the
-        holder's cadence never exceeds it."""
-        hb = self._HB_CAP
+        a LIVE holder (two concurrent writers, lost updates).
+
+        Unreadable / legacy / not-yet-written lock content declares NO
+        cadence, so the holder could be a pre-upgrade writer heartbeating
+        at ITS ``lock_timeout / 3`` (uncapped — e.g. 10 s gaps for a 30 s
+        timeout) — presuming the 1 s cadence cap there would let a
+        short-timeout breaker stale-break that live legacy holder. The
+        fallback is therefore this breaker's OWN ``lock_timeout`` as the
+        presumed cadence (stale only after 3x it). Mixed-version writers
+        whose heartbeat gap exceeds 3x the breaker's timeout (legacy
+        ``lock_timeout`` > 9x the breaker's) remain unsupported on one
+        root — upgrade all writers together in that configuration."""
         try:
             with open(lock) as f:
                 hb = float(json.loads(f.read())["hb"])
         except Exception:
-            pass
+            hb = self.lock_timeout  # no declared cadence: presume slow
         return max(self.lock_timeout, 3.0 * hb)
 
     @contextlib.contextmanager
@@ -191,7 +199,17 @@ class MergeTable:
         ownership via a uuid token in the lock content (inode numbers are
         recycled on unlink+create, so inode identity is NOT ownership): a
         holder that WAS stale-broken while running must not delete the
-        usurper's fresh lock."""
+        usurper's fresh lock. Like the break path, release is
+        read-then-unlink, so a RESIDUAL window remains: between reading our
+        own token back and the unlink syscall, a breaker could stale-break
+        and re-acquire, and this release would then delete the usurper's
+        fresh lock. Reaching it requires a breaker to observe >=
+        ``lock_timeout`` seconds of missed heartbeats plus its settle delay
+        precisely between two adjacent syscalls of a live releasing holder
+        — microseconds against seconds, the same accepted odds as the break
+        path's stat->unlink window (an atomic rename-aside release would
+        instead open a window where the usurper's live lock is missing and
+        a THIRD writer acquires — strictly worse)."""
         import threading
 
         lock = os.path.join(self.root, ".lock")

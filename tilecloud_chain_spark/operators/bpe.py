@@ -98,7 +98,18 @@ def load_merges(source) -> list[tuple[str, str]]:
     Tables trained elsewhere usually carry no ``</w>`` end-of-word marker
     (GPT-2 is byte-level with a space-prefix convention instead) — encode
     such tables with ``bpe_encode(..., add_eow=False)``. Tables written by
-    :func:`merges_to_lines` round-trip exactly, marker included."""
+    :func:`merges_to_lines` round-trip exactly, marker included.
+
+    Compatibility scope: this parser accepts any table in the ``merges.txt``
+    FORMAT, but :func:`bpe_encode` is a lowercasing, whitespace-splitting
+    WORD-level encoder — byte-level tables (GPT-2/RoBERTa, with the
+    Ġ/space-prefix token convention) are format-compatible but NOT
+    tokenization-compatible: their merges are keyed on byte-alphabet
+    symbols this encoder never produces, so encoding with an actual GPT-2
+    table degenerates to near-character-level output rather than GPT-2
+    tokenization. Only word-level tables (e.g. ones written by
+    :func:`merges_to_lines` / trained by :func:`train_bpe`) reproduce
+    their source tokenizer."""
     if isinstance(source, str):
         with open(source) as f:
             lines = f.read().splitlines()

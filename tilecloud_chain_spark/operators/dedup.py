@@ -694,8 +694,18 @@ def simhash_pairs_bruteforce(df: DataFrame, max_hamming: int = 8,
 # --------------------------------------------------------------------------
 
 
+def _has_reliable_checkpoint_dir(df: DataFrame) -> bool:
+    """True when ``spark.sparkContext.setCheckpointDir`` has been called —
+    the signal that the session wants RELIABLE (storage-backed) checkpoints
+    instead of executor-local ones."""
+    try:
+        return df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        return False
+
+
 def connected_components(
-    pairs: DataFrame, max_iters: int = 50
+    pairs: DataFrame, max_iters: int = 50, reliable: bool | None = None
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) ->
     (id, component) with component = min id of the component.
@@ -711,7 +721,24 @@ def connected_components(
     Convergence is detected with an edge-set fingerprint; raises if
     ``max_iters`` rounds do not converge (log2 of any realistic component
     count is far smaller).
-    """
+
+    ``reliable`` selects the per-round lineage-truncation mechanism:
+    ``localCheckpoint`` (False — executor-block storage, the right local
+    default: no configured storage needed, but blocks die with their
+    executor) vs reliable ``Dataset.checkpoint`` to the session's
+    configured checkpoint directory (True — survives executor loss, the
+    multi-hour-cluster-run setting; requires
+    ``spark.sparkContext.setCheckpointDir(...)``). Default ``None``
+    auto-selects: reliable iff a checkpoint dir is configured. Identical
+    components either way (pytest-asserted)."""
+    if reliable is None:
+        reliable = _has_reliable_checkpoint_dir(pairs)
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     # materialize the INPUT once: ``pairs`` is referenced by both the edge
     # seed and the final node list, and an un-checkpointed lineage would
     # re-execute the whole upstream pair pipeline (LSH + verify) once per
@@ -719,12 +746,12 @@ def connected_components(
     # 3x the entire CC loop (~1.6 s). LAZY: the eager edge checkpoint job
     # right below is a full pass over pairs and materializes this one in
     # the same action — eager here would add a whole extra blocking job
-    pairs = pairs.localCheckpoint(eager=False)
-    edges = (
+    pairs = _ckpt(pairs, eager=False)
+    edges = _ckpt(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -759,7 +786,7 @@ def connected_components(
         # LAZY checkpoint: the fingerprint aggregation is the round's single
         # action and materializes the checkpoint as it runs — eager=True
         # would pay a second full pass per round just to checkpoint
-        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        edges = _ckpt(small_star(large_star(edges)), eager=False)
         fp = edges.agg(
             F.count("*").alias("n"),
             F.sum(F.hash("u", "v").cast("long")).alias("h"),
