@@ -687,3 +687,107 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     for root, _dirs, files in os.walk(ckpt_dir):
         written.extend(os.path.join(root, f) for f in files)
     assert written, "reliable checkpoint path produced no checkpoint files"
+
+
+def test_dedup_spans_semantics(spark):
+    """First-occurrence-wins span removal: the globally-first doc keeps its
+    copy, later docs lose the merged span; within-doc repeats collapse to
+    the first window; docs shorter than n are untouched."""
+    df = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta unique1 one"),
+        (2, "pre2 alpha beta gamma delta epsilon zeta post2"),
+        (3, "x1 x2 x3 alpha beta gamma delta epsilon zeta x4 x5"),
+        (4, "short doc here"),
+        (5, "rep rep rep rep rep rep rep rep rep rep"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in DD.dedup_spans(df, n=5).collect()}
+    assert got[1].n_removed == 0 and got[1].clean_text.startswith("alpha beta")
+    assert got[2].clean_text == "pre2 post2" and got[2].n_spans == 1
+    assert got[3].clean_text == "x1 x2 x3 x4 x5" and got[3].n_removed == 6
+    assert got[4].n_removed == 0 and got[4].clean_text == "short doc here"
+    # self-repeat: windows 2..6 duplicate window 1 -> tokens 2..10 removed
+    assert got[5].clean_text == "rep" and got[5].n_removed == 9
+
+
+def test_dedup_spans_adjacent_islands_merge(spark):
+    """Two disjoint duplicated regions in one doc produce two merged spans;
+    overlapping duplicate windows fuse into one."""
+    df = spark.createDataFrame([
+        (1, "a1 a2 a3 a4 a5 mid1 mid2 b1 b2 b3 b4 b5"),
+        (2, "a1 a2 a3 a4 a5 OTHER1 OTHER2 b1 b2 b3 b4 b5"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in DD.dedup_spans(df, n=5).collect()}
+    assert got[1].n_removed == 0
+    assert got[2].n_spans == 2
+    assert got[2].clean_text == "OTHER1 OTHER2"
+
+
+def test_dedup_spans_never_removes_from_untouched_corpus(spark, docs):
+    """A corpus of unique documents (distinct ids appended to every token)
+    must pass through dedup_spans unchanged."""
+    base = docs.select("doc_id", "text").limit(40).select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(
+            TX.tokens(F.col("text")),
+            lambda t: F.concat(t, F.lit("_"), F.col("doc_id").cast("string")),
+        )).alias("text"),
+    )
+    out = DD.dedup_spans(base, n=5)
+    assert out.filter(F.col("n_removed") > 0).count() == 0
+    texts = {r.doc_id: r.clean_text for r in out.collect()}
+    orig = {r.doc_id: r.text for r in base.collect()}
+    assert texts == orig
+
+
+def test_semantic_dedup_injected_near_dups(spark):
+    """semantic_dedup with kmeans_fit centroids drops exactly the injected
+    scaled near-duplicates (cos 1.0 after rounding) and keeps originals."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((20, 64)) * 3.0
+    pts = centers[np.arange(400) % 20] + rng.standard_normal((400, 64))
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    dups = embs.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 1.000001).alias("embedding"),
+    )
+    allv = embs.unionAll(dups).cache()
+    cents = SIM.kmeans_fit(allv, k=20, iters=3)
+    cents2 = SIM.kmeans_fit(allv, k=20, iters=3)
+    assert np.array_equal(cents, cents2)  # distributed Lloyd deterministic
+    cent_df = spark.createDataFrame(
+        [(j, [float(x) for x in cents[j]]) for j in range(20)],
+        "cluster int, cvec array<double>",
+    )
+    out = {r.vec_id: r for r in SIM.semantic_dedup(allv, cent_df, threshold=0.999).collect()}
+    assert len(out) == 410
+    for i in range(0, 400, 40):
+        assert not out[i + 10000].keep and out[i + 10000].sem_cluster == i
+        assert out[i].keep
+    assert sum(1 for r in out.values() if not r.keep) == 10
+
+
+def test_kmeans_fit_improves_objective(spark):
+    """Distributed Lloyd rounds must not worsen the spherical k-means
+    objective (mean max-cosine to assigned centroid) vs the sample seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 32)) * 3.0
+    pts = centers[np.arange(300) % 8] + rng.standard_normal((300, 32))
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def objective(c):
+        x = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+        return float((x @ c.T).max(axis=1).mean())
+
+    seed_only = SIM.kmeans_fit(embs, k=8, iters=0)
+    refined = SIM.kmeans_fit(embs, k=8, iters=4)
+    assert objective(refined) >= objective(seed_only) - 1e-9

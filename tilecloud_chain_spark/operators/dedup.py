@@ -553,6 +553,136 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 # --------------------------------------------------------------------------
+# substring-span dedup (intra-corpus duplicated-span removal)
+# --------------------------------------------------------------------------
+
+
+def dedup_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove duplicated TOKEN SPANS across the whole corpus,
+    first-occurrence-wins — the substring-level third axis of the dedup
+    family (public method: exact-substring deduplication as in Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better",
+    approximated at n-token window granularity instead of suffix arrays).
+
+    Semantics: every n-token window of every document is keyed by
+    ``md5(window)``; the window at the globally FIRST occurrence
+    (min (id, pos)) is the keeper, every other occurrence — across
+    documents or later in the same document — marks its token range
+    [pos, pos + n - 1] for removal. Overlapping/adjacent marked ranges
+    merge (a duplicated region longer than n tokens yields consecutive
+    marked windows that fuse into one span). Output per input doc:
+    (id_col, n_tokens, n_removed, n_spans, clean_text) where clean_text is
+    the KEPT tokens joined by single spaces (token-pipeline normalization:
+    original inter-token whitespace is not preserved) and n_spans counts
+    the merged removal intervals. Docs with < n tokens are never touched.
+
+    Scale shape (the 100 TB path):
+    - one inline window projection + explode (linear; only (id, pos,
+      md5 hash) rows ever shuffle — never window text),
+    - first-occurrence selection as a MAP-SIDE-COMBINABLE
+      ``groupBy(hash).agg(min(struct(id, pos)))`` + one-row-per-hash join
+      back — NEVER a row_number window partitioned by the hash: a
+      corpus-universal boilerplate span (this operator's motivating input)
+      would funnel every copy into one window-sort task, while the min
+      aggregation collapses each hot key to O(partitions) tiny rows on the
+      map side and AQE can split the skewed join probe (measured flat in
+      the duplicate count — SKEW_BENCH 'span_dedup'),
+    - interval merging as a per-DOCUMENT window (bounded by document
+      length, never by corpus-wide duplication),
+    - reassembly as one per-doc array filter (no further shuffle).
+    Exactly reproducible in ANSI SQL (gate entry ``substring_dedup_docs``).
+    """
+    from pyspark.sql.window import Window
+
+    nn = int(n)
+    if nn < 2:
+        raise ValueError(f"span window n must be >= 2, got {n}")
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=False)  # referenced by windows + reassembly
+    t = F.col("toks")
+    idx = F.sequence(F.lit(1), F.size(t) - (nn - 1))
+    # windows built INLINE in the explode (InferFiltersFromGenerate skips
+    # non-trivial generator children — see shingles() for the trap)
+    win_arr = F.when(
+        F.size(t) >= nn,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(
+                    F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(nn)])
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    wins = base.select("id", F.explode(win_arr).alias("w")).select(
+        "id", F.col("w.pos").alias("pos"), F.col("w.h").alias("_h")
+    )
+    firsts = wins.groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("_first"))
+    dup_spans = (
+        wins.join(firsts, "_h")
+        .filter(
+            (F.col("id") != F.col("_first.id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + (nn - 1)).alias("e"))
+    )
+    w_ord = Window.partitionBy("id").orderBy("s", "e")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup_spans.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+    )
+    merged = (
+        flagged.withColumn(
+            "_isl",
+            F.sum("_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_rem"),
+        F.count("*").alias("n_spans"),
+    )
+    joined = base.join(per_doc, "id", "left").select(
+        "id", "toks",
+        F.coalesce(F.col("_rem"), F.array().cast("array<struct<s:int,e:int>>"))
+        .alias("_rem"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+    )
+    sz = F.size("toks")
+    all_idx = F.when(
+        sz >= 1, F.sequence(F.lit(1), sz)
+    ).otherwise(F.array().cast("array<int>"))  # sequence(1,0) would DESCEND
+    rem = F.col("_rem")
+    kept = F.filter(
+        all_idx,
+        lambda i: ~F.exists(rem, lambda r: (i >= r["s"]) & (i <= r["e"])),
+    )
+    # kept materialized in its own projection: clean_text and n_removed both
+    # reference it, and there is no CSE inside higher-order functions
+    staged = joined.select(
+        "id", "toks", "n_spans", sz.alias("n_tokens"), kept.alias("_kept")
+    )
+    return staged.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.concat_ws(
+            " ", F.transform(F.col("_kept"), lambda i: F.element_at(F.col("toks"), i))
+        ).alias("clean_text"),
+    )
+
+
+# --------------------------------------------------------------------------
 # pigeonhole block-join helpers (shared by simhash and media frame dedup)
 # --------------------------------------------------------------------------
 

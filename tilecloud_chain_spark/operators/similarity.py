@@ -202,6 +202,152 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 4,
+    sample_size: int = 2048,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed spherical k-means: the driver-sample seed of
+    :func:`kmeans_centroids` refined by ``iters`` DISTRIBUTED Lloyd rounds.
+    Each round is ONE Arrow pass over the data producing per-batch partial
+    sums (cluster, sum-vector, count) — O(partitions x k) tiny rows collect
+    to the driver (the bounded-collect pattern of token_stream_chunks),
+    never the vectors themselves — then centroids renormalize driver-side.
+    Deterministic: partials carry (partition, batch) ids and are combined
+    in sorted order, so float summation order is fixed run-to-run."""
+    import pandas as pd
+
+    n_total = df.count()
+    frac = min(1.0, sample_size * 1.2 / max(n_total, 1))
+    rows = df.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
+    if len(rows) < min(k * 4, n_total):  # tiny input: take all
+        rows = df.select(vec_col).limit(sample_size).collect()
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    cents = kmeans_centroids(sample, k, seed=seed)
+
+    src = df.select(F.col(vec_col).alias("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    dim = cents.shape[1]
+    for _ in range(int(iters)):
+        c = cents  # close over this round's centroids
+
+        def partials(batches, _c=c):
+            bi = 0
+            for pdf in batches:
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                assign = (mn @ _c.T).argmax(axis=1)
+                out_c, out_s, out_n, out_p, out_b = [], [], [], [], []
+                pid = int(pdf["_pid"].iloc[0])
+                for j in range(len(_c)):
+                    mask = assign == j
+                    if mask.any():
+                        out_c.append(j)
+                        out_s.append([float(x) for x in mn[mask].sum(axis=0)])
+                        out_n.append(int(mask.sum()))
+                        out_p.append(pid)
+                        out_b.append(bi)
+                bi += 1
+                yield pd.DataFrame(
+                    {"cluster": out_c, "s": out_s, "n": out_n,
+                     "pid": out_p, "bi": out_b}
+                )
+
+        got = src.mapInPandas(
+            partials, "cluster int, s array<double>, n long, pid int, bi int"
+        ).collect()
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in sorted(got, key=lambda r: (r["cluster"], r["pid"], r["bi"])):
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
+        new = cents.copy()
+        for j in range(k):
+            if counts[j]:
+                nrm = np.linalg.norm(sums[j])
+                if nrm > 1e-12:
+                    new[j] = sums[j] / nrm
+        cents = new
+    return cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public method: Abbas et al.
+    2023 "SemDeDup" — k-means-partition the embedding space, then prune
+    near-identical pairs WITHIN each cluster): assign each vector to its
+    nearest centroid (cosine), build the within-cluster cosine >= threshold
+    near-dup graph, connected-components it, keep the min id per component.
+
+    Output: (id_col, cluster, sem_cluster, keep).
+
+    ``centroids`` is a small (cluster int, cvec array) DataFrame —
+    broadcast. For the cross-engine gate it comes from data rows (fixed
+    vectors make the argmax SQL-expressible); for production it comes from
+    :func:`kmeans_fit`. Assignment uses the Column-expression cosine
+    rounded to 6dp with cluster-ascending tie-break — the exact arithmetic
+    the SQL oracle replays (unrounded float argmax could flip on ulp
+    differences between engines); :func:`ivf_assign` is the Arrow twin for
+    the bench path (property-tested equal off ties).
+
+    Scale shape: the within-cluster self-join is bucketed by the cluster
+    key and is O(sum |cluster|^2) — SemDeDup's own design point: k scales
+    with the corpus (|cluster| ~ n/k stays bounded), exactly like the IVF
+    inverted lists. CC runs over threshold-passing pairs only."""
+    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    c = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("cvec").cast("array<double>").alias("cv"),
+    )
+    j = e.crossJoin(broadcast(c))
+    ccos = F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        j.select(id_col, "v", "cluster", ccos)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "cluster")
+        .localCheckpoint(eager=True)  # self-join + final join reference it
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cluster"
+    )
+    cos = F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    from tilecloud_chain_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs)
+    out = assigned.join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    sem = F.coalesce("component", F.col(id_col))
+    return out.select(
+        id_col, "cluster",
+        sem.alias("sem_cluster"),
+        (sem == F.col(id_col)).alias("keep"),
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
