@@ -183,3 +183,24 @@ def test_shingle_pipeline_tokenizes_once(spark):
     sig = DD.minhash_signatures(df, num_hashes=4)
     plan = sig._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_dedup_spans_no_window_over_hash(spark):
+    """Substring-span dedup: first-occurrence selection must be the
+    map-side-combinable min-struct aggregation, NEVER a window partitioned
+    by the window hash (a corpus-universal boilerplate span would funnel
+    every occurrence into one task's window sort). The only Window
+    operators allowed are the per-DOCUMENT island-merge windows (bounded by
+    document length)."""
+    from tilecloud_chain_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "z a b c d e f y")],
+        "doc_id long, text string",
+    )
+    plan = _executed(dedup_spans(df, n=5))
+    # every window spec partitions by the doc id, never the span hash
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_h" not in line, line
+    assert "partial_min" in plan, plan  # map-side combine on the hash agg
