@@ -928,8 +928,10 @@ def _skew_section() -> list[str]:
             )
         lines += [
             "",
-            "Flat in the copy count — the 100k-copy row shuffles 4.3M",
-            "hot-key occurrences as (id, pos, hash) triples only.",
+            "Cost tracks the LINEAR shuffled-occurrence volume ((id, pos,",
+            "hash) triples; the 100k row moves 4.3M of them), never the",
+            "quadratic pair count a bucket-join formulation would pay —",
+            "333x more copies costs ~2-3x, not 111,000x.",
         ]
     return lines
 

@@ -791,3 +791,56 @@ def test_kmeans_fit_improves_objective(spark):
     seed_only = SIM.kmeans_fit(embs, k=8, iters=0)
     refined = SIM.kmeans_fit(embs, k=8, iters=4)
     assert objective(refined) >= objective(seed_only) - 1e-9
+
+
+def test_dedup_spans_min_span_threshold(spark):
+    """min_span keeps short duplicated islands (the reference exact-substr
+    method removes only >= 50-token spans; here: threshold 8 keeps the
+    6-token dup, removes the 10-token one)."""
+    df = spark.createDataFrame([
+        (1, "s1 s2 s3 s4 s5 s6 mid t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+        (2, "a s1 s2 s3 s4 s5 s6 b t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 c"),
+    ], "doc_id long, text string")
+    strict = {r.doc_id: r for r in DD.dedup_spans(df, n=5).collect()}
+    assert strict[2].n_spans == 2  # both dup regions removed at default
+    thr = {r.doc_id: r for r in DD.dedup_spans(df, n=5, min_span=8).collect()}
+    assert thr[2].n_spans == 1
+    assert thr[2].n_removed == 10  # only the 10-token region goes
+    assert "s1 s2 s3 s4 s5 s6" in thr[2].clean_text
+    assert "t1" not in thr[2].clean_text
+
+
+def test_semantic_dedup_keep_low_centroid_sim(spark):
+    """SemDeDup paper keep-strategy: within each duplicate component the
+    member with the LOWEST cosine to its centroid survives (tie -> min id);
+    exactly one survivor per component either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 16))
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    dups = embs.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * 1.000001).alias("embedding"),
+    )
+    allv = embs.unionAll(dups)
+    cents = embs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("cvec"),
+    )
+    out = SIM.semantic_dedup(allv, cents, threshold=0.999, keep="low_centroid_sim")
+    rows = out.collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.sem_cluster, []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m.keep for m in members) == 1
+    # components of the injected pairs have exactly 2 members and ONE keeper
+    paired = [c for c, ms in by_comp.items() if len(ms) == 2]
+    assert len(paired) >= 6
+    # vs default: min_id keeps the original; both strategies agree on counts
+    out2 = SIM.semantic_dedup(allv, cents, threshold=0.999, keep="min_id")
+    assert out.filter(F.col("keep")).count() == out2.filter(F.col("keep")).count()

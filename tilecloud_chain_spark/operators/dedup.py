@@ -562,6 +562,7 @@ def dedup_spans(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_span: int | None = None,
 ) -> DataFrame:
     """Remove duplicated TOKEN SPANS across the whole corpus,
     first-occurrence-wins — the substring-level third axis of the dedup
@@ -575,7 +576,11 @@ def dedup_spans(
     documents or later in the same document — marks its token range
     [pos, pos + n - 1] for removal. Overlapping/adjacent marked ranges
     merge (a duplicated region longer than n tokens yields consecutive
-    marked windows that fuse into one span). Output per input doc:
+    marked windows that fuse into one span). ``min_span`` keeps merged
+    spans SHORTER than the threshold (the reference method removes only
+    duplicated substrings of >= 50 tokens; at the default None every
+    duplicated window is removed — the n-gram-exact semantics the
+    correctness gate oracles). Output per input doc:
     (id_col, n_tokens, n_removed, n_spans, clean_text) where clean_text is
     the KEPT tokens joined by single spaces (token-pipeline normalization:
     original inter-token whitespace is not preserved) and n_spans counts
@@ -647,6 +652,10 @@ def dedup_spans(
         .groupBy("id", "_isl")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
     )
+    if min_span is not None:
+        merged = merged.filter(
+            F.col("e") - F.col("s") + 1 >= int(min_span)
+        )
     per_doc = merged.groupBy("id").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_rem"),
         F.count("*").alias("n_spans"),

@@ -281,6 +281,7 @@ def semantic_dedup(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public method: Abbas et al.
     2023 "SemDeDup" — k-means-partition the embedding space, then prune
@@ -289,6 +290,15 @@ def semantic_dedup(
     near-dup graph, connected-components it, keep the min id per component.
 
     Output: (id_col, cluster, sem_cluster, keep).
+
+    ``keep`` picks the survivor per duplicate component: ``"min_id"``
+    (default — deterministic, what the cross-engine gate oracles) or
+    ``"low_centroid_sim"`` (the SemDeDup paper's choice: the member with
+    the LOWEST cosine to its centroid survives, preserving the cluster's
+    outer diversity; tie -> min id). Both are computed as a map-side-
+    combinable min-struct aggregation + join on the component key — never
+    a window partitioned by the component (a mega-duplicate-cluster would
+    funnel into one task's sort).
 
     ``centroids`` is a small (cluster int, cvec array) DataFrame —
     broadcast. For the cross-engine gate it comes from data rows (fixed
@@ -313,11 +323,13 @@ def semantic_dedup(
     win = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cluster").asc()
     )
+    if keep not in ("min_id", "low_centroid_sim"):
+        raise ValueError(f"keep must be 'min_id' or 'low_centroid_sim', got {keep!r}")
     assigned = (
         j.select(id_col, "v", "cluster", ccos)
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
-        .select(id_col, "v", "cluster")
+        .select(id_col, "v", "cluster", "ccos")
         .localCheckpoint(eager=True)  # self-join + final join reference it
     )
     a = assigned.select(
@@ -341,10 +353,23 @@ def semantic_dedup(
         cc.withColumnRenamed("id", id_col), id_col, "left"
     )
     sem = F.coalesce("component", F.col(id_col))
-    return out.select(
-        id_col, "cluster",
-        sem.alias("sem_cluster"),
-        (sem == F.col(id_col)).alias("keep"),
+    labeled = out.select(
+        id_col, "cluster", "ccos", sem.alias("sem_cluster")
+    )
+    if keep == "min_id":
+        return labeled.select(
+            id_col, "cluster", "sem_cluster",
+            (F.col("sem_cluster") == F.col(id_col)).alias("keep"),
+        )
+    survivors = labeled.groupBy("sem_cluster").agg(
+        F.min(F.struct(F.col("ccos"), F.col(id_col).alias("id"))).alias("_best")
+    )
+    return (
+        labeled.join(survivors, "sem_cluster")
+        .select(
+            id_col, "cluster", "sem_cluster",
+            (F.col("_best.id") == F.col(id_col)).alias("keep"),
+        )
     )
 
 
