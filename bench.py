@@ -1117,6 +1117,13 @@ def _write_bench_md(result: dict) -> None:
         f"{hp.get('calib_after_sec')}s -> host-phase factor "
         f"**{hp.get('factor')}** (1.0 = quiet). `normalized` = raw / factor.",
         "",
+        "Calib blind spot (disclosed): the kernel is single-thread",
+        "CPU-bound, so MEMORY-BUS phases — which hit multi-second",
+        "32-thread Spark jobs hardest — are only partly captured. A run",
+        "where untouched queries drift up 10-30% UNIFORMLY at factor ~1.0",
+        "is such a phase: read the vs-anchor columns jointly (broad-based",
+        "drift = host; a single query moving alone = code).",
+        "",
         "Per-query wall seconds at sf="
         + str(result["sf"])
         + f" on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]."
