@@ -808,6 +808,39 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_limit_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch concurrency limiting (reference URLTileStore
+    semaphores, store/url.py:43-117): z0-z1 tiles build WMTS URLs across
+    three hosts (layout picked by cell % 3 — the reference's
+    hash(tilecoord) % len(tile_layouts)), per-host limits {a: 2, b: 5}
+    with default 10, deterministic slot = cell % limit. The oracle replays
+    URL construction, the SAME hostname regex, the limit CASE and the
+    modulo in SQL."""
+    from tilecloud_chain_spark.operators import routing as RT
+
+    tiles = EN.dense_tiles(spark, GRID, [0, 1])
+    keyed = tiles.select(
+        "z", "x", "y", GM.cell_key(F.col("z"), F.col("x"), F.col("y"))
+    )
+    hostname = (
+        F.when(F.pmod(F.col("cell"), F.lit(3)) == 0, F.lit("wms-a.example.com"))
+        .when(F.pmod(F.col("cell"), F.lit(3)) == 1, F.lit("wms-b.example.com"))
+        .otherwise(F.lit("wms-c.example.com"))
+    )
+    url = F.concat(
+        F.lit("https://"), hostname, F.lit("/1.0.0/polygon/default/2012/swissgrid_5/"),
+        F.col("z").cast("string"), F.lit("/"), F.col("y").cast("string"),
+        F.lit("/"), F.col("x").cast("string"), F.lit(".png"),
+    )
+    out = RT.host_limit_slots(
+        keyed.withColumn("url", url),
+        {"wms-a.example.com": 2, "wms-b.example.com": 5},
+        default_concurrent=10,
+        id_col="cell",
+    )
+    return out.select("z", "x", "y", "host", "concurrent", "slot")
+
+
 def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — GetTile serving decisions for the point_hash layer (server.py
     :358-372 seed depth, :694-715 owning-metatile geometry redirect):
@@ -1041,7 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
         "ivf_topk": q_ivf_topk,
-        "asof_join": q_asof_join,
+        "host_limit_slots": q_host_limit_slots,
         "stratified_sample": q_stratified_sample,
         "leakage_split": q_leakage_split,
         "token_chunks": q_token_chunks,
@@ -1082,16 +1115,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # module changed this round (dedup.py -> minhash/lsh/jaccard/
         # clusters/clean_corpus/line_dedup/decontaminate/simhash;
         # similarity.py -> cosine/quantized/ivf/ann/near-dups) is inside.
-        # The nine below rotate out: all r5-green in the driver gate with
-        # code untouched this round (utfgrid_tiles r5-green, rendering
-        # untouched; sessionize/asof_join/web_mercator/interval_islands/
-        # event_rollup r5-green, their modules untouched; top_events +
-        # two TPC-H rollups + daily windows, pure-SQL, green since r1).
+        # A fourth new entry (host_limit_slots — the URLTileStore semaphore
+        # analog) also enters the window. The ten below rotate out: all
+        # r5-green in the driver gate with code untouched this round
+        # (utfgrid_tiles r5-green, rendering untouched; asof_join/
+        # sessionize/web_mercator/interval_islands/event_rollup r5-green,
+        # their modules untouched; top_events + two TPC-H rollups + daily
+        # windows, pure-SQL, green since r1).
         # The FULL registry (including these nine) is still cross-engine-
         # checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.
         "utfgrid_tiles": q_utfgrid_tiles,
+        "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "web_mercator": q_web_mercator,
         "interval_islands": q_interval_islands,
@@ -2279,6 +2315,43 @@ def oracle_sql() -> dict[str, str]:
         FROM assigned s LEFT JOIN comp c ON c.id = s.vec_id
     """
 
+    # host-limit slots: same URL build, hostname regex, limit CASE, modulo
+    from tilecloud_chain_spark.operators.routing import HOST_PATTERN as _HP
+
+    host_limit_slots = f"""
+        WITH t AS ({_enum_sql([0, 1])}),
+        k AS (
+          SELECT z, x, y,
+                 CAST(z AS BIGINT) * {1 << 58} + CAST(x AS BIGINT) * {1 << 29}
+                   + CAST(y AS BIGINT) AS cell
+          FROM t
+        ),
+        u AS (
+          SELECT z, x, y, cell,
+                 'https://' ||
+                 CASE cell % 3 WHEN 0 THEN 'wms-a.example.com'
+                               WHEN 1 THEN 'wms-b.example.com'
+                               ELSE 'wms-c.example.com' END ||
+                 '/1.0.0/polygon/default/2012/swissgrid_5/' ||
+                 CAST(z AS VARCHAR) || '/' || CAST(y AS VARCHAR) || '/' ||
+                 CAST(x AS VARCHAR) || '.png' AS url
+          FROM k
+        ),
+        h AS (
+          SELECT z, x, y, cell,
+                 regexp_extract(url, '{_HP}', 1) AS host
+          FROM u
+        )
+        SELECT z, x, y, host,
+               CAST(CASE host WHEN 'wms-a.example.com' THEN 2
+                              WHEN 'wms-b.example.com' THEN 5
+                              ELSE 10 END AS INTEGER) AS concurrent,
+               CAST(cell % (CASE host WHEN 'wms-a.example.com' THEN 2
+                                      WHEN 'wms-b.example.com' THEN 5
+                                      ELSE 10 END) AS INTEGER) AS slot
+        FROM h
+    """
+
     # serving decisions: seed depth (min_resolution_seed=10 -> zooms 0..3
     # seeded, z4 dynamic), owning-metatile (n=8) buffered-extent test
     # against the MULTIPOINT layer geometry — closed boundaries, like the
@@ -2464,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": quantize_embeddings,
         "ivf_topk": ivf_topk,
         "langid_ngram": _langid_sql(),
+        "host_limit_slots": host_limit_slots,
         "quality_score_docs": _quality_sql(),
         "substring_dedup_docs": substring_dedup_docs,
         "semantic_dedup_docs": semantic_dedup_docs,

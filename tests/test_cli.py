@@ -234,3 +234,37 @@ def test_cli_process_in_place(spark, tmp_path):
     after = walk(cache)
     assert set(before) == set(after) and len(after) == 6
     assert any(before[k] != after[k] for k in after)  # payloads transformed
+
+
+def test_cli_generate_cost_parity_prints_reference_numbers(spark, tmp_path, capsys):
+    """generate-cost --cost-algo count --tilecloud-parity prints the
+    reference's exact golden counts for the point layer
+    (reference tests/test_cost.py:80-112)."""
+    import yaml
+
+    from tilecloud_chain_spark import cli
+
+    cfg = {
+        "grids": REF_STYLE_YAML["grids"],
+        "layers": {
+            "point": {
+                "grids": ["swissgrid_5"], "meta": True, "meta_size": 8,
+                "meta_buffer": 128, "min_resolution_seed": 10,
+                "geom_wkt": "MULTIPOINT ((600000 200000), (530000 150000))",
+            }
+        },
+    }
+    cfg_path = tmp_path / "cost.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    rc = cli.main([
+        "generate-cost", "--config", str(cfg_path), "--layer", "point",
+        "--cost-algo", "count", "--tilecloud-parity",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for line in ("1 meta tiles in zoom 0.", "1 meta tiles in zoom 1.",
+                 "6 meta tiles in zoom 2.", "2 meta tiles in zoom 3.",
+                 "64 tiles in zoom 0.", "64 tiles in zoom 1.",
+                 "339 tiles in zoom 2.", "112 tiles in zoom 3."):
+        assert line in out, (line, out)

@@ -844,3 +844,126 @@ def test_semantic_dedup_keep_low_centroid_sim(spark):
     # vs default: min_id keeps the original; both strategies agree on counts
     out2 = SIM.semantic_dedup(allv, cents, threshold=0.999, keep="min_id")
     assert out.filter(F.col("keep")).count() == out2.filter(F.col("keep")).count()
+
+
+def test_dedup_spans_cross_engine_property(spark):
+    """Randomized cross-engine property (mirrors the r5 LSH property test):
+    on seeded dup-heavy corpora the Spark dedup_spans output equals a
+    DuckDB replay of the identical first-occurrence + island + reassembly
+    formulation, row for row."""
+    import random
+
+    import duckdb
+
+    n = 4
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        shared = [f"s{i}" for i in range(9)]  # 9-token shared span
+        rows = []
+        for i in range(40):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(2, 14))]
+            if i % 3 == 0:  # a third of docs embed the shared span
+                pos = rng.randint(0, len(toks))
+                toks = toks[:pos] + shared + toks[pos:]
+            rows.append((i, " ".join(toks)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.n_removed, r.n_spans, r.clean_text)
+            for r in DD.dedup_spans(df, n=n).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        wh = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+        want = sorted(tuple(r) for r in con.execute(f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM docs
+            ), wins AS (
+              SELECT doc_id,
+                     unnest(range(1, CAST(len(toks) AS BIGINT) - {n - 2})) AS pos,
+                     unnest(list_transform(range(1, CAST(len(toks) AS BIGINT) - {n - 2}),
+                            i -> md5({wh}))) AS h
+              FROM tk WHERE len(toks) >= {n}
+            ), ranked AS (
+              SELECT doc_id, pos, h,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+              FROM wins
+            ), spans AS (SELECT doc_id, pos AS s, pos + {n - 1} AS e FROM ranked WHERE rn > 1),
+            m AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM spans
+            ), fl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END AS flag
+              FROM m
+            ), g AS (
+              SELECT doc_id, s, e,
+                     sum(flag) OVER (PARTITION BY doc_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+              FROM fl
+            ), merged AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM g GROUP BY 1, 2),
+            nsp AS (SELECT doc_id, count(*) AS n_spans FROM merged GROUP BY 1),
+            tokpos AS (
+              SELECT doc_id, unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS idx,
+                     unnest(toks) AS tok
+              FROM tk
+            ), kept AS (
+              SELECT t.doc_id, t.idx, t.tok FROM tokpos t
+              WHERE NOT EXISTS (SELECT 1 FROM merged mm
+                                WHERE mm.doc_id = t.doc_id AND t.idx BETWEEN mm.s AND mm.e)
+            ), ka AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY idx) AS clean_text
+              FROM kept GROUP BY 1
+            )
+            SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT),
+                   CAST(len(tk.toks) - COALESCE(ka.n_kept, 0) AS BIGINT),
+                   CAST(COALESCE(nsp.n_spans, 0) AS BIGINT),
+                   COALESCE(ka.clean_text, '')
+            FROM tk LEFT JOIN ka USING (doc_id) LEFT JOIN nsp USING (doc_id)
+        """).fetchall())
+        assert got == want, f"seed {seed}"
+        con.close()
+
+
+def test_host_limit_slots_bounds_task_concurrency(spark):
+    """The repartition-by-(host, slot) enforcement: for every host, the
+    number of distinct partitions holding that host's rows is <= its
+    concurrency limit — the structural analog of the reference's per-host
+    semaphore (store/url.py:113)."""
+    from tilecloud_chain_spark.operators import routing as RT
+
+    hosts = ["wms-a.example.com", "wms-b.example.com", "wms-c.example.com"]
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.array(*[F.lit(h) for h in hosts]),
+                (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+            ),
+            F.lit("/tile/"), F.col("id").cast("string"), F.lit(".png"),
+        ).alias("url"),
+    )
+    limits = {"wms-a.example.com": 2, "wms-b.example.com": 5}
+    out = RT.host_limit_slots(df, limits, default_concurrent=7, id_col="id")
+    got = (
+        out.withColumn("_pid", F.spark_partition_id())
+        .groupBy("host")
+        .agg(F.countDistinct("_pid").alias("n_parts"))
+        .collect()
+    )
+    want = {"wms-a.example.com": 2, "wms-b.example.com": 5, "wms-c.example.com": 7}
+    for r in got:
+        assert r.n_parts <= want[r.host], (r.host, r.n_parts)
+    # slots are deterministic column math
+    a = sorted((r.id, r.slot) for r in out.select("id", "slot").collect())
+    b = sorted((r.id, r.slot) for r in RT.host_limit_slots(
+        df, limits, default_concurrent=7, id_col="id").select("id", "slot").collect())
+    assert a == b

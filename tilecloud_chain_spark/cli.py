@@ -136,7 +136,10 @@ def cmd_generate_cost(args) -> int:
     if args.cost_algo == "count":
         rows = sorted(
             (r.z, r.n_metatiles, r.n_tiles)
-            for r in cost_count(spark, grid, layer, geoms, zooms).collect()
+            for r in cost_count(
+                spark, grid, layer, geoms, zooms,
+                tilecloud_parity=getattr(args, "tilecloud_parity", False),
+            ).collect()
         )
     else:
         rows = [
@@ -338,6 +341,12 @@ def main(argv=None) -> int:
     g.set_defaults(fn=cmd_generate_tiles)
 
     c = sub.add_parser("generate-cost")
+    c.add_argument(
+        "--tilecloud-parity", action="store_true",
+        help="reproduce the reference generate-cost numbers exactly "
+             "(px_buffer*resolution**2 effective filter buffer — the "
+             "upstream px-units border semantics; see plans/cost.py)",
+    )
     common(c)
     c.add_argument("--cost-algo", choices=("count", "area"), default="count")
     c.set_defaults(fn=cmd_generate_cost)

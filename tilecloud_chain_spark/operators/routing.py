@@ -65,3 +65,46 @@ def strip_reserved_params(params: F.Column) -> F.Column:
     """SE3 — remove reserved WMS keys from a MAP<STRING,STRING> column
     (generate.py:536-545) via map_filter (JVM-side)."""
     return F.map_filter(params, lambda k, _: ~F.upper(k).isin(*RESERVED_PARAMS))
+
+
+#: hostname of an http(s)/wms URL — identical regex semantics in Spark
+#: (Java) and DuckDB (RE2-ish), so the oracle reuses the pattern verbatim
+HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def host_limit_slots(
+    df: DataFrame,
+    limits: dict[str, int],
+    default_concurrent: int = 10,
+    url_col: str = "url",
+    id_col: str = "cell",
+    enforce: bool = True,
+) -> DataFrame:
+    """Per-host concurrency limiting — the batch-engine analog of the
+    reference's per-hostname fetch semaphores (``URLTileStore``,
+    /root/reference/tilecloud_chain/store/url.py:43-117: an
+    ``asyncio.Semaphore(limit)`` per URL hostname, with the per-host
+    ``hosts.<name>.concurrent`` override falling back to
+    ``default.concurrent`` — host-limit-schema.json / HOST_LIMIT.md).
+
+    Under Spark, concurrency is task parallelism, so the semaphore becomes
+    STRUCTURE: every row gets a deterministic ``slot = pmod(id, limit)``
+    for its host's limit, and (with ``enforce=True``) the frame is
+    repartitioned by (host, slot). A hash repartition never splits one
+    (host, slot) group across partitions, so at most ``limit`` concurrent
+    tasks can ever hold rows of one host — the semaphore's bound — while
+    distinct groups that co-locate into one partition only REDUCE
+    concurrency (the safe direction). No driver state, no Python; the
+    slot assignment is pure column math with an exact SQL oracle.
+
+    Output columns: input + (host, concurrent, slot)."""
+    host = F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)
+    limit_expr = F.lit(int(default_concurrent))
+    for name, lim in sorted(limits.items()):
+        limit_expr = F.when(host == name, F.lit(int(lim))).otherwise(limit_expr)
+    out = df.withColumn("host", host).withColumn(
+        "concurrent", limit_expr.cast("int")
+    ).withColumn("slot", F.pmod(F.col(id_col), F.col("concurrent")).cast("int"))
+    if enforce:
+        out = out.repartition(F.col("host"), F.col("slot"))
+    return out
