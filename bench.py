@@ -369,6 +369,24 @@ def w_quality(spark: SparkSession, sf_dir: str) -> int:
     return Q.quality_classify_udf(docs, profiles).count()
 
 
+def w_semantic_dedup(spark: SparkSession, sf_dir: str) -> int:
+    """SemDeDup at sf: distributed k-means fit (1 Lloyd round) + cluster
+    partition + within-cluster cosine graph + rep-level CC keep flags.
+    Job-count-heavy by nature (iterative fit + CC rounds) — the row
+    anchors that overhead too."""
+    from tilecloud_chain_spark.operators.similarity import kmeans_fit, semantic_dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    cents = kmeans_fit(embs, k=32, iters=1)
+    cent_df = spark.createDataFrame(
+        [(j, [float(x) for x in cents[j]]) for j in range(len(cents))],
+        "cluster int, cvec array<double>",
+    )
+    return semantic_dedup(embs, cent_df, threshold=0.97).count()
+
+
 def w_clean_corpus(spark: SparkSession, sf_dir: str) -> int:
     """The composite corpus-admission decision (quality gate + exact keep +
     collapsed-LSH near-dup CC) — the closest bench row to the product's
@@ -409,6 +427,7 @@ WORKLOADS = {
     "decontam": w_decontam,
     "span_dedup": w_span_dedup,
     "quality": w_quality,
+    "semantic": w_semantic_dedup,
     "clean_corpus": w_clean_corpus,
     "dedup_clusters_100k": w_dedup_clusters_100k,
 }

@@ -204,3 +204,23 @@ def test_dedup_spans_no_window_over_hash(spark):
         if "windowspecdefinition(" in line:
             assert "_h" not in line, line
     assert "partial_min" in plan, plan  # map-side combine on the hash agg
+
+
+def test_semantic_assignment_broadcasts_centroids(spark):
+    """semantic_dedup's centroid assignment must broadcast the (tiny)
+    centroid table — a shuffled cartesian against 10^12 vectors would be a
+    scale-killer. The executed plan shows a broadcast join, no shuffle of
+    the vector side before assignment."""
+    from tilecloud_chain_spark.operators.similarity import semantic_dedup
+
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster int, cvec array<double>",
+    )
+    out = semantic_dedup(embs, cents, threshold=0.99)
+    plan = _executed(out)
+    assert "Broadcast" in plan, plan
