@@ -1116,13 +1116,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clusters/clean_corpus/line_dedup/decontaminate/simhash;
         # similarity.py -> cosine/quantized/ivf/ann/near-dups) is inside.
         # A fourth new entry (host_limit_slots — the URLTileStore semaphore
-        # analog) also enters the window. The ten below rotate out: all
-        # r5-green in the driver gate with code untouched this round
-        # (utfgrid_tiles r5-green, rendering untouched; asof_join/
-        # sessionize/web_mercator/interval_islands/event_rollup r5-green,
-        # their modules untouched; top_events + two TPC-H rollups + daily
-        # windows, pure-SQL, green since r1).
-        # The FULL registry (including these nine) is still cross-engine-
+        # analog) also enters the window. The TEN below sit outside the
+        # window this round (six rotated out now — utfgrid_tiles, asof_join,
+        # sessionize, web_mercator, interval_islands, event_rollup — and
+        # four were already outside: top_events + two TPC-H rollups + daily
+        # windows). All ten are r5-green in the driver gate with their code
+        # untouched this round (the last four are pure-SQL, green since r1).
+        # The FULL registry (including these ten) is still cross-engine-
         # checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.

@@ -211,7 +211,7 @@ def test_semantic_assignment_broadcasts_centroids(spark):
     centroid table — a shuffled cartesian against 10^12 vectors would be a
     scale-killer. The executed plan shows a broadcast join, no shuffle of
     the vector side before assignment."""
-    from tilecloud_chain_spark.operators.similarity import semantic_dedup
+    from tilecloud_chain_spark.operators.similarity import assign_centroids
 
     embs = spark.createDataFrame(
         [(i, [float(i), 1.0, 0.5]) for i in range(40)],
@@ -221,6 +221,12 @@ def test_semantic_assignment_broadcasts_centroids(spark):
         [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
         "cluster int, cvec array<double>",
     )
-    out = semantic_dedup(embs, cents, threshold=0.99)
+    # assert on the assignment stage itself: semantic_dedup localCheckpoints
+    # it, which truncates lineage and hides the stage from the final plan
+    out = assign_centroids(embs, cents)
     plan = _executed(out)
     assert "Broadcast" in plan, plan
+    # assignment is a map-side-combinable max-struct agg, never a
+    # row_number window (which would shuffle+sort k copies of every vector)
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan

@@ -679,14 +679,21 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
     ckpt_dir = str(tmp_path / "cc-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt_dir)
-    assert DD._has_reliable_checkpoint_dir(pairs)  # auto-detect fires
-    rel = {(r.id, r.component)
-           for r in DD.connected_components(pairs).collect()}
-    assert rel == local
-    written = []
-    for root, _dirs, files in os.walk(ckpt_dir):
-        written.extend(os.path.join(root, f) for f in files)
-    assert written, "reliable checkpoint path produced no checkpoint files"
+    try:
+        assert DD._has_reliable_checkpoint_dir(pairs)  # auto-detect fires
+        rel = {(r.id, r.component)
+               for r in DD.connected_components(pairs).collect()}
+        assert rel == local
+        written = []
+        for root, _dirs, files in os.walk(ckpt_dir):
+            written.extend(os.path.join(root, f) for f in files)
+        assert written, "reliable checkpoint path produced no checkpoint files"
+    finally:
+        # the spark fixture is session-scoped: leaving the dir set would
+        # silently flip every later CC-dependent test into reliable mode
+        # (collection-order-dependent behavior). Option(null) resets it.
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        assert not DD._has_reliable_checkpoint_dir(pairs)
 
 
 def test_dedup_spans_semantics(spark):

@@ -874,17 +874,32 @@ def connected_components(
         reliable = _has_reliable_checkpoint_dir(pairs)
 
     def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
-        if reliable:
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
+        if not reliable:
+            return df.localCheckpoint(eager=eager)
+        # Reliable checkpoints RECOMPUTE their lineage to write (the
+        # classic rdd.checkpoint caveat: the materializing action runs the
+        # job, then doCheckpoint re-runs it for the write — and lazy marked
+        # ancestors are not materialized by a descendant's job at all, so
+        # the upstream pair pipeline would execute several times over).
+        # Persist first so the write reads the cache: one computation per
+        # checkpoint, eagerly, then drop the cache — the checkpoint files
+        # serve every later reference. The lazy/eager distinction only
+        # exists on the localCheckpoint path, where materialization
+        # genuinely piggybacks on the next action.
+        cached = df.persist()
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()
+        return out
 
     # materialize the INPUT once: ``pairs`` is referenced by both the edge
     # seed and the final node list, and an un-checkpointed lineage would
     # re-execute the whole upstream pair pipeline (LSH + verify) once per
     # reference — measured at bench scale, that re-execution (~4.4 s) was
-    # 3x the entire CC loop (~1.6 s). LAZY: the eager edge checkpoint job
-    # right below is a full pass over pairs and materializes this one in
-    # the same action — eager here would add a whole extra blocking job
+    # 3x the entire CC loop (~1.6 s). LAZY (local path): the eager edge
+    # checkpoint job right below is a full pass over pairs and materializes
+    # this one in the same action — eager here would add a whole extra
+    # blocking job. (The reliable path ignores the flag: it must persist +
+    # checkpoint eagerly to avoid the write-job recompute — see _ckpt.)
     pairs = _ckpt(pairs, eager=False)
     edges = _ckpt(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))

@@ -132,10 +132,6 @@ def langid_ngram(
     form). Output: (id_col, lang_pred, score) — score is the winning
     language's mean per-gram log-probability; 'und' / 0.0 for documents
     with no n-grams. Ties break lexicographically on language."""
-    doc_n = df.select(
-        F.col(id_col).alias("id"),
-        F.size(char_ngrams(F.col(text_col), n)).alias("n_grams"),
-    )
     grams = (
         df.select(
             F.col(id_col).alias("id"),
@@ -143,6 +139,14 @@ def langid_ngram(
         )
         .groupBy("id", "gram")
         .agg(F.count("*").alias("c"))
+    )
+    # n_grams derives from the same explode (sum of per-gram counts) — a
+    # second F.size(char_ngrams(...)) branch would normalize + gram-build
+    # every document twice; gram-less docs come back via the id left join
+    doc_n = (
+        df.select(F.col(id_col).alias("id"))
+        .join(grams.groupBy("id").agg(F.sum("c").alias("_ng")), "id", "left")
+        .select("id", F.coalesce("_ng", F.lit(0)).alias("n_grams"))
     )
     matched = (
         grams.join(broadcast(profiles), "gram")

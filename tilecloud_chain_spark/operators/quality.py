@@ -123,10 +123,6 @@ def quality_classify(
     form). Output: (id_col, label, score) — score is the winning label's
     mean per-feature log-probability; 'und' / 0.0 for documents with no
     features. Ties break lexicographically on label."""
-    doc_n = df.select(
-        F.col(id_col).alias("id"),
-        F.size(features(F.col(text_col))).alias("n_feats"),
-    )
     feats = (
         df.select(
             F.col(id_col).alias("id"),
@@ -134,6 +130,16 @@ def quality_classify(
         )
         .groupBy("id", "feat")
         .agg(F.count("*").alias("c"))
+    )
+    # n_feats derives from the SAME explode (sum of per-feature counts) —
+    # a second F.size(features(...)) branch would tokenize and
+    # feature-build every document twice and re-scan the source (the
+    # tokenize-once rule test_shingle_pipeline_tokenizes_once guards
+    # elsewhere); zero-feature docs come back via the id left join
+    doc_n = (
+        df.select(F.col(id_col).alias("id"))
+        .join(feats.groupBy("id").agg(F.sum("c").alias("_nf")), "id", "left")
+        .select("id", F.coalesce("_nf", F.lit(0)).alias("n_feats"))
     )
     matched = (
         feats.join(broadcast(profiles), "feat")

@@ -98,6 +98,15 @@ def host_limit_slots(
     slot assignment is pure column math with an exact SQL oracle.
 
     Output columns: input + (host, concurrent, slot)."""
+    bad = {h: v for h, v in limits.items() if int(v) < 1}
+    if bad or int(default_concurrent) < 1:
+        # a 0 limit (the Semaphore(0) 'block this host' analog) would reach
+        # pmod(id, 0) — a mid-job ANSI DIVIDE_BY_ZERO on an executor; block
+        # a host by filtering its rows out instead, and fail fast here
+        raise ValueError(
+            f"concurrency limits must be >= 1 (block hosts by filtering, "
+            f"not limit 0): bad={bad or {'default': default_concurrent}}"
+        )
     host = F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)
     limit_expr = F.lit(int(default_concurrent))
     for name, lim in sorted(limits.items()):

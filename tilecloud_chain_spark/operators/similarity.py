@@ -221,6 +221,10 @@ def kmeans_fit(
     import pandas as pd
 
     n_total = df.count()
+    if n_total < k:
+        raise ValueError(
+            f"kmeans_fit needs at least k={k} vectors, got {n_total}"
+        )
     frac = min(1.0, sample_size * 1.2 / max(n_total, 1))
     rows = df.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
     if len(rows) < min(k * 4, n_total):  # tiny input: take all
@@ -275,6 +279,53 @@ def kmeans_fit(
     return cents
 
 
+def assign_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment: (id_col, v, cluster, ccos),
+    one row per input vector. The un-checkpointed plan — exposed so the
+    plan-shape test can assert on the assignment stage itself
+    (:func:`semantic_dedup` truncates lineage with a localCheckpoint).
+
+    argmax is a MAP-SIDE-COMBINABLE max-struct aggregation, never a
+    row_number window partitioned by the vector id: the window form
+    shuffles + sorts all k crossJoin copies of every vector, while the
+    aggregation combines them to ONE row per vector before the exchange
+    (the broadcast join is narrow, so all k copies sit in the producing
+    partition). Ordering: ccos desc via struct max, cluster-asc tie via
+    the negated (integer — no -0.0 hazard) cluster; trailing fields ride
+    along and never decide (cluster is unique per candidate row)."""
+    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    c = centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("cvec").cast("array<double>").alias("cv"),
+    )
+    j = e.crossJoin(broadcast(c))
+    ccos = F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
+    best = F.max(
+        F.struct(
+            F.col("ccos").alias("ccos"),
+            (-F.col("cluster")).alias("_neg_cluster"),
+            F.col("cluster").alias("cluster"),
+            F.col("v").alias("v"),
+        )
+    ).alias("_b")
+    return (
+        j.select(id_col, "v", "cluster", ccos)
+        .groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            F.col("_b.v").alias("v"),
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.ccos").alias("ccos"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,
@@ -313,25 +364,11 @@ def semantic_dedup(
     key and is O(sum |cluster|^2) — SemDeDup's own design point: k scales
     with the corpus (|cluster| ~ n/k stays bounded), exactly like the IVF
     inverted lists. CC runs over threshold-passing pairs only."""
-    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    c = centroids.select(
-        F.col("cluster").cast("int").alias("cluster"),
-        F.col("cvec").cast("array<double>").alias("cv"),
-    )
-    j = e.crossJoin(broadcast(c))
-    ccos = F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("ccos")
-    win = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cluster").asc()
-    )
     if keep not in ("min_id", "low_centroid_sim"):
         raise ValueError(f"keep must be 'min_id' or 'low_centroid_sim', got {keep!r}")
-    assigned = (
-        j.select(id_col, "v", "cluster", ccos)
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "v", "cluster", "ccos")
-        .localCheckpoint(eager=True)  # self-join + final join reference it
-    )
+    assigned = assign_centroids(df, centroids, id_col=id_col, vec_col=vec_col)
+    # self-join + final join reference it — checkpoint once, reuse twice
+    assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cluster"
     )
