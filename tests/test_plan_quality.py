@@ -230,3 +230,49 @@ def test_semantic_assignment_broadcasts_centroids(spark):
     # row_number window (which would shuffle+sort k copies of every vector)
     assert "Window" not in plan, plan
     assert "partial_max" in plan, plan
+
+
+def test_topk_windows_get_partial_window_group_limit(spark):
+    """The rank<=k windows in the top-k operators (cosine_topk, knn) are
+    scale-safe BECAUSE of Catalyst's rank-limit pushdown (SPARK-37099,
+    WindowGroupLimit): a `Partial` WindowGroupLimit runs BEFORE the
+    exchange, so each map task forwards at most k rows per query key
+    instead of its whole candidate set. This only fires while the filter
+    on the row_number column sits directly over the window with a literal
+    limit <= spark.sql.window.group.limit.threshold (default 1000) — a
+    refactor that interposes a projection the optimizer can't see through,
+    or a non-literal k, silently reverts to full window sorts. Pin it."""
+    from tilecloud_chain_spark.operators.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 2.0]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(str(900 + i), [1.0, float(i % 3), 0.5]) for i in range(3)],
+        "qid string, embedding array<double>",
+    )
+    plan = _executed(cosine_topk(docs, q, k=3))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan  # the map-side (pre-exchange) instance
+
+    pts = synth_images(spark, 500, SWISSGRID_5, size=8).select("image_id", "x", "y")
+    queries = spark.createDataFrame(
+        [("q0", 600000.0, 200000.0)], "qid string, x double, y double"
+    )
+    knn = SP.knn_cells(pts, queries, SWISSGRID_5, 3, k=4, ring=1)
+    kplan = _executed(knn)
+    assert "WindowGroupLimit" in kplan, kplan
+    assert "Partial" in kplan, kplan
+
+    # streaming first-wins dedup: a flood of identical content collapses to
+    # <=1 row per hash per map task before the exchange (same pushdown)
+    from tilecloud_chain_spark.streaming.corpus_stream import admit_batch
+
+    batch = spark.createDataFrame(
+        [(i, "a perfectly reasonable document body " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    aplan = _executed(admit_batch(batch, None))
+    assert "WindowGroupLimit" in aplan, aplan
+    assert "Partial" in aplan, aplan
