@@ -841,6 +841,41 @@ def q_host_limit_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("z", "x", "y", "host", "concurrent", "slot")
 
 
+def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level first-occurrence-wins dedup (operators/urls.py — the
+    standard web-corpus first dedup axis). Each group of 4 consecutive
+    doc_ids gets 4 messy spellings of ONE logical URL (mixed-case scheme/
+    host + default port; duplicate+trailing slash + reordered params;
+    utm param + fragment; trailing-dot host + interleaved utm): all 4 must
+    canonicalize identically and keep only the min doc_id. The oracle
+    REPLAYS the canonicalization (regexp parts, tracking-param filter,
+    param sort, default-port CASE) independently in DuckDB SQL."""
+    from tilecloud_chain_spark.operators import urls as U
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / F.lit(4)).cast("long")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    h = F.pmod(g, F.lit(5)).cast("string")
+    gs = g.cast("string")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://CDN"), h, F.lit(".Example.COM:80/docs/page"), gs,
+            F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("http://cdn"), h, F.lit(".example.com/docs//page"), gs,
+            F.lit("/?a=1&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("http://cdn"), h, F.lit(".example.com/docs/page"), gs,
+            F.lit("?utm_source=feed&a=1&b=2#frag")))
+        .otherwise(F.concat(
+            F.lit("http://cdn"), h, F.lit(".example.com./docs/page"), gs,
+            F.lit("?a=1&utm_campaign=x&b=2")))
+    )
+    return U.url_dedup(docs.withColumn("url", url)).select(
+        "doc_id", "url", "canonical_url", "keep"
+    )
+
+
 def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — GetTile serving decisions for the point_hash layer (server.py
     :358-372 seed depth, :694-715 owning-metatile geometry redirect):
@@ -1066,7 +1101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wmts_paths": q_wmts_paths,
         "cell_key_roundtrip": q_cell_key_roundtrip,
         "process_partition": q_process_partition,
-        "legend_dedup": q_legend_dedup,
         "dims_fanout": q_dims_fanout,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -1075,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "ivf_topk": q_ivf_topk,
         "host_limit_slots": q_host_limit_slots,
+        "url_dedup_docs": q_url_dedup_docs,
         "stratified_sample": q_stratified_sample,
         "leakage_split": q_leakage_split,
         "token_chunks": q_token_chunks,
@@ -1116,16 +1151,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clusters/clean_corpus/line_dedup/decontaminate/simhash;
         # similarity.py -> cosine/quantized/ivf/ann/near-dups) is inside.
         # A fourth new entry (host_limit_slots — the URLTileStore semaphore
-        # analog) also enters the window. The TEN below sit outside the
-        # window this round (six rotated out now — utfgrid_tiles, asof_join,
-        # sessionize, web_mercator, interval_islands, event_rollup — and
-        # four were already outside: top_events + two TPC-H rollups + daily
-        # windows). All ten are r5-green in the driver gate with their code
-        # untouched this round (the last four are pure-SQL, green since r1).
-        # The FULL registry (including these ten) is still cross-engine-
+        # analog) and a fifth (url_dedup_docs — URL canonicalization +
+        # first-wins dedup, operators/urls.py) also enter the window. The
+        # ELEVEN below sit outside the window this round (seven rotated out
+        # now — legend_dedup [legends.py untouched, green since r2],
+        # utfgrid_tiles, asof_join, sessionize, web_mercator,
+        # interval_islands, event_rollup — and four were already outside:
+        # top_events + two TPC-H rollups + daily windows). All eleven are
+        # r5-green in the driver gate with their code untouched this round
+        # (the last four are pure-SQL, green since r1).
+        # The FULL registry (including these eleven) is still cross-engine-
         # checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.
+        "legend_dedup": q_legend_dedup,
         "utfgrid_tiles": q_utfgrid_tiles,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -2352,6 +2391,73 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
 
+    # url dedup: independent DuckDB replay of the canonicalization spec —
+    # regexp part extraction, trailing-dot/default-port host rules, slash
+    # collapse, tracking-param filter + binary sort of survivors — then
+    # first-occurrence-wins by canonical URL. NOTE DuckDB regexp_replace
+    # needs the explicit 'g' flag where Spark replaces globally.
+    url_dedup_docs = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 doc_id // 4 AS g, doc_id % 4 AS v, (doc_id // 4) % 5 AS h
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id,
+                 CASE v
+                   WHEN 0 THEN 'HTTP://CDN' || h || '.Example.COM:80/docs/page'
+                               || g || '?b=2&a=1'
+                   WHEN 1 THEN 'http://cdn' || h || '.example.com/docs//page'
+                               || g || '/?a=1&b=2'
+                   WHEN 2 THEN 'http://cdn' || h || '.example.com/docs/page'
+                               || g || '?utm_source=feed&a=1&b=2#frag'
+                   ELSE 'http://cdn' || h || '.example.com./docs/page'
+                        || g || '?a=1&utm_campaign=x&b=2'
+                 END AS url
+          FROM src
+        ),
+        parts AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS query
+          FROM u
+        ),
+        canon AS (
+          SELECT doc_id, url,
+                 scheme || '://' ||
+                 CASE WHEN regexp_extract(hostport, ':(\d+)$', 1) = ''
+                        OR (scheme = 'http'
+                            AND regexp_extract(hostport, ':(\d+)$', 1) = '80')
+                        OR (scheme = 'https'
+                            AND regexp_extract(hostport, ':(\d+)$', 1) = '443')
+                      THEN regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '\.$', '')
+                      ELSE regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '\.$', '')
+                           || ':' || regexp_extract(hostport, ':(\d+)$', 1)
+                 END ||
+                 CASE WHEN regexp_replace(raw_path, '/{2,}', '/', 'g') = '' THEN '/'
+                      ELSE regexp_replace(
+                             regexp_replace(raw_path, '/{2,}', '/', 'g'),
+                             '(.)/$', '\1')
+                 END ||
+                 CASE WHEN array_to_string(list_sort(
+                        list_filter(string_split(query, '&'),
+                          p -> p <> '' AND NOT regexp_matches(
+                            p, '^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)='))), '&') = ''
+                      THEN ''
+                      ELSE '?' || array_to_string(list_sort(
+                        list_filter(string_split(query, '&'),
+                          p -> p <> '' AND NOT regexp_matches(
+                            p, '^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)='))), '&')
+                 END AS canonical_url
+          FROM parts
+        )
+        SELECT doc_id, url, canonical_url,
+               doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
+        FROM canon
+    """
+
     # serving decisions: seed depth (min_resolution_seed=10 -> zooms 0..3
     # seeded, z4 dynamic), owning-metatile (n=8) buffered-extent test
     # against the MULTIPOINT layer geometry — closed boundaries, like the
@@ -2538,6 +2644,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": ivf_topk,
         "langid_ngram": _langid_sql(),
         "host_limit_slots": host_limit_slots,
+        "url_dedup_docs": url_dedup_docs,
         "quality_score_docs": _quality_sql(),
         "substring_dedup_docs": substring_dedup_docs,
         "semantic_dedup_docs": semantic_dedup_docs,

@@ -318,6 +318,25 @@ def w_overviews(spark: SparkSession, sf_dir: str) -> int:
     return build_overviews(tiles, ts).count()
 
 
+def w_url_dedup(spark: SparkSession, sf_dir: str) -> int:
+    """URL canonicalization + first-wins dedup at sf (gate fixture shape:
+    4 messy spellings of one logical URL per group) — pure codegen columns
+    + one min-agg shuffle."""
+    from tilecloud_chain_spark.operators.urls import url_dedup
+
+    docs = _read_docs(spark, sf_dir).select("doc_id")
+    g = F.floor(F.col("doc_id") / F.lit(4)).cast("long").cast("string")
+    h = F.pmod(F.floor(F.col("doc_id") / F.lit(4)).cast("long"), F.lit(5)).cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://CDN"), h, F.lit(".Example.COM:80/docs/page"), g, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("http://cdn"), h, F.lit(".example.com/docs//page"), g, F.lit("/?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("http://cdn"), h, F.lit(".example.com/docs/page"), g, F.lit("?utm_source=feed&a=1&b=2#frag")))
+        .otherwise(F.concat(F.lit("http://cdn"), h, F.lit(".example.com./docs/page"), g, F.lit("?a=1&utm_campaign=x&b=2")))
+    )
+    return url_dedup(docs.withColumn("url", url)).filter(F.col("keep")).count()
+
+
 def w_decontam(spark: SparkSession, sf_dir: str) -> int:
     """Benchmark decontamination at sf: every 40th doc contributes a
     5-token excerpt as the eval set; the train side pays one shingle
@@ -425,6 +444,7 @@ WORKLOADS = {
     "bpe": w_bpe,
     "overviews": w_overviews,
     "decontam": w_decontam,
+    "url_dedup": w_url_dedup,
     "span_dedup": w_span_dedup,
     "quality": w_quality,
     "semantic": w_semantic_dedup,

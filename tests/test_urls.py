@@ -1,0 +1,74 @@
+"""URL canonicalization + URL-level dedup (operators/urls.py)."""
+
+from pyspark.sql import functions as F
+
+from tilecloud_chain_spark.operators import urls as U
+
+
+def _canon(spark, url):
+    return (
+        spark.range(1)
+        .select(U.canonicalize_url(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+def test_canonicalize_cases(spark):
+    cases = {
+        # scheme+host lowered, default port stripped, params sorted
+        "HTTP://CDN1.Example.COM:80/docs/page7?b=2&a=1":
+            "http://cdn1.example.com/docs/page7?a=1&b=2",
+        # https default port
+        "https://Host.com:443/a": "https://host.com/a",
+        # non-default port kept
+        "http://host.com:8080/a": "http://host.com:8080/a",
+        # duplicate + trailing slash collapse; path case preserved
+        "http://h.com/Docs//Sub/": "http://h.com/Docs/Sub",
+        # root path: trailing slash survives, empty path becomes /
+        "http://h.com/": "http://h.com/",
+        "http://h.com": "http://h.com/",
+        # fragment dropped
+        "http://h.com/a#section-2": "http://h.com/a",
+        # tracking params dropped; all-tracking query drops the '?'
+        "http://h.com/a?utm_source=x&utm_campaign=y": "http://h.com/a",
+        "http://h.com/a?gclid=1&b=2&fbclid=3&ref=rss&msclkid=9":
+            "http://h.com/a?b=2",
+        # trailing-dot host
+        "http://h.com./a": "http://h.com/a",
+        # query VALUE case preserved, only scheme/host lowered
+        "HTTPS://H.com/p?Key=Val": "https://h.com/p?Key=Val",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_url_dedup_first_wins(spark):
+    rows = [
+        (10, "http://h.com/a?b=2&a=1"),
+        (11, "HTTP://H.com:80/a?a=1&b=2#frag"),   # same canonical
+        (12, "http://h.com/a?a=1&b=2&utm_source=x"),  # same canonical
+        (13, "http://h.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: (r.canonical_url, r.keep)
+           for r in U.url_dedup(df).collect()}
+    assert out[10] == ("http://h.com/a?a=1&b=2", True)
+    assert out[11] == ("http://h.com/a?a=1&b=2", False)
+    assert out[12] == ("http://h.com/a?a=1&b=2", False)
+    assert out[13] == ("http://h.com/other", True)
+
+
+def test_url_dedup_plan_shape(spark):
+    """First-occurrence-wins is a map-side-combinable min aggregation —
+    a 10^9-times-fetched hot URL collapses per map task; never a window
+    partitioned by the URL, and no Python UDF anywhere (pure codegen)."""
+    df = spark.createDataFrame(
+        [(i, f"http://h.com/p{i % 3}?utm_source=x&a=1") for i in range(60)],
+        "doc_id long, url string",
+    )
+    out = U.url_dedup(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
