@@ -876,6 +876,50 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# synthesized phash base for the image_caption_dedup fixture: a spread-out
+# deterministic int64 per logical image group (same SQL text in Spark and
+# the DuckDB oracle — pure integer arithmetic, bit-identical)
+_IC_BASE = "g * CAST(1000003 AS BIGINT)"
+
+
+def q_image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image+caption pair dedup over the north-rule table shape
+    (operators/image_dedup.py): groups of 3 consecutive ids synthesize one
+    logical image — v0 the original, v1 an exact-caption re-post with far
+    pixels (20-bit phash flip), v2 a re-encode with near pixels (1-bit
+    phash flip) under a different caption; every 7th group's v2 is instead
+    far in BOTH (a singleton). Caption-equal OR hamming<=6 edges ->
+    connected components -> min-id keep. The oracle recomputes captions,
+    phashes (same integer arithmetic: xor / shifts), the pair predicate
+    (bit_count(xor)), and components (recursive reach) independently."""
+    from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    staged = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr("doc_id div 3").alias("g"),
+        F.expr("doc_id % 3").alias("v"),
+    )
+    caption = F.when(
+        F.col("v") < 2, F.concat(F.lit("cap "), F.col("g").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("cap "), F.col("g").cast("string"), F.lit(" alt"))
+    )
+    phash = (
+        F.when(F.col("v") == 0, F.expr(_IC_BASE))
+        .when(F.col("v") == 1, F.expr(f"({_IC_BASE}) ^ 1048575"))
+        .otherwise(F.expr(
+            f"CASE WHEN g % 7 = 0 THEN ({_IC_BASE}) ^ 1099511627775 "
+            f"ELSE ({_IC_BASE}) ^ shiftleft(CAST(1 AS BIGINT), "
+            "CAST(g % 60 AS INT)) END"
+        ))
+    )
+    imgs = staged.select(
+        "image_id", caption.alias("caption"), phash.alias("phash")
+    )
+    return image_caption_dedup(imgs, max_hamming=6)
+
+
 def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — GetTile serving decisions for the point_hash layer (server.py
     :358-372 seed depth, :694-715 owning-metatile geometry redirect):
@@ -1098,7 +1142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_supercover": q_line_supercover,
         "point_tiles": q_point_tiles,
         "doc_tile_counts": q_doc_tile_counts,
-        "wmts_paths": q_wmts_paths,
         "cell_key_roundtrip": q_cell_key_roundtrip,
         "process_partition": q_process_partition,
         "dims_fanout": q_dims_fanout,
@@ -1110,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "host_limit_slots": q_host_limit_slots,
         "url_dedup_docs": q_url_dedup_docs,
+        "image_caption_dedup": q_image_caption_dedup,
         "stratified_sample": q_stratified_sample,
         "leakage_split": q_leakage_split,
         "token_chunks": q_token_chunks,
@@ -1151,19 +1195,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clusters/clean_corpus/line_dedup/decontaminate/simhash;
         # similarity.py -> cosine/quantized/ivf/ann/near-dups) is inside.
         # A fourth new entry (host_limit_slots — the URLTileStore semaphore
-        # analog) and a fifth (url_dedup_docs — URL canonicalization +
-        # first-wins dedup, operators/urls.py) also enter the window. The
-        # ELEVEN below sit outside the window this round (seven rotated out
-        # now — legend_dedup [legends.py untouched, green since r2],
+        # analog), a fifth (url_dedup_docs — URL canonicalization +
+        # first-wins dedup, operators/urls.py), and a sixth
+        # (image_caption_dedup — pair-level dedup of the north-rule
+        # image+caption table, operators/image_dedup.py) also enter the
+        # window. The TWELVE below sit outside the window this round (eight
+        # rotated out now — wmts_paths [gridmath untouched, green since
+        # r1], legend_dedup [legends.py untouched, green since r2],
         # utfgrid_tiles, asof_join, sessionize, web_mercator,
         # interval_islands, event_rollup — and four were already outside:
-        # top_events + two TPC-H rollups + daily windows). All eleven are
+        # top_events + two TPC-H rollups + daily windows). All twelve are
         # r5-green in the driver gate with their code untouched this round
         # (the last four are pure-SQL, green since r1).
-        # The FULL registry (including these eleven) is still cross-engine-
+        # The FULL registry (including these twelve) is still cross-engine-
         # checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.
+        "wmts_paths": q_wmts_paths,
         "legend_dedup": q_legend_dedup,
         "utfgrid_tiles": q_utfgrid_tiles,
         "asof_join": q_asof_join,
@@ -2458,6 +2506,50 @@ def oracle_sql() -> dict[str, str]:
         FROM canon
     """
 
+    # image+caption dedup: recompute the synthesized captions/phashes with
+    # the same integer arithmetic, the caption-equal OR hamming<=6 pair
+    # predicate, and the duplicate components via recursive reachability
+    image_caption_dedup = """
+        WITH RECURSIVE src AS (
+          SELECT doc_id AS image_id, doc_id // 3 AS g, doc_id % 3 AS v
+          FROM documents
+        ),
+        imgs AS (
+          SELECT image_id,
+                 CASE WHEN v < 2 THEN 'cap ' || g
+                      ELSE 'cap ' || g || ' alt' END AS caption,
+                 CASE WHEN v = 0 THEN g * 1000003
+                      WHEN v = 1 THEN xor(g * 1000003, 1048575)
+                      WHEN g % 7 = 0 THEN xor(g * 1000003, 1099511627775)
+                      ELSE xor(g * 1000003,
+                               (1::BIGINT << CAST(g % 60 AS INTEGER)))
+                 END AS phash
+          FROM src
+        ),
+        prs AS (
+          SELECT a.image_id AS id_a, b.image_id AS id_b
+          FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+          WHERE a.caption = b.caption
+             OR bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS w FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs
+        ),
+        reach(a, b) AS (
+          SELECT u, w FROM edges
+          UNION
+          SELECT r.a, e.w FROM reach r JOIN edges e ON r.b = e.u
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a)
+        SELECT i.image_id,
+               COALESCE(c.component, i.image_id) AS dup_group,
+               COALESCE(c.component, i.image_id) = i.image_id AS keep
+        FROM imgs i LEFT JOIN comp c ON c.id = i.image_id
+    """
+
     # serving decisions: seed depth (min_resolution_seed=10 -> zooms 0..3
     # seeded, z4 dynamic), owning-metatile (n=8) buffered-extent test
     # against the MULTIPOINT layer geometry — closed boundaries, like the
@@ -2645,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_ngram": _langid_sql(),
         "host_limit_slots": host_limit_slots,
         "url_dedup_docs": url_dedup_docs,
+        "image_caption_dedup": image_caption_dedup,
         "quality_score_docs": _quality_sql(),
         "substring_dedup_docs": substring_dedup_docs,
         "semantic_dedup_docs": semantic_dedup_docs,

@@ -337,6 +337,36 @@ def w_url_dedup(spark: SparkSession, sf_dir: str) -> int:
     return url_dedup(docs.withColumn("url", url)).filter(F.col("keep")).count()
 
 
+_IC_BASE = "g * CAST(1000003 AS BIGINT)"
+
+
+def w_image_dedup(spark: SparkSession, sf_dir: str) -> int:
+    """Image+caption pair dedup at sf (gate fixture shape: groups of 3 —
+    caption re-post + 1-bit phash re-encode per original): star-edge
+    collapse + distinct-phash hamming block join + rep-level CC."""
+    from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
+
+    docs = _read_docs(spark, sf_dir).select("doc_id")
+    staged = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr("doc_id div 3").alias("g"),
+        F.expr("doc_id % 3").alias("v"),
+    )
+    caption = F.when(
+        F.col("v") < 2, F.concat(F.lit("cap "), F.col("g").cast("string"))
+    ).otherwise(F.concat(F.lit("cap "), F.col("g").cast("string"), F.lit(" alt")))
+    phash = (
+        F.when(F.col("v") == 0, F.expr(_IC_BASE))
+        .when(F.col("v") == 1, F.expr(f"({_IC_BASE}) ^ 1048575"))
+        .otherwise(F.expr(
+            f"CASE WHEN g % 7 = 0 THEN ({_IC_BASE}) ^ 1099511627775 "
+            f"ELSE ({_IC_BASE}) ^ shiftleft(CAST(1 AS BIGINT), CAST(g % 60 AS INT)) END"
+        ))
+    )
+    imgs = staged.select("image_id", caption.alias("caption"), phash.alias("phash"))
+    return image_caption_dedup(imgs, max_hamming=6).filter(F.col("keep")).count()
+
+
 def w_decontam(spark: SparkSession, sf_dir: str) -> int:
     """Benchmark decontamination at sf: every 40th doc contributes a
     5-token excerpt as the eval set; the train side pays one shingle
@@ -445,6 +475,7 @@ WORKLOADS = {
     "overviews": w_overviews,
     "decontam": w_decontam,
     "url_dedup": w_url_dedup,
+    "img_dedup": w_image_dedup,
     "span_dedup": w_span_dedup,
     "quality": w_quality,
     "semantic": w_semantic_dedup,

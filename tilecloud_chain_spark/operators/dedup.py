@@ -764,10 +764,17 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance — EXACT (same result as the
-    brute-force popcount over all pairs, property-tested).
+def int64_near_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    hash_col: str,
+    id_col: str = "id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-pairs by hamming distance over ANY int64 hash column — EXACT
+    (same result as the brute-force popcount over all pairs). The shared
+    engine under :func:`simhash_near_pairs` (text) and the image/frame
+    phash dedup (``operators/image_dedup.py``, ``sources/media.py``).
 
     Blocking: the 64 bits are sliced into ``max_hamming + 1`` contiguous
     blocks; by pigeonhole a pair within hamming <= max_hamming agrees on at
@@ -778,28 +785,33 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
     keys); large radii shrink keys (h=12 -> ~5-bit keys) and bucket sizes grow
     toward n^2/2^bits — at 100 TB keep h small or use the paper's
     multi-block-combination tables; this implementation favors exactness.
-    """
+
+    ``materialize``: localCheckpoint the (id, hash) projection before the
+    self-join — mandatory when the hash column is produced by an expensive
+    stage (a pandas-UDF simhash / decode+phash), since the self-join would
+    otherwise run that stage once per side. Callers whose input is already
+    materialized (or trivially cheap) pass False.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
     nb = int(max_hamming) + 1
     if not 1 <= nb <= 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     bounds = [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
-    # checkpoint: the self-join below references the simhash table twice and
-    # an unmaterialized lineage would run the pandas-UDF stage once per side
-    s = simhash(df, text_col).select(
-        F.col(id_col).alias("id"), "simhash"
-    ).localCheckpoint(eager=True)
+    s = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h64"))
+    if materialize:
+        s = s.localCheckpoint(eager=True)
 
     # one explode, NOT a union of nb branches — the plan stays a single
-    # projection over the checkpointed simhash table
+    # projection over the (id, hash) table
     blocks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"), hash_block(F.col("simhash"), lo, hi).alias("key"))
+        F.struct(F.lit(c).alias("chunk"), hash_block(F.col("h64"), lo, hi).alias("key"))
         for c, (lo, hi) in enumerate(bounds)
     ])
     blocked = s.select(
-        "id", "simhash", F.explode(blocks).alias("b")
-    ).select("id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
-    a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
-    b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+        "id", "h64", F.explode(blocks).alias("b")
+    ).select("id", "h64", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
+    a = blocked.select(F.col("id").alias("id_a"), F.col("h64").alias("sh_a"), "chunk", "key")
+    b = blocked.select(F.col("id").alias("id_b"), F.col("h64").alias("sh_b"), "chunk", "key")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return (
         a.join(b, ["chunk", "key"])
@@ -807,6 +819,19 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
         .filter(F.col("chunk") == first_matching_block(F.col("sh_a"), F.col("sh_b"), bounds))
         .select("id_a", "id_b", ham)
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance — EXACT (same result as the
+    brute-force popcount over all pairs, property-tested). The pigeonhole
+    block machinery lives in :func:`int64_near_pairs`; the simhash table is
+    materialized there (the self-join would otherwise run the pandas-UDF
+    simhash stage once per side)."""
+    sh = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    return int64_near_pairs(
+        sh, max_hamming, hash_col="simhash", id_col="id", materialize=True
     )
 
 
