@@ -367,6 +367,57 @@ def w_image_dedup(spark: SparkSession, sf_dir: str) -> int:
     return image_caption_dedup(imgs, max_hamming=6).filter(F.col("keep")).count()
 
 
+def w_img_curation(spark: SparkSession, sf_dir: str) -> int:
+    """Image-curation pass at sf (operators/image_curation.py): CLIP-score
+    filtering over even/odd-paired embeddings (pure Column cosine), phash
+    eval-set decontamination (broadcast pigeonhole blocks, radius 2), and
+    aspect-bucket batch packing (distributed prefix-sum) — the three
+    admission steps between ingest and dedup."""
+    from tilecloud_chain_spark.operators.image_curation import (
+        aspect_bucket_pack,
+        clip_filter,
+        phash_decontaminate,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = embs.select(
+        F.col("vec_id").alias("image_id"),
+        F.col("embedding").cast("array<double>").alias("img_vec"),
+        (F.col("vec_id") + 1 - 2 * (F.col("vec_id") % 2)).alias("_partner"),
+    )
+    b = embs.select(
+        F.col("vec_id").alias("_partner"),
+        F.col("embedding").cast("array<double>").alias("txt_vec"),
+    )
+    kept = (
+        clip_filter(a.join(b, "_partner"), threshold=0.1)
+        .filter(F.col("keep")).count()
+    )
+
+    src = _read_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("image_id"),
+        F.expr("doc_id * CAST(1000003 AS BIGINT)").alias("phash"),
+        F.expr("CAST(200 + (doc_id * 37) % 1000 AS INT)").alias("w"),
+        F.expr("CAST(200 + (doc_id * 53) % 1000 AS INT)").alias("h"),
+    )
+    ev = src.filter(F.expr("image_id % 37 = 0")).select(
+        F.expr(
+            "CASE WHEN image_id % 111 = 0 THEN phash "
+            "WHEN image_id % 74 = 0 THEN phash ^ 1099511627775 "
+            "ELSE phash ^ shiftleft(CAST(1 AS BIGINT), CAST(image_id % 60 AS INT)) END"
+        ).alias("phash")
+    )
+    contam = (
+        phash_decontaminate(src, ev, max_hamming=2)
+        .filter(F.col("contaminated")).count()
+    )
+    batches = (
+        aspect_bucket_pack(src, batch_size=8)
+        .select("bucket", "batch_index").distinct().count()
+    )
+    return kept + contam + batches
+
+
 def w_decontam(spark: SparkSession, sf_dir: str) -> int:
     """Benchmark decontamination at sf: every 40th doc contributes a
     5-token excerpt as the eval set; the train side pays one shingle
@@ -476,6 +527,7 @@ WORKLOADS = {
     "decontam": w_decontam,
     "url_dedup": w_url_dedup,
     "img_dedup": w_image_dedup,
+    "img_curation": w_img_curation,
     "span_dedup": w_span_dedup,
     "quality": w_quality,
     "semantic": w_semantic_dedup,

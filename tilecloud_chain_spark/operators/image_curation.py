@@ -1,0 +1,297 @@
+"""Image-corpus curation operators over the north-rule table
+(``image_id, bytes, w, h, fmt, caption, phash`` at 10^12 rows) — the
+LAION/DataComp-style admission steps that sit BETWEEN ingest (decode +
+phash, ``sources/images.py``) and dedup (``operators/image_dedup.py``):
+
+- :func:`clip_filter` — caption<->image embedding alignment (CLIP-score)
+  filtering: pure Column cosine over two ``array<float>`` columns, zero
+  shuffle, codegen'd end to end;
+- :func:`phash_decontaminate` — flag corpus images within a hamming
+  radius of an EVAL-SET phash (the image twin of the text
+  ``decontaminate`` operator, ``operators/dedup.py:838``): the eval side
+  is broadcast as pigeonhole block keys, so the corpus pays one narrow
+  explode and one broadcast join — corpus bytes/phashes never shuffle;
+- :func:`aspect_bucket_pack` — SDXL-style aspect-ratio bucketing +
+  fixed-size batch packing: nearest-bucket assignment is IEEE-exact
+  Column arithmetic (division/subtraction/abs only — no libm, so DuckDB
+  reproduces it bit-for-bit), and the per-bucket dense rank is the
+  DISTRIBUTED prefix-sum pattern (range-repartition + per-partition
+  offsets, ``operators/text.py:token_stream_chunks``) — never a window
+  partitioned only by the handful of hot buckets;
+- :func:`image_quality_metrics` — decoded-pixel quality signals
+  (sharpness via Laplacian variance, histogram entropy, brightness,
+  contrast) as ONE Arrow batch stage over real bytes.
+
+No reference counterpart (the reference has no content curation); these
+compose the engine's existing kernels (cosine ``operators/similarity.py``,
+pigeonhole blocks ``operators/dedup.py:int64_near_pairs``, prefix-sum
+``operators/text.py``) over the image table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tilecloud_chain_spark.operators.dedup import hash_block
+from tilecloud_chain_spark.operators.similarity import _cosine
+
+
+# ---------------------------------------------------------------------------
+# CLIP-score (caption <-> image alignment) filtering
+
+
+def clip_filter(
+    pairs: DataFrame,
+    threshold: float = 0.28,
+    img_col: str = "img_vec",
+    txt_col: str = "txt_vec",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Caption-image alignment filter: per row, the cosine similarity of
+    the image embedding and the caption embedding (the CLIP score), and
+    ``keep`` when it reaches ``threshold`` (LAION used 0.28 for its
+    English corpus).
+
+    Scale shape: one row-local Column expression — zero shuffle, zero
+    Python; 10^12 rows stream through whole-stage codegen. The score is
+    rounded to 6dp so the filter boundary (and the oracle comparison) is
+    deterministic across summation orders.
+    """
+    score = F.round(_cosine(F.col(img_col), F.col(txt_col)), 6)
+    return pairs.select(
+        F.col(id_col),
+        score.alias("clip_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination by perceptual hash
+
+
+def phash_decontaminate(
+    imgs: DataFrame,
+    eval_df: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    eval_phash_col: str = "phash",
+) -> DataFrame:
+    """Flag corpus images whose phash is within ``max_hamming`` of ANY
+    eval-set phash — the image analog of benchmark decontamination
+    (``operators/dedup.py:decontaminate``): a train image that is a
+    near-duplicate of an eval image leaks the benchmark.
+
+    Output: one row per input image — (id_col, contaminated bool).
+
+    Scale shape: the eval set is small (10^3-10^6 hashes) and the corpus
+    is 10^12 rows, so the corpus side must never self-join or shuffle its
+    payload. Pigeonhole blocking (``int64_near_pairs``'s argument): slice
+    the 64 bits into ``max_hamming + 1`` contiguous blocks; a pair within
+    the radius agrees exactly on at least one block. The eval side
+    explodes to (chunk, key, phash) rows and is BROADCAST; the corpus
+    pays one narrow explode (x(h+1)), one broadcast LEFT join, a popcount
+    verify, and a map-side-combinable ``max(flag) GROUP BY id`` — the
+    only shuffle is (id, bool) pairs already collapsed to one row per id
+    per partition by the partial aggregate. Nothing here depends on the
+    contamination rate (a broadcast of the hit-id set would).
+    """
+    nb = int(max_hamming) + 1
+    if not 1 <= nb <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    bounds = [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
+
+    def _blocked(df: DataFrame, pid: str, pcol: str) -> DataFrame:
+        blocks = F.array(*[
+            F.struct(F.lit(c).alias("chunk"), hash_block(F.col(pcol), lo, hi).alias("key"))
+            for c, (lo, hi) in enumerate(bounds)
+        ])
+        return df.select(
+            F.col(pid), F.col(pcol).alias("_h"), F.explode(blocks).alias("b")
+        ).select(pid, "_h", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
+
+    ev = _blocked(
+        eval_df.select(F.col(eval_phash_col).alias("_ep")).distinct()
+        .withColumn("_eid", F.monotonically_increasing_id()),
+        "_eid", "_ep",
+    ).select("chunk", "key", F.col("_h").alias("_ep")).distinct()
+
+    corpus = _blocked(imgs.select(id_col, phash_col), id_col, phash_col)
+    near = F.coalesce(
+        F.bit_count(F.col("_h").bitwiseXOR(F.col("_ep"))) <= max_hamming,
+        F.lit(False),
+    )
+    return (
+        corpus.join(F.broadcast(ev), ["chunk", "key"], "left")
+        .select(id_col, near.alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("contaminated"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing + fixed-size batch packing
+
+# SDXL-ish default bucket set as exact rationals (w, h) — the RULE is
+# "nearest aspect by |w/h - bw/bh| in IEEE doubles, ties to the lower
+# bucket index", which both Spark and any SQL engine evaluate identically
+# (division, subtraction, abs and compare are all exactly-rounded IEEE
+# ops; no libm functions are involved).
+DEFAULT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 2), (9, 16), (3, 4), (1, 1), (4, 3), (16, 9), (2, 1),
+)
+
+
+def bucket_expr(
+    w_col: str, h_col: str, buckets: Sequence[tuple[int, int]]
+) -> F.Column:
+    """Nearest-aspect bucket index as a pure codegen Column: argmin over
+    ``abs(w/h - bw/bh)``, ties broken toward the LOWER bucket index (the
+    sort key is the (distance, index) struct)."""
+    aspect = F.col(w_col).cast("double") / F.col(h_col).cast("double")
+    entries = [
+        F.struct(
+            F.abs(aspect - F.lit(bw / bh)).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, (bw, bh) in enumerate(buckets)
+    ]
+    return F.array_min(F.array(*entries))["i"]
+
+
+def aspect_bucket_pack(
+    imgs: DataFrame,
+    batch_size: int,
+    buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing + deterministic fixed-size batch packing —
+    how image-generation training (SDXL et al.) consumes a corpus: every
+    image joins its nearest-aspect bucket, each bucket's images are packed
+    in ``id_col`` order into batches of exactly ``batch_size`` (the last
+    batch per bucket may be short).
+
+    Output: (id_col, bucket, batch_index, slot) — ``batch_index`` is the
+    0-based batch within the bucket, ``slot`` the 0-based position inside
+    the batch. (bucket, batch_index, slot) is a bijection onto the dense
+    per-bucket rank, so downstream loaders can iterate batches directly.
+
+    Scale shape: the naive form — ``row_number() OVER (PARTITION BY
+    bucket ORDER BY id)`` — funnels a 10^12-row corpus through ~7 tasks
+    (one per bucket). Instead this is the distributed prefix-sum pattern
+    (``text.py:token_stream_chunks``): range-repartition by (bucket, id)
+    so each partition holds a contiguous id-run of one-or-few buckets,
+    COUNT per (partition, bucket) — O(partitions x buckets) driver data —
+    turn the counts into per-(partition, bucket) base offsets, and add
+    the partition-LOCAL rank. Every partition works independently; the
+    only full-data movement is the single range repartition any global
+    order costs."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    parts = max(imgs.sparkSession.sparkContext.defaultParallelism, 2)
+    base = (
+        imgs.select(
+            F.col(id_col).alias("id"),
+            bucket_expr(w_col, h_col, buckets).alias("bucket"),
+        )
+        .repartitionByRange(parts, "bucket", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # referenced twice: counts + rank
+    )
+    counts = base.groupBy("_pid", "bucket").count().collect()
+    # offsets: for each (pid, bucket), rows of the SAME bucket in LOWER
+    # pids (range partitions ascend in (bucket, id), so lower pid == lower
+    # ids for a shared bucket)
+    acc: dict[int, int] = {}
+    offsets: dict[tuple[int, int], int] = {}
+    for r in sorted(counts, key=lambda r: (int(r["bucket"]), int(r["_pid"]))):
+        key = (int(r["_pid"]), int(r["bucket"]))
+        offsets[key] = acc.get(int(r["bucket"]), 0)
+        acc[int(r["bucket"])] = offsets[key] + int(r["count"])
+    nb = len(buckets)
+    off_map = F.create_map(*[
+        x
+        for (pid, bucket), off in sorted(offsets.items())
+        for x in (F.lit(pid * nb + bucket), F.lit(off))
+    ])
+    win = Window.partitionBy("_pid", "bucket").orderBy("id")
+    rank = (
+        F.row_number().over(win) - 1
+        + off_map[F.col("_pid") * nb + F.col("bucket")]
+    )
+    b = F.lit(int(batch_size))
+    return base.select(
+        F.col("id").alias(id_col),
+        "bucket",
+        F.floor(rank / b).cast("long").alias("batch_index"),
+        (rank % b).cast("long").alias("slot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoded-pixel quality metrics
+
+
+def image_quality_metrics(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Decoded-pixel quality signals per image — the curation features a
+    LAION-style pipeline filters on before any model-based scoring:
+
+    - ``sharpness``: variance of the 3x3 Laplacian of the grayscale plane
+      (the standard blur detector — low variance == blurry/flat);
+    - ``entropy``: Shannon entropy of the 256-bin grayscale histogram in
+      bits (0 for solid color, ~8 for noise) — catches placeholder and
+      junk images;
+    - ``brightness`` / ``contrast``: grayscale mean / std.
+
+    One Arrow batch stage over the real codec path (``functions/image``),
+    decode + all four metrics in a single pass per image — no shuffle, no
+    per-row Python. Pixel math is float64 numpy; results are rounded to
+    4dp for cross-run determinism."""
+    out_schema = (
+        f"{id_col} string, sharpness double, entropy double, "
+        "brightness double, contrast double"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tilecloud_chain_spark.functions import image as IMG
+
+        for pdf in it:
+            rows = []
+            for rid, buf, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                px = IMG.decode(bytes(buf), fmt).astype(np.float64)
+                gray = px.mean(axis=2) if px.ndim == 3 else px
+                lap = (
+                    -4.0 * gray[1:-1, 1:-1]
+                    + gray[:-2, 1:-1] + gray[2:, 1:-1]
+                    + gray[1:-1, :-2] + gray[1:-1, 2:]
+                ) if min(gray.shape) >= 3 else np.zeros((1, 1))
+                hist = np.bincount(
+                    np.clip(gray, 0, 255).astype(np.int64).ravel(), minlength=256
+                )
+                p = hist[hist > 0] / gray.size
+                rows.append((
+                    str(rid),
+                    round(float(lap.var()), 4),
+                    round(float(-(p * np.log2(p)).sum()), 4),
+                    round(float(gray.mean()), 4),
+                    round(float(gray.std()), 4),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sharpness", "entropy", "brightness", "contrast"],
+            )
+
+    return imgs.select(id_col, bytes_col, fmt_col).mapInPandas(_batches, out_schema)
