@@ -987,6 +987,66 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aspect_bucket_pack(src, batch_size=8)
 
 
+def q_image_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image curation capstone — the composed admission decision
+    (operators/image_curation.py:image_admission), the image twin of
+    clean_corpus: clip_keep (cosine >= 0.1 over doc_id<->vec_id-joined
+    embeddings, defaulting TRUE where the embedding backfill is missing —
+    exercised at sf0.1 where embeddings < documents) AND NOT contaminated
+    (phash radius 2 vs the every-37th-image eval set) AND dedup_keep
+    (caption-equal OR hamming<=6 connected components, min-id survivor),
+    then aspect-bucket batch packing over the ADMITTED set only
+    (batch_index/slot NULL for rejected rows). Fixtures are the same
+    integer syntheses as the three per-stage gates; the oracle composes
+    the same CTEs: recursive-reach components, EXISTS popcount probe,
+    list_cosine_similarity, double argmin + per-bucket row_number over
+    admitted."""
+    from tilecloud_chain_spark.operators.image_curation import image_admission
+
+    imgs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        F.expr("doc_id div 3").alias("g"),
+        F.expr("doc_id % 3").alias("v"),
+        F.expr("CAST(200 + (doc_id * 37) % 1000 AS INT)").alias("w"),
+        F.expr("CAST(200 + (doc_id * 53) % 1000 AS INT)").alias("h"),
+    ).select(
+        "image_id", "w", "h",
+        F.when(
+            F.col("v") < 2, F.concat(F.lit("cap "), F.col("g").cast("string"))
+        ).otherwise(
+            F.concat(F.lit("cap "), F.col("g").cast("string"), F.lit(" alt"))
+        ).alias("caption"),
+        (
+            F.when(F.col("v") == 0, F.expr(_IC_BASE))
+            .when(F.col("v") == 1, F.expr(f"({_IC_BASE}) ^ 1048575"))
+            .otherwise(F.expr(
+                f"CASE WHEN g % 7 = 0 THEN ({_IC_BASE}) ^ 1099511627775 "
+                f"ELSE ({_IC_BASE}) ^ shiftleft(CAST(1 AS BIGINT), "
+                "CAST(g % 60 AS INT)) END"
+            ))
+        ).alias("phash"),
+    )
+    ev = imgs.filter(F.expr("image_id % 37 = 0")).select("phash")
+    embs = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    pairs = (
+        imgs.select(
+            "image_id",
+            (F.col("image_id") + 1 - 2 * (F.col("image_id") % 2)).alias("_p"),
+        )
+        .join(embs.select(F.col("vec_id").alias("image_id"),
+                          F.col("vec").alias("img_vec")), "image_id", "left")
+        .join(embs.select(F.col("vec_id").alias("_p"),
+                          F.col("vec").alias("txt_vec")), "_p", "left")
+        .select("image_id", "img_vec", "txt_vec")
+    )
+    return image_admission(
+        imgs, eval_df=ev, clip_pairs=pairs,
+        clip_threshold=0.1, dedup_hamming=6, decontam_hamming=2, batch_size=8,
+    )
+
+
 def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — GetTile serving decisions for the point_hash layer (server.py
     :358-372 seed depth, :694-715 owning-metatile geometry redirect):
@@ -1222,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_filter_pairs": q_clip_filter_pairs,
         "image_decontam": q_image_decontam,
         "aspect_buckets": q_aspect_buckets,
+        "image_admission": q_image_admission,
         "stratified_sample": q_stratified_sample,
         "leakage_split": q_leakage_split,
         "token_chunks": q_token_chunks,
@@ -1242,7 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "simhash_pairs": q_simhash_pairs,
         "knn_adaptive_docs": q_knn_adaptive_docs,
-        "expire_tiles": q_expire_tiles,
         "lsh_candidates": q_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
         "serving_decisions": q_serving_decisions,
@@ -1266,24 +1326,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-wins dedup, operators/urls.py), and a sixth
         # (image_caption_dedup — pair-level dedup of the north-rule
         # image+caption table, operators/image_dedup.py) also enter the
-        # window, plus THREE image-curation entries (clip_filter_pairs,
-        # image_decontam, aspect_buckets — operators/image_curation.py,
-        # new this round so they must be inside). The FIFTEEN below sit
-        # outside the window this round (eleven rotated out now —
+        # window, plus FOUR image-curation entries (clip_filter_pairs,
+        # image_decontam, aspect_buckets, and the composed
+        # image_admission capstone — operators/image_curation.py, new
+        # this round so they must be inside). The SIXTEEN below sit
+        # outside the window this round (twelve rotated out now —
         # wmts_paths + cell_key_roundtrip + process_partition [gridmath
         # untouched, green since r1], feature_info [serving.py untouched,
         # green since r3], legend_dedup [legends.py geometry untouched,
-        # green since r2], utfgrid_tiles, asof_join, sessionize,
-        # web_mercator, interval_islands, event_rollup — and four were
-        # already outside: top_events + two TPC-H rollups + daily
-        # windows). All fifteen are green in the driver gate within the
-        # last two rounds with their code untouched this round (the last
-        # four are pure-SQL, green since r1).
-        # The FULL registry (including these fifteen) is still cross-
+        # green since r2], expire_tiles [expire.py untouched, green since
+        # r4], utfgrid_tiles, asof_join, sessionize, web_mercator,
+        # interval_islands, event_rollup — and four were already outside:
+        # top_events + two TPC-H rollups + daily windows). All sixteen
+        # are green in the driver gate within the last two rounds with
+        # their code untouched this round (the last four are pure-SQL,
+        # green since r1).
+        # The FULL registry (including these sixteen) is still cross-
         # engine-checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.
         "wmts_paths": q_wmts_paths,
+        "expire_tiles": q_expire_tiles,
         "cell_key_roundtrip": q_cell_key_roundtrip,
         "process_partition": q_process_partition,
         "feature_info": q_feature_info,
@@ -2691,6 +2754,109 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
     """
 
+    # composed admission: the three stage CTEs (recursive-reach dedup
+    # components, EXISTS popcount decontamination, list_cosine clip with
+    # TRUE default on missing embeddings) AND-ed into admitted, then the
+    # aspect argmin + per-bucket row_number packed over admitted only
+    image_admission = """
+        WITH RECURSIVE src AS (
+          SELECT doc_id AS image_id, doc_id // 3 AS g, doc_id % 3 AS v,
+                 CAST(200 + (doc_id * 37) % 1000 AS INTEGER) AS w,
+                 CAST(200 + (doc_id * 53) % 1000 AS INTEGER) AS h
+          FROM documents
+        ),
+        imgs AS (
+          SELECT image_id, w, h,
+                 CASE WHEN v < 2 THEN 'cap ' || g
+                      ELSE 'cap ' || g || ' alt' END AS caption,
+                 CASE WHEN v = 0 THEN g * 1000003
+                      WHEN v = 1 THEN xor(g * 1000003, 1048575)
+                      WHEN g % 7 = 0 THEN xor(g * 1000003, 1099511627775)
+                      ELSE xor(g * 1000003,
+                               (1::BIGINT << CAST(g % 60 AS INTEGER)))
+                 END AS phash
+          FROM src
+        ),
+        prs AS (
+          SELECT a.image_id AS id_a, b.image_id AS id_b
+          FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+          WHERE a.caption = b.caption
+             OR bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS w FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs
+        ),
+        reach(a, b) AS (
+          SELECT u, w FROM edges
+          UNION
+          SELECT r.a, e.w FROM reach r JOIN edges e ON r.b = e.u
+        ),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a),
+        dd AS (
+          SELECT i.image_id,
+                 COALESCE(c.component, i.image_id) = i.image_id AS dedup_keep
+          FROM imgs i LEFT JOIN comp c ON c.id = i.image_id
+        ),
+        ev AS (SELECT phash AS eph FROM imgs WHERE image_id % 37 = 0),
+        ct AS (
+          SELECT i.image_id,
+                 EXISTS (SELECT 1 FROM ev
+                         WHERE bit_count(xor(i.phash, ev.eph)) <= 2)
+                   AS contaminated
+          FROM imgs i
+        ),
+        clip AS (
+          SELECT i.image_id,
+                 COALESCE(round(list_cosine_similarity(
+                     CAST(ia.embedding AS DOUBLE[]),
+                     CAST(tb.embedding AS DOUBLE[])), 6) >= 0.1,
+                   TRUE) AS clip_keep
+          FROM imgs i
+          LEFT JOIN embeddings ia ON ia.vec_id = i.image_id
+          LEFT JOIN embeddings tb
+            ON tb.vec_id = i.image_id + 1 - 2 * (i.image_id % 2)
+        ),
+        flags AS (
+          SELECT i.image_id, i.w, i.h,
+                 clip.clip_keep, ct.contaminated, dd.dedup_keep,
+                 clip.clip_keep AND NOT ct.contaminated AND dd.dedup_keep
+                   AS admitted
+          FROM imgs i
+          JOIN clip USING (image_id)
+          JOIN ct USING (image_id)
+          JOIN dd USING (image_id)
+        ),
+        bsel AS (
+          SELECT * FROM (VALUES (0, 1, 2), (1, 9, 16), (2, 3, 4), (3, 1, 1),
+                                (4, 4, 3), (5, 16, 9), (6, 2, 1)) t(idx, bw, bh)
+        ),
+        assigned AS (
+          SELECT image_id, idx,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY image_id
+                   ORDER BY abs(CAST(w AS DOUBLE) / h - CAST(bw AS DOUBLE) / bh),
+                            idx) AS rn
+          FROM flags CROSS JOIN bsel
+        ),
+        one AS (SELECT image_id, idx AS bucket FROM assigned WHERE rn = 1),
+        ranked AS (
+          SELECT f.image_id, o.bucket,
+                 CASE WHEN f.admitted THEN
+                   ROW_NUMBER() OVER (PARTITION BY o.bucket, f.admitted
+                                      ORDER BY f.image_id) - 1
+                 END AS rank
+          FROM flags f JOIN one o USING (image_id)
+        )
+        SELECT r.image_id, f.clip_keep, f.contaminated, f.dedup_keep,
+               f.admitted, r.bucket,
+               CASE WHEN f.admitted THEN r.rank // 8 END AS batch_index,
+               CASE WHEN f.admitted THEN r.rank % 8 END AS slot
+        FROM ranked r JOIN flags f USING (image_id)
+    """
+
     # serving decisions: seed depth (min_resolution_seed=10 -> zooms 0..3
     # seeded, z4 dynamic), owning-metatile (n=8) buffered-extent test
     # against the MULTIPOINT layer geometry — closed boundaries, like the
@@ -2882,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_filter_pairs": clip_filter_pairs,
         "image_decontam": image_decontam,
         "aspect_buckets": aspect_buckets,
+        "image_admission": image_admission,
         "quality_score_docs": _quality_sql(),
         "substring_dedup_docs": substring_dedup_docs,
         "semantic_dedup_docs": semantic_dedup_docs,

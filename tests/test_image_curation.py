@@ -12,6 +12,7 @@ from tilecloud_chain_spark.operators.image_curation import (
     DEFAULT_BUCKETS,
     aspect_bucket_pack,
     clip_filter,
+    image_admission,
     image_quality_metrics,
     phash_decontaminate,
 )
@@ -174,6 +175,132 @@ def test_aspect_bucket_tie_goes_to_lower_index(spark):
     )
     got = {r.image_id: r.bucket for r in aspect_bucket_pack(df, 4).collect()}
     assert got == {"a": 3, "b": 5, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# image_admission (composed decision)
+
+
+def _admission_fixture():
+    """30 images: ids 0..29, dup groups of 3 by caption (v<2 share the
+    caption; v=2 differs), phash near-dups inside each group, every 37th
+    id (only 0 here) in the eval set, and a couple of hand-placed clip
+    pairs with the rest missing embeddings."""
+    rows = []
+    for i in range(30):
+        g, v = divmod(i, 3)
+        cap = f"cap {g}" if v < 2 else f"cap {g} alt"
+        base = g * 1000003
+        if v == 0:
+            ph = base
+        elif v == 1:
+            ph = base ^ (1 << (g % 20))  # hamming 1 from v=0
+        else:
+            ph = base ^ 0xFFFFF  # hamming 20 — only the caption can link it
+        rows.append((i, 640 + 37 * i, 480 + 53 * i, cap, ph))
+    return rows
+
+
+def _brute_admission(rows, clip_vecs, eval_hashes, thr, dh, ch, bs):
+    ids = [r[0] for r in rows]
+    cap = {r[0]: r[3] for r in rows}
+    ph = {r[0]: r[4] for r in rows}
+    # dedup: CC over caption-equal OR hamming<=dh edges, min-id survivor
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in ids:
+        for b in ids:
+            if a < b and (cap[a] == cap[b] or bin(ph[a] ^ ph[b]).count("1") <= dh):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in ids}
+    dedup_keep = {i: min(j for j in ids if comp[j] == comp[i]) == i for i in ids}
+    contaminated = {
+        i: any(bin(ph[i] ^ e).count("1") <= ch for e in eval_hashes) for i in ids
+    }
+    clip_keep = {}
+    for i in ids:
+        if i in clip_vecs and clip_vecs[i][0] is not None:
+            a, b = (np.array(v) for v in clip_vecs[i])
+            s = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+            clip_keep[i] = s >= thr
+        else:
+            clip_keep[i] = True  # missing embedding -> admitted
+    admitted = {
+        i: clip_keep[i] and not contaminated[i] and dedup_keep[i] for i in ids
+    }
+    packed = _brute_pack(
+        [(i, r[1], r[2]) for i, r in zip(ids, rows) if admitted[i]],
+        DEFAULT_BUCKETS, bs,
+    )
+    return dedup_keep, contaminated, clip_keep, admitted, packed
+
+
+def test_image_admission_matches_bruteforce(spark):
+    rows = _admission_fixture()
+    rng = np.random.default_rng(5)
+    # explicit clip pairs for ids 0..9: even ids aligned, odd ids random
+    clip_vecs = {}
+    for i in range(10):
+        a = rng.normal(size=8)
+        b = a + rng.normal(scale=0.1, size=8) if i % 2 == 0 else rng.normal(size=8)
+        clip_vecs[i] = ([float(x) for x in a], [float(x) for x in b])
+    clip_vecs[10] = (None, None)  # NULL vectors -> default keep
+    eval_hashes = [rows[0][4], rows[4][4] ^ (1 << 50)]  # exact + hamming-1 hit
+    imgs = spark.createDataFrame(
+        rows, "image_id long, w int, h int, caption string, phash long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, v[0], v[1]) for i, v in clip_vecs.items()],
+        "image_id long, img_vec array<double>, txt_vec array<double>",
+    )
+    ev = spark.createDataFrame([(e,) for e in eval_hashes], "phash long")
+    out = image_admission(
+        imgs, eval_df=ev, clip_pairs=pairs,
+        clip_threshold=0.5, dedup_hamming=6, decontam_hamming=2, batch_size=4,
+    )
+    got = {r.image_id: r.asDict() for r in out.collect()}
+    dk, ct, ck, adm, packed = _brute_admission(
+        rows, clip_vecs, eval_hashes, 0.5, 6, 2, 4
+    )
+    assert len(got) == len(rows)
+    for i, w, h, _, _ in rows:
+        r = got[i]
+        assert r["dedup_keep"] == dk[i], i
+        assert r["contaminated"] == ct[i], i
+        assert r["clip_keep"] == ck[i], i
+        assert r["admitted"] == adm[i], i
+        if adm[i]:
+            b, bi, sl = packed[i]
+            assert (r["bucket"], r["batch_index"], r["slot"]) == (b, bi, sl), i
+        else:  # rejected rows occupy no slot but keep their bucket
+            assert r["batch_index"] is None and r["slot"] is None, i
+            assert r["bucket"] is not None, i
+    # the fixture exercises every flag both ways
+    assert 0 < sum(dk.values()) < len(rows)
+    assert 0 < sum(ct.values()) < len(rows)
+    assert 0 < sum(ck.values()) < len(rows)
+    assert 0 < sum(adm.values()) < len(rows)
+
+
+def test_image_admission_defaults_without_optional_stages(spark):
+    rows = _admission_fixture()
+    imgs = spark.createDataFrame(
+        rows, "image_id long, w int, h int, caption string, phash long"
+    )
+    out = image_admission(imgs, batch_size=8)
+    got = {r.image_id: r.asDict() for r in out.collect()}
+    for i in got:
+        assert got[i]["clip_keep"] is True
+        assert got[i]["contaminated"] is False
+        assert got[i]["admitted"] == got[i]["dedup_keep"]
 
 
 # ---------------------------------------------------------------------------

@@ -295,3 +295,106 @@ def image_quality_metrics(
             )
 
     return imgs.select(id_col, bytes_col, fmt_col).mapInPandas(_batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Composed admission decision (the image twin of the text clean_corpus)
+
+
+def image_admission(
+    imgs: DataFrame,
+    eval_df: DataFrame | None = None,
+    clip_pairs: DataFrame | None = None,
+    *,
+    clip_threshold: float = 0.28,
+    dedup_hamming: int = 6,
+    decontam_hamming: int = 2,
+    batch_size: int = 64,
+    buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """The end-to-end admission decision an image training pipeline runs
+    over the north-rule table — the image twin of the text
+    ``clean_corpus`` composition: one row per image with every stage flag
+    and the final training-batch coordinates.
+
+    Stages (each the module's scale-path operator, composed as-is):
+
+    - ``clip_keep`` — caption-image alignment (:func:`clip_filter`) when
+      ``clip_pairs`` (id, img_vec, txt_vec) is given; an image whose
+      embeddings are missing (NULL vectors or no pair row) is NOT
+      filtered — the flag defaults TRUE, matching how a corpus is
+      admitted while its embedding backfill is still running;
+    - ``contaminated`` — eval-set leakage by phash radius
+      (:func:`phash_decontaminate`) when ``eval_df`` is given;
+    - ``dedup_keep`` — caption-equal OR phash-near pair dedup, min-id
+      survivor per connected component
+      (``operators/image_dedup.py:image_caption_dedup``);
+    - ``admitted`` = clip_keep AND NOT contaminated AND dedup_keep;
+    - ``bucket`` for every image (:func:`bucket_expr`), and
+      ``batch_index``/``slot`` (:func:`aspect_bucket_pack`) packed over
+      the ADMITTED set only (NULL otherwise) — batches are what the
+      trainer consumes, so rejected images must not occupy slots.
+
+    Scale shape: every stage output is a narrow (id, flag) table joined
+    back on the single id key — with AQE these are co-partitioned
+    shuffles of boolean rows, never image payload; the packing prefix-sum
+    runs only over the admitted survivors. The flag table is
+    localCheckpointed at the branch point (output + packing input) so the
+    CC/decontam lineage is not re-executed per branch; on a real cluster
+    prefer ``spark.sparkContext.setCheckpointDir`` + the reliable flag on
+    ``connected_components`` (see SCALE.md).
+    """
+    from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
+
+    dd = image_caption_dedup(imgs, dedup_hamming, id_col=id_col).select(
+        id_col, F.col("keep").alias("dedup_keep")
+    )
+    base = imgs.select(
+        F.col(id_col),
+        F.col(w_col),
+        F.col(h_col),
+        bucket_expr(w_col, h_col, buckets).alias("bucket"),
+    )
+    if clip_pairs is not None:
+        cf = clip_filter(clip_pairs, clip_threshold, id_col=id_col).select(
+            id_col, F.col("keep").alias("_ck")
+        )
+        base = base.join(cf, id_col, "left")
+        clip_keep = F.coalesce(F.col("_ck"), F.lit(True))
+    else:
+        clip_keep = F.lit(True)
+    if eval_df is not None:
+        ct = phash_decontaminate(
+            imgs, eval_df, decontam_hamming, id_col=id_col
+        ).select(id_col, F.col("contaminated").alias("_ct"))
+        base = base.join(ct, id_col, "left")
+        contaminated = F.coalesce(F.col("_ct"), F.lit(False))
+    else:
+        contaminated = F.lit(False)
+    base = base.join(dd, id_col)
+    admitted = clip_keep & ~contaminated & F.col("dedup_keep")
+    staged = base.select(
+        F.col(id_col),
+        F.col(w_col),
+        F.col(h_col),
+        "bucket",
+        clip_keep.alias("clip_keep"),
+        contaminated.alias("contaminated"),
+        "dedup_keep",
+        admitted.alias("admitted"),
+    ).localCheckpoint(eager=True)
+    packed = aspect_bucket_pack(
+        staged.filter(F.col("admitted")),
+        batch_size,
+        buckets,
+        id_col=id_col,
+        w_col=w_col,
+        h_col=h_col,
+    ).select(id_col, "batch_index", "slot")
+    return staged.join(packed, id_col, "left").select(
+        id_col, "clip_keep", "contaminated", "dedup_keep", "admitted",
+        "bucket", "batch_index", "slot",
+    )
