@@ -1047,6 +1047,30 @@ def q_image_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image curation — deterministic training-epoch schedule
+    (operators/image_curation.py:epoch_schedule) over the aspect-bucket
+    packing of the same deterministic w/h fixture as aspect_buckets:
+    batches keyed (bucket, batch_index), epoch order = rank of
+    md5('epoch0:bucket:batch'), global_step = pos // 4 and dp_rank =
+    pos % 4 for world_size 4 — computed with the distributed prefix-sum
+    (range-repartition by hash + per-partition offsets), never a
+    single-partition ORDER BY md5 window. The oracle replays the packing
+    row_number and the md5 ordering verbatim."""
+    from tilecloud_chain_spark.operators.image_curation import (
+        aspect_bucket_pack,
+        epoch_schedule,
+    )
+
+    src = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        F.expr("CAST(200 + (doc_id * 37) % 1000 AS INT)").alias("w"),
+        F.expr("CAST(200 + (doc_id * 53) % 1000 AS INT)").alias("h"),
+    )
+    packed = aspect_bucket_pack(src, batch_size=8)
+    return epoch_schedule(packed, world_size=4, seed="epoch0")
+
+
 def q_serving_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — GetTile serving decisions for the point_hash layer (server.py
     :358-372 seed depth, :694-715 owning-metatile geometry redirect):
@@ -1283,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decontam": q_image_decontam,
         "aspect_buckets": q_aspect_buckets,
         "image_admission": q_image_admission,
+        "epoch_schedule": q_epoch_schedule,
         "stratified_sample": q_stratified_sample,
         "leakage_split": q_leakage_split,
         "token_chunks": q_token_chunks,
@@ -1296,7 +1321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "sparse_metatiles": q_sparse_metatiles,
         "hash_drop_docs": q_hash_drop_docs,
-        "fingerprint_docs": q_fingerprint_docs,
         "multi_grid_identifiers": q_multi_grid_identifiers,
         "embedding_near_dups": q_embedding_near_dups,
         "image_pipeline_stored": q_image_pipeline_stored,
@@ -1326,27 +1350,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-wins dedup, operators/urls.py), and a sixth
         # (image_caption_dedup — pair-level dedup of the north-rule
         # image+caption table, operators/image_dedup.py) also enter the
-        # window, plus FOUR image-curation entries (clip_filter_pairs,
-        # image_decontam, aspect_buckets, and the composed
-        # image_admission capstone — operators/image_curation.py, new
-        # this round so they must be inside). The SIXTEEN below sit
-        # outside the window this round (twelve rotated out now —
+        # window, plus FIVE image-curation entries (clip_filter_pairs,
+        # image_decontam, aspect_buckets, the composed image_admission
+        # capstone, and epoch_schedule — operators/image_curation.py, new
+        # this round so they must be inside). The SEVENTEEN below sit
+        # outside the window this round (thirteen rotated out now —
         # wmts_paths + cell_key_roundtrip + process_partition [gridmath
         # untouched, green since r1], feature_info [serving.py untouched,
         # green since r3], legend_dedup [legends.py geometry untouched,
         # green since r2], expire_tiles [expire.py untouched, green since
-        # r4], utfgrid_tiles, asof_join, sessionize, web_mercator,
-        # interval_islands, event_rollup — and four were already outside:
-        # top_events + two TPC-H rollups + daily windows). All sixteen
-        # are green in the driver gate within the last two rounds with
-        # their code untouched this round (the last four are pure-SQL,
-        # green since r1).
-        # The FULL registry (including these sixteen) is still cross-
+        # r4], fingerprint_docs [filters.py untouched, green since r2;
+        # hash_drop_docs keeps the module in-window], utfgrid_tiles,
+        # asof_join, sessionize, web_mercator, interval_islands,
+        # event_rollup — and four were already outside: top_events + two
+        # TPC-H rollups + daily windows). All seventeen are green in the
+        # driver gate within the last two rounds with their code untouched
+        # this round (the last four are pure-SQL, green since r1).
+        # The FULL registry (including these seventeen) is still cross-
         # engine-checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.
         "wmts_paths": q_wmts_paths,
         "expire_tiles": q_expire_tiles,
+        "fingerprint_docs": q_fingerprint_docs,
         "cell_key_roundtrip": q_cell_key_roundtrip,
         "process_partition": q_process_partition,
         "feature_info": q_feature_info,
@@ -2754,6 +2780,47 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
     """
 
+    # epoch schedule: same packing CTEs as aspect_buckets collapsed to
+    # batch keys, then the seeded-md5 epoch order -> (global_step, dp_rank)
+    epoch_schedule = """
+        WITH src AS (
+          SELECT doc_id AS image_id,
+                 CAST(200 + (doc_id * 37) % 1000 AS INTEGER) AS w,
+                 CAST(200 + (doc_id * 53) % 1000 AS INTEGER) AS h
+          FROM documents
+        ),
+        b AS (
+          SELECT * FROM (VALUES (0, 1, 2), (1, 9, 16), (2, 3, 4), (3, 1, 1),
+                                (4, 4, 3), (5, 16, 9), (6, 2, 1)) t(idx, bw, bh)
+        ),
+        assigned AS (
+          SELECT image_id, idx,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY image_id
+                   ORDER BY abs(CAST(w AS DOUBLE) / h - CAST(bw AS DOUBLE) / bh),
+                            idx) AS rn
+          FROM src CROSS JOIN b
+        ),
+        one AS (SELECT image_id, idx AS bucket FROM assigned WHERE rn = 1),
+        ranked AS (
+          SELECT image_id, bucket,
+                 ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY image_id) - 1
+                   AS rank
+          FROM one
+        ),
+        bk AS (SELECT DISTINCT bucket, rank // 8 AS batch_index FROM ranked),
+        ord AS (
+          SELECT bucket, batch_index,
+                 ROW_NUMBER() OVER (
+                   ORDER BY md5(concat('epoch0:', bucket, ':', batch_index)),
+                            bucket, batch_index) - 1 AS pos
+          FROM bk
+        )
+        SELECT bucket, batch_index,
+               pos // 4 AS global_step, pos % 4 AS dp_rank
+        FROM ord
+    """
+
     # composed admission: the three stage CTEs (recursive-reach dedup
     # components, EXISTS popcount decontamination, list_cosine clip with
     # TRUE default on missing embeddings) AND-ed into admitted, then the
@@ -3049,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decontam": image_decontam,
         "aspect_buckets": aspect_buckets,
         "image_admission": image_admission,
+        "epoch_schedule": epoch_schedule,
         "quality_score_docs": _quality_sql(),
         "substring_dedup_docs": substring_dedup_docs,
         "semantic_dedup_docs": semantic_dedup_docs,

@@ -508,6 +508,66 @@ def w_dedup_clusters_100k(spark: SparkSession, sf_dir: str) -> int:
     return dedup_clusters(df, 0.5).count()
 
 
+def w_img_admission(spark: SparkSession, sf_dir: str) -> int:
+    """Composed image-admission capstone at sf — the image twin of the
+    clean_corpus row (operators/image_curation.py:image_admission):
+    clip-keep over even/odd-paired embeddings (TRUE where backfill is
+    missing), phash decontamination vs the every-37th-image eval set,
+    caption/phash pair dedup CC, then aspect-bucket packing over the
+    admitted survivors and the seeded epoch schedule for 8 data-parallel
+    ranks — ingest-to-trainer, the product's real image workload."""
+    from tilecloud_chain_spark.operators.image_curation import (
+        epoch_schedule,
+        image_admission,
+    )
+
+    base = F.expr("g * CAST(1000003 AS BIGINT)")
+    imgs = _read_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("image_id"),
+        F.expr("doc_id div 3").alias("g"),
+        F.expr("doc_id % 3").alias("v"),
+        F.expr("CAST(200 + (doc_id * 37) % 1000 AS INT)").alias("w"),
+        F.expr("CAST(200 + (doc_id * 53) % 1000 AS INT)").alias("h"),
+    ).select(
+        "image_id", "w", "h",
+        F.when(
+            F.col("v") < 2, F.concat(F.lit("cap "), F.col("g").cast("string"))
+        ).otherwise(
+            F.concat(F.lit("cap "), F.col("g").cast("string"), F.lit(" alt"))
+        ).alias("caption"),
+        (
+            F.when(F.col("v") == 0, base)
+            .when(F.col("v") == 1, F.expr("(g * CAST(1000003 AS BIGINT)) ^ 1048575"))
+            .otherwise(F.expr(
+                "CASE WHEN g % 7 = 0 THEN (g * CAST(1000003 AS BIGINT)) ^ 1099511627775 "
+                "ELSE (g * CAST(1000003 AS BIGINT)) ^ shiftleft(CAST(1 AS BIGINT), "
+                "CAST(g % 60 AS INT)) END"
+            ))
+        ).alias("phash"),
+    )
+    ev = imgs.filter(F.expr("image_id % 37 = 0")).select("phash")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    pairs = (
+        imgs.select(
+            "image_id",
+            (F.col("image_id") + 1 - 2 * (F.col("image_id") % 2)).alias("_p"),
+        )
+        .join(embs.select(F.col("vec_id").alias("image_id"),
+                          F.col("vec").alias("img_vec")), "image_id", "left")
+        .join(embs.select(F.col("vec_id").alias("_p"),
+                          F.col("vec").alias("txt_vec")), "_p", "left")
+        .select("image_id", "img_vec", "txt_vec")
+    )
+    adm = image_admission(
+        imgs, eval_df=ev, clip_pairs=pairs,
+        clip_threshold=0.1, dedup_hamming=6, decontam_hamming=2, batch_size=64,
+    )
+    sched = epoch_schedule(adm.filter(F.col("admitted")), world_size=8)
+    return sched.count() + adm.filter(F.col("admitted")).count()
+
+
 WORKLOADS = {
     "assign": w_assign,
     "cell_join": w_cell_join,
@@ -532,6 +592,7 @@ WORKLOADS = {
     "quality": w_quality,
     "semantic": w_semantic_dedup,
     "clean_corpus": w_clean_corpus,
+    "img_admission": w_img_admission,
     "dedup_clusters_100k": w_dedup_clusters_100k,
 }
 

@@ -12,6 +12,7 @@ from tilecloud_chain_spark.operators.image_curation import (
     DEFAULT_BUCKETS,
     aspect_bucket_pack,
     clip_filter,
+    epoch_schedule,
     image_admission,
     image_quality_metrics,
     phash_decontaminate,
@@ -175,6 +176,71 @@ def test_aspect_bucket_tie_goes_to_lower_index(spark):
     )
     got = {r.image_id: r.bucket for r in aspect_bucket_pack(df, 4).collect()}
     assert got == {"a": 3, "b": 5, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# epoch_schedule
+
+
+def test_epoch_schedule_matches_bruteforce(spark):
+    import hashlib
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (f"i{i:04d}", int(rng.integers(200, 1200)), int(rng.integers(200, 1200)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    packed = aspect_bucket_pack(df, batch_size=8)
+    out = epoch_schedule(packed, world_size=4, seed="ep1")
+    got = {(r.bucket, r.batch_index): (r.global_step, r.dp_rank)
+           for r in out.collect()}
+    keys = sorted({(b, bi) for b, bi, _ in _brute_pack(rows, DEFAULT_BUCKETS, 8).values()})
+    assert set(got) == set(keys)
+    order = sorted(
+        keys,
+        key=lambda k: (hashlib.md5(f"ep1:{k[0]}:{k[1]}".encode()).hexdigest(), k),
+    )
+    for pos, k in enumerate(order):
+        assert got[k] == (pos // 4, pos % 4), (k, pos)
+    # every step is full (one batch per rank) except possibly the last
+    by_step = {}
+    for step, rank in got.values():
+        by_step.setdefault(step, set()).add(rank)
+    last = max(by_step)
+    for step, ranks in by_step.items():
+        if step != last:
+            assert ranks == {0, 1, 2, 3}, (step, ranks)
+
+
+def test_epoch_schedule_seed_changes_order_and_plan(spark):
+    df = spark.createDataFrame(
+        [(f"i{i:04d}", 512 + i % 3, 512) for i in range(400)],
+        "image_id string, w int, h int",
+    )
+    packed = aspect_bucket_pack(df, batch_size=16)
+    a = {(r.bucket, r.batch_index): r.global_step
+         for r in epoch_schedule(packed, 2, seed="epoch0").collect()}
+    b = {(r.bucket, r.batch_index): r.global_step
+         for r in epoch_schedule(packed, 2, seed="epoch1").collect()}
+    assert set(a) == set(b)
+    assert a != b  # a new seed reshuffles the epoch
+    out = epoch_schedule(packed, 2, seed="epoch0")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the epoch permutation must never be a single-task global sort
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_epoch_schedule_world_size_one_is_total_order(spark):
+    df = spark.createDataFrame(
+        [(f"i{i}", 640, 480) for i in range(50)], "image_id string, w int, h int"
+    )
+    out = epoch_schedule(aspect_bucket_pack(df, 8), world_size=1)
+    rows = out.collect()
+    assert sorted(r.global_step for r in rows) == list(range(len(rows)))
+    assert all(r.dp_rank == 0 for r in rows)
+    with pytest.raises(ValueError):
+        epoch_schedule(aspect_bucket_pack(df, 8), world_size=0)
 
 
 # ---------------------------------------------------------------------------

@@ -236,6 +236,73 @@ def aspect_bucket_pack(
     )
 
 
+def epoch_schedule(
+    batches: DataFrame,
+    world_size: int,
+    seed: str = "epoch0",
+    bucket_col: str = "bucket",
+    batch_col: str = "batch_index",
+) -> DataFrame:
+    """Deterministic training-epoch schedule over packed batches — the
+    step AFTER :func:`aspect_bucket_pack`: the trainer's data-parallel
+    ranks must consume the batches of one epoch in a seeded pseudo-random
+    order that (a) every rank can recompute independently and (b) changes
+    per epoch (vary ``seed``), without ever materializing a permutation
+    on the driver.
+
+    Output: one row per distinct (bucket_col, batch_col) —
+    ``global_step`` (which optimizer step consumes the batch) and
+    ``dp_rank`` (which data-parallel rank loads it). Position in the
+    epoch is the rank of ``md5(seed:bucket:batch)`` (ties — impossible in
+    practice — break on the key itself); step = position // world_size,
+    rank = position % world_size, so each step consumes exactly
+    ``world_size`` batches, one per rank, and a resumed run can skip to
+    any step by filtering ``global_step >= resume_at``.
+
+    Scale shape: the input collapses to batch KEYS first (batch_size x
+    smaller than the corpus; image payload never enters). A naive
+    ``row_number() OVER (ORDER BY md5)`` is a single-partition sort —
+    ~10^10 batch keys at the 10^12-row target — so this reuses the
+    distributed prefix-sum pattern (:func:`aspect_bucket_pack`):
+    range-repartition by the hash key, per-partition COUNT (O(partitions)
+    driver data), base offsets + partition-local rank. One narrow shuffle
+    of (hash, bucket, batch) triples total."""
+    if world_size < 1:
+        raise ValueError(f"world_size must be >= 1, got {world_size}")
+    okey = F.md5(F.concat_ws(
+        ":",
+        F.lit(str(seed)),
+        F.col(bucket_col).cast("string"),
+        F.col(batch_col).cast("string"),
+    ))
+    parts = max(batches.sparkSession.sparkContext.defaultParallelism, 2)
+    base = (
+        batches.select(bucket_col, batch_col).distinct()
+        .select(okey.alias("_ok"), bucket_col, batch_col)
+        .repartitionByRange(parts, "_ok", bucket_col, batch_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # referenced twice: counts + rank
+    )
+    counts = base.groupBy("_pid").count().collect()
+    off: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: int(r["_pid"])):
+        off[int(r["_pid"])] = acc
+        acc += int(r["count"])
+    off_map = F.create_map(*[
+        x for pid, o in sorted(off.items()) for x in (F.lit(pid), F.lit(o))
+    ])
+    win = Window.partitionBy("_pid").orderBy("_ok", bucket_col, batch_col)
+    pos = F.row_number().over(win) - 1 + off_map[F.col("_pid")]
+    w = F.lit(int(world_size))
+    return base.select(
+        bucket_col,
+        batch_col,
+        F.floor(pos / w).cast("long").alias("global_step"),
+        (pos % w).cast("long").alias("dp_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decoded-pixel quality metrics
 
