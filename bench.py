@@ -1344,6 +1344,12 @@ def _write_bench_md(result: dict) -> None:
         "to the product's real workload), dedup_clusters_100k (the",
         "adversarial 100k-exact-copies fixture as a round-over-round point",
         "anchor; the skew tables below carry the full curve).",
+        "img_admission is the composed image capstone (pair-dedup CC +",
+        "decontam + clip + packing over admitted + epoch schedule — the",
+        "image twin of clean_corpus); like dedup_clusters its toy-scale",
+        "wall is dominated by the CC loop's fixed per-round job costs,",
+        "which amortize on multi-hour stages (see the skew tables:",
+        "the curve is flat in duplicate volume).",
         "",
         "| query | r3 sec | r5 norm | sec | normalized | vs r3 | vs r5 |",
         "|---|---|---|---|---|---|---|",
