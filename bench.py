@@ -901,6 +901,26 @@ def _skew_pair_docs(spark: SparkSession, n_unique: int, n_copies: int):
     return uniq.unionAll(dups)
 
 
+def _skew_img_docs(spark: SparkSession, n_unique: int, n_copies: int):
+    """n_unique mutually-distant images (md5-derived phashes — expected
+    pairwise hamming 32, P(<=6) ~ 5e-12 per pair) + n_copies rows sharing
+    ONE caption and ONE phash: a hot exact-duplicate flood that the
+    caption/phash star-edge collapse must keep O(n) — uncollapsed it is
+    an n^2 pair explosion inside one group."""
+    uniq = spark.range(0, n_unique, 1, 32).select(
+        F.col("id").alias("image_id"),
+        F.concat(F.lit("uc"), F.col("id")).alias("caption"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long").alias("phash"),
+    )
+    dups = spark.range(0, n_copies, 1, 32).select(
+        (F.col("id") + 10_000_000).alias("image_id"),
+        F.lit("hot caption").alias("caption"),
+        F.lit(123456789123456789).alias("phash"),
+    )
+    return uniq.unionAll(dups)
+
+
 #: 50-token span shared by every duplicated page in the span-skew fixture
 _SKEW_SPAN = " ".join(f"sp{i}" for i in range(50))
 
@@ -958,7 +978,9 @@ def run_skew_bench() -> None:
                         exact_pairs="star").count()
     _force_spans(dedup_spans(_skew_span_docs(spark, 200, 50), n=8))
 
-    results: dict = {"line_dedup": [], "pair_dedup": [], "span_dedup": []}
+    results: dict = {
+        "line_dedup": [], "pair_dedup": [], "span_dedup": [], "img_dedup": [],
+    }
 
     for n_copies in (300, 3_000, 100_000):
         df = _skew_span_docs(spark, 2_000, n_copies).localCheckpoint(eager=True)
@@ -1013,6 +1035,23 @@ def run_skew_bench() -> None:
             _time_once(lambda: dedup_clusters(df, 0.5).count()) for _ in range(3)
         )
         results["pair_dedup"].append(row)
+        df.unpersist()
+
+    from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
+
+    image_caption_dedup(_skew_img_docs(spark, 200, 50), 6).count()  # warm
+    for n_copies in (300, 3_000, 100_000):
+        df = _skew_img_docs(spark, 2_000, n_copies).localCheckpoint(eager=True)
+        sec = min(
+            _time_once(
+                lambda: image_caption_dedup(df, 6).filter(F.col("keep")).count()
+            )
+            for _ in range(3)
+        )
+        results["img_dedup"].append({
+            "dup_factor": n_copies, "sec": sec,
+            "uncollapsed_pairs": n_copies * (n_copies - 1) // 2,
+        })
         df.unpersist()
     spark.stop()
 
@@ -1116,6 +1155,24 @@ def _skew_section() -> list[str]:
             "quadratic pair count a bucket-join formulation would pay —",
             "333x more copies costs ~2-3x, not 111,000x.",
         ]
+    if r.get("img_dedup"):
+        lines += [
+            "",
+            "Image-pair fixture (r6): 2000 mutually-distant images",
+            "(md5-derived phashes) + n copies sharing ONE caption and ONE",
+            "phash — the exact-duplicate flood for image_caption_dedup.",
+            "Caption/phash exact groups collapse to O(n) star edges and",
+            "hamming blocking runs over DISTINCT phash representatives",
+            "only, so the flood never reaches a pairwise join:",
+            "",
+            "| image copies | uncollapsed pairs avoided | image_caption_dedup |",
+            "|---|---|---|",
+        ]
+        for row in r["img_dedup"]:
+            lines.append(
+                f"| {row['dup_factor']:,} | {row['uncollapsed_pairs']:,} | "
+                f"{row['sec']} s |"
+            )
     return lines
 
 
@@ -1346,10 +1403,13 @@ def _write_bench_md(result: dict) -> None:
         "anchor; the skew tables below carry the full curve).",
         "img_admission is the composed image capstone (pair-dedup CC +",
         "decontam + clip + packing over admitted + epoch schedule — the",
-        "image twin of clean_corpus); like dedup_clusters its toy-scale",
-        "wall is dominated by the CC loop's fixed per-round job costs,",
-        "which amortize on multi-hour stages (see the skew tables:",
-        "the curve is flat in duplicate volume).",
+        "image twin of clean_corpus). Its (and img_dedup's) fixture is",
+        "deliberately adversarial: the multiples-of-1000003 phashes chain",
+        "across groups into a 4,157-image near-dup component (median",
+        "component 2), so the wall measures the CC loop walking a deep",
+        "chain — O(log diameter) rounds — not a plan defect; the",
+        "remaining cost is per-round fixed job overhead that amortizes",
+        "on multi-hour stages exactly as in dedup_clusters.",
         "",
         "| query | r3 sec | r5 norm | sec | normalized | vs r3 | vs r5 |",
         "|---|---|---|---|---|---|---|",
