@@ -1003,6 +1003,17 @@ def q_image_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted."""
     from tilecloud_chain_spark.operators.image_curation import image_admission
 
+    imgs, ev, pairs = _ic_admission_inputs(spark, sf_dir)
+    return image_admission(
+        imgs, eval_df=ev, clip_pairs=pairs,
+        clip_threshold=0.1, dedup_hamming=6, decontam_hamming=2, batch_size=8,
+    )
+
+
+def _ic_admission_inputs(spark: SparkSession, sf_dir: str):
+    """Shared deterministic fixture for the admission gates: the synthetic
+    north-rule-shaped table, its every-37th-image eval set, and the
+    even/odd-paired embedding table (missing where embeddings run out)."""
     imgs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("image_id"),
         F.expr("doc_id div 3").alias("g"),
@@ -1041,10 +1052,33 @@ def q_image_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("vec").alias("txt_vec")), "_p", "left")
         .select("image_id", "img_vec", "txt_vec")
     )
-    return image_admission(
-        imgs, eval_df=ev, clip_pairs=pairs,
+    return imgs, ev, pairs
+
+
+def q_image_admission_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESUMABLE staged form of the admission capstone
+    (plans/curation.py:curate_images): the same fixture runs stage-by-
+    stage through the CheckpointStore — every stage committed atomically
+    with per-partition lineage rows (id range, row count, wall), later
+    stages reading the committed parquet of earlier ones — and
+    admission_table() reassembles the composed-operator-shaped result.
+    Pinned against the SAME DuckDB oracle as image_admission: the staged
+    checkpointed path must be row-identical to the single-shot plan."""
+    import tempfile
+
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+    from tilecloud_chain_spark.plans.curation import (
+        admission_table,
+        curate_images,
+    )
+
+    imgs, ev, pairs = _ic_admission_inputs(spark, sf_dir)
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="curation_gate_"))
+    job = curate_images(
+        spark, imgs, store, eval_df=ev, clip_pairs=pairs,
         clip_threshold=0.1, dedup_hamming=6, decontam_hamming=2, batch_size=8,
     )
+    return admission_table(store, job)
 
 
 def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decontam": q_image_decontam,
         "aspect_buckets": q_aspect_buckets,
         "image_admission": q_image_admission,
+        "image_admission_staged": q_image_admission_staged,
         "epoch_schedule": q_epoch_schedule,
         "stratified_sample": q_stratified_sample,
         "leakage_split": q_leakage_split,
@@ -1320,7 +1355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "sparse_metatiles": q_sparse_metatiles,
-        "hash_drop_docs": q_hash_drop_docs,
         "multi_grid_identifiers": q_multi_grid_identifiers,
         "embedding_near_dups": q_embedding_near_dups,
         "image_pipeline_stored": q_image_pipeline_stored,
@@ -1350,29 +1384,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-wins dedup, operators/urls.py), and a sixth
         # (image_caption_dedup — pair-level dedup of the north-rule
         # image+caption table, operators/image_dedup.py) also enter the
-        # window, plus FIVE image-curation entries (clip_filter_pairs,
+        # window, plus SIX image-curation entries (clip_filter_pairs,
         # image_decontam, aspect_buckets, the composed image_admission
-        # capstone, and epoch_schedule — operators/image_curation.py, new
-        # this round so they must be inside). The SEVENTEEN below sit
-        # outside the window this round (thirteen rotated out now —
-        # wmts_paths + cell_key_roundtrip + process_partition [gridmath
-        # untouched, green since r1], feature_info [serving.py untouched,
-        # green since r3], legend_dedup [legends.py geometry untouched,
-        # green since r2], expire_tiles [expire.py untouched, green since
-        # r4], fingerprint_docs [filters.py untouched, green since r2;
-        # hash_drop_docs keeps the module in-window], utfgrid_tiles,
-        # asof_join, sessionize, web_mercator, interval_islands,
-        # event_rollup — and four were already outside: top_events + two
-        # TPC-H rollups + daily windows). All seventeen are green in the
-        # driver gate within the last two rounds with their code untouched
-        # this round (the last four are pure-SQL, green since r1).
-        # The FULL registry (including these seventeen) is still cross-
+        # capstone, its resumable staged twin image_admission_staged
+        # [plans/curation.py], and epoch_schedule — all new this round so
+        # they must be inside). The EIGHTEEN below sit outside the window
+        # this round (fourteen rotated out now — wmts_paths +
+        # cell_key_roundtrip + process_partition [gridmath untouched,
+        # green since r1], feature_info [serving.py untouched, green
+        # since r3], legend_dedup [legends.py geometry untouched, green
+        # since r2], expire_tiles [expire.py untouched, green since r4],
+        # fingerprint_docs + hash_drop_docs [filters.py untouched, both
+        # green r5], utfgrid_tiles, asof_join, sessionize, web_mercator,
+        # interval_islands, event_rollup — and four were already outside:
+        # top_events + two TPC-H rollups + daily windows). All eighteen
+        # are green in the driver gate within the last two rounds with
+        # their code untouched this round (the last four are pure-SQL,
+        # green since r1).
+        # The FULL registry (including these eighteen) is still cross-
         # engine-checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.
         "wmts_paths": q_wmts_paths,
         "expire_tiles": q_expire_tiles,
         "fingerprint_docs": q_fingerprint_docs,
+        "hash_drop_docs": q_hash_drop_docs,
         "cell_key_roundtrip": q_cell_key_roundtrip,
         "process_partition": q_process_partition,
         "feature_info": q_feature_info,
@@ -3116,6 +3152,9 @@ def oracle_sql() -> dict[str, str]:
         "image_decontam": image_decontam,
         "aspect_buckets": aspect_buckets,
         "image_admission": image_admission,
+        # the staged resumable plan must be row-identical to the composed
+        # operator — pinned against the SAME oracle SQL
+        "image_admission_staged": image_admission,
         "epoch_schedule": epoch_schedule,
         "quality_score_docs": _quality_sql(),
         "substring_dedup_docs": substring_dedup_docs,
