@@ -268,3 +268,59 @@ def test_cli_generate_cost_parity_prints_reference_numbers(spark, tmp_path, caps
                  "64 tiles in zoom 0.", "64 tiles in zoom 1.",
                  "339 tiles in zoom 2.", "112 tiles in zoom 3."):
         assert line in out, (line, out)
+
+
+def test_cli_curate_images_runs_and_resumes(spark, tmp_path, capsys):
+    """curate-images over a north-rule-shaped parquet: runs the staged
+    plan, writes the admission table, and a --job-id rerun skips every
+    committed stage (same lineage) while reproducing the same output."""
+    from pyspark.sql import functions as F
+
+    from tilecloud_chain_spark import cli
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+
+    rows = []
+    for i in range(24):
+        g, v = divmod(i, 3)
+        cap = f"cap {g}" if v < 2 else f"cap {g} alt"
+        ph = g * 1000003 if v == 0 else (
+            (g * 1000003) ^ (1 << (g % 20)) if v == 1 else (g * 1000003) ^ 0xFFFFF
+        )
+        rows.append((i, 640, 480, cap, ph))
+    imgs_path = str(tmp_path / "imgs")
+    spark.createDataFrame(
+        rows, "image_id long, w int, h int, caption string, phash long"
+    ).write.parquet(imgs_path)
+    ev_path = str(tmp_path / "eval")
+    spark.createDataFrame([(rows[0][4],)], "phash long").write.parquet(ev_path)
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    rc = cli.main([
+        "curate-images", "--images", imgs_path, "--eval", ev_path,
+        "--checkpoint", ckpt, "--out", out, "--batch-size", "4",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "admitted" in line and line.startswith("job ")
+    job = line.split()[1].rstrip(":")
+    adm = spark.read.parquet(out)
+    got = sorted((r.image_id, r.admitted, r.batch_index, r.slot)
+                 for r in adm.collect())
+    assert len(got) == 24
+    assert 0 < adm.filter("admitted").count() < 24
+    store = CheckpointStore(spark, ckpt)
+    wall_before = store.lineage(job, "dedup").agg(
+        F.sum("wall_ms")).collect()[0][0]
+    # resume path: every stage already done -> identical output, no rerun
+    rc = cli.main([
+        "curate-images", "--images", imgs_path, "--eval", ev_path,
+        "--checkpoint", ckpt, "--out", out, "--batch-size", "4",
+        "--job-id", job,
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ])
+    assert rc == 0
+    assert sorted((r.image_id, r.admitted, r.batch_index, r.slot)
+                  for r in spark.read.parquet(out).collect()) == got
+    assert store.lineage(job, "dedup").agg(
+        F.sum("wall_ms")).collect()[0][0] == wall_before

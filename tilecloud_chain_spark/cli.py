@@ -300,6 +300,47 @@ def cmd_import_expiretiles(args) -> int:
     return 0
 
 
+def cmd_curate_images(args) -> int:
+    """Run (or resume with --job-id) the staged image-curation plan over a
+    north-rule-shaped parquet table (image_id, ..., w, h, caption, phash):
+    each stage checkpoints with per-partition lineage, so a killed
+    spark-submit resumes exactly. Prints the per-stage report; --out
+    writes the composed admission table."""
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+    from tilecloud_chain_spark.operators.postprocess import duration_format
+    from tilecloud_chain_spark.plans.curation import admission_table, curate_images
+
+    spark, owned = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    imgs = spark.read.parquet(args.images)
+    ev = spark.read.parquet(args.eval).select("phash") if args.eval else None
+    pairs = spark.read.parquet(args.pairs) if args.pairs else None
+    store = CheckpointStore(spark, args.checkpoint)
+    t0 = time.time()
+    job = curate_images(
+        spark, imgs, store, eval_df=ev, clip_pairs=pairs,
+        clip_threshold=args.clip_threshold,
+        dedup_hamming=args.dedup_hamming,
+        decontam_hamming=args.decontam_hamming,
+        batch_size=args.batch_size,
+        world_size=args.world_size,
+        seed=args.seed,
+        job_id=args.job_id,
+    )
+    adm = admission_table(store, job)
+    if args.out:
+        adm.write.mode("overwrite").parquet(args.out)
+    n_all = adm.count()
+    n_adm = adm.filter("admitted").count()
+    rep = store.report(job)
+    print(f"job {job}: {n_adm}/{n_all} admitted "
+          f"({rep['partitions']} lineage partitions, "
+          f"{duration_format((time.time() - t0) * 1000)})")
+    if owned:
+        spark.stop()
+    return 0
+
+
 def cmd_get_limits(args) -> int:
     from tilecloud_chain_spark.config_yaml import load_config
     from tilecloud_chain_spark.plans.wmts import capabilities_matrices, tile_matrix_limits
@@ -383,6 +424,25 @@ def main(argv=None) -> int:
     ex.add_argument("--out", default=None, help="write the MULTIPOLYGON WKT here")
     ex.add_argument("--cores", type=int, default=None)
     ex.set_defaults(fn=cmd_import_expiretiles)
+
+    cu = sub.add_parser("curate-images")
+    cu.add_argument("--images", required=True,
+                    help="parquet of (image_id, w, h, caption, phash, ...)")
+    cu.add_argument("--checkpoint", required=True)
+    cu.add_argument("--eval", default=None, help="parquet with a phash column")
+    cu.add_argument("--pairs", default=None,
+                    help="parquet of (image_id, img_vec, txt_vec)")
+    cu.add_argument("--out", default=None,
+                    help="write the admission table parquet here")
+    cu.add_argument("--job-id", default=None, help="resume an existing job")
+    cu.add_argument("--clip-threshold", type=float, default=0.28)
+    cu.add_argument("--dedup-hamming", type=int, default=6)
+    cu.add_argument("--decontam-hamming", type=int, default=2)
+    cu.add_argument("--batch-size", type=int, default=64)
+    cu.add_argument("--world-size", type=int, default=8)
+    cu.add_argument("--seed", default="epoch0")
+    cu.add_argument("--cores", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate_images)
 
     cap = sub.add_parser("capabilities")
     cap.add_argument("--config", required=True)
