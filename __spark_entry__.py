@@ -1064,6 +1064,7 @@ def q_image_admission_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission_table() reassembles the composed-operator-shaped result.
     Pinned against the SAME DuckDB oracle as image_admission: the staged
     checkpointed path must be row-identical to the single-shot plan."""
+    import shutil
     import tempfile
 
     from tilecloud_chain_spark.checkpoint import CheckpointStore
@@ -1073,10 +1074,15 @@ def q_image_admission_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     imgs, ev, pairs = _ic_admission_inputs(spark, sf_dir)
-    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="curation_gate_"))
+    # fixed store root, wiped at entry: repeated gate runs neither
+    # accumulate tmp data nor resume a stale job from a different sf_dir
+    root = os.path.join(tempfile.gettempdir(), "curation_gate_store")
+    shutil.rmtree(root, ignore_errors=True)
+    store = CheckpointStore(spark, root)
     job = curate_images(
         spark, imgs, store, eval_df=ev, clip_pairs=pairs,
         clip_threshold=0.1, dedup_hamming=6, decontam_hamming=2, batch_size=8,
+        with_schedule=False,  # the gate compares the admission table only
     )
     return admission_table(store, job)
 

@@ -516,50 +516,16 @@ def w_img_admission(spark: SparkSession, sf_dir: str) -> int:
     caption/phash pair dedup CC, then aspect-bucket packing over the
     admitted survivors and the seeded epoch schedule for 8 data-parallel
     ranks — ingest-to-trainer, the product's real image workload."""
+    import __spark_entry__ as E
     from tilecloud_chain_spark.operators.image_curation import (
         epoch_schedule,
         image_admission,
     )
 
-    base = F.expr("g * CAST(1000003 AS BIGINT)")
-    imgs = _read_docs(spark, sf_dir).select(
-        F.col("doc_id").alias("image_id"),
-        F.expr("doc_id div 3").alias("g"),
-        F.expr("doc_id % 3").alias("v"),
-        F.expr("CAST(200 + (doc_id * 37) % 1000 AS INT)").alias("w"),
-        F.expr("CAST(200 + (doc_id * 53) % 1000 AS INT)").alias("h"),
-    ).select(
-        "image_id", "w", "h",
-        F.when(
-            F.col("v") < 2, F.concat(F.lit("cap "), F.col("g").cast("string"))
-        ).otherwise(
-            F.concat(F.lit("cap "), F.col("g").cast("string"), F.lit(" alt"))
-        ).alias("caption"),
-        (
-            F.when(F.col("v") == 0, base)
-            .when(F.col("v") == 1, F.expr("(g * CAST(1000003 AS BIGINT)) ^ 1048575"))
-            .otherwise(F.expr(
-                "CASE WHEN g % 7 = 0 THEN (g * CAST(1000003 AS BIGINT)) ^ 1099511627775 "
-                "ELSE (g * CAST(1000003 AS BIGINT)) ^ shiftleft(CAST(1 AS BIGINT), "
-                "CAST(g % 60 AS INT)) END"
-            ))
-        ).alias("phash"),
-    )
-    ev = imgs.filter(F.expr("image_id % 37 = 0")).select("phash")
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    pairs = (
-        imgs.select(
-            "image_id",
-            (F.col("image_id") + 1 - 2 * (F.col("image_id") % 2)).alias("_p"),
-        )
-        .join(embs.select(F.col("vec_id").alias("image_id"),
-                          F.col("vec").alias("img_vec")), "image_id", "left")
-        .join(embs.select(F.col("vec_id").alias("_p"),
-                          F.col("vec").alias("txt_vec")), "_p", "left")
-        .select("image_id", "img_vec", "txt_vec")
-    )
+    # the bench's value rests on measuring the SAME fixture the gate pins
+    # (the 4,157-image chained component disclosed in BENCH.md) — import
+    # it, never copy it
+    imgs, ev, pairs = E._ic_admission_inputs(spark, sf_dir)
     adm = image_admission(
         imgs, eval_df=ev, clip_pairs=pairs,
         clip_threshold=0.1, dedup_hamming=6, decontam_hamming=2, batch_size=64,

@@ -100,8 +100,7 @@ def test_kill_mid_run_resumes_exactly(spark, tmp_path):
     store = CheckpointStore(spark, str(tmp_path))
     bad_pairs = pairs.withColumnRenamed("img_vec", "wrong_name")
     with pytest.raises(Exception):
-        curate_images(spark, imgs, store, eval_df=ev, clip_pairs=bad_pairs,
-                      job_id=store.create_job("curate_images"))
+        curate_images(spark, imgs, store, eval_df=ev, clip_pairs=bad_pairs)
     # find the job that got partway
     jobs = [d.split("=", 1)[1] for d in
             __import__("os").listdir(f"{tmp_path}/stages")]
@@ -119,3 +118,17 @@ def test_kill_mid_run_resumes_exactly(spark, tmp_path):
     assert dedup_after == dedup_before
     want = _result_rows(image_admission(imgs, eval_df=ev, clip_pairs=pairs))
     assert _result_rows(admission_table(store, job)) == want
+
+
+def test_resume_with_different_params_is_refused(spark, tmp_path):
+    imgs, ev, pairs = _fixture(spark)
+    store = CheckpointStore(spark, str(tmp_path))
+    job = curate_images(spark, imgs, store, eval_df=ev, clip_pairs=pairs,
+                        dedup_hamming=6)
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_images(spark, imgs, store, eval_df=ev, clip_pairs=pairs,
+                      dedup_hamming=10, job_id=job)
+    # dropping an optional input also changes the recorded shape
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_images(spark, imgs, store, eval_df=None, clip_pairs=pairs,
+                      job_id=job)

@@ -327,11 +327,17 @@ def cmd_curate_images(args) -> int:
         seed=args.seed,
         job_id=args.job_id,
     )
+    from pyspark.sql import functions as F
+
     adm = admission_table(store, job)
     if args.out:
         adm.write.mode("overwrite").parquet(args.out)
-    n_all = adm.count()
-    n_adm = adm.filter("admitted").count()
+        adm = spark.read.parquet(args.out)  # count the committed output
+    counts = adm.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("admitted").cast("long")).alias("k"),
+    ).collect()[0]
+    n_all, n_adm = counts["n"], int(counts["k"] or 0)
     rep = store.report(job)
     print(f"job {job}: {n_adm}/{n_all} admitted "
           f"({rep['partitions']} lineage partitions, "

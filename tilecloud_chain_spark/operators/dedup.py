@@ -704,6 +704,40 @@ def hash_block(col, lo: int, hi: int):
     return F.shiftrightunsigned(col, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
 
 
+def hamming_block_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """The ``max_hamming + 1`` contiguous bit-slices of a 64-bit hash used
+    for pigeonhole blocking (a pair within the radius agrees exactly on at
+    least one slice). Shared by simhash/phash near-pair joins, eval-set
+    decontamination, and the streaming near-anti-join."""
+    nb = int(max_hamming) + 1
+    if not 1 <= nb <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    return [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
+
+
+def blocked_keys(df: DataFrame, pcol: str, max_hamming: int, *,
+                 keep_cols: list[str] | None = None,
+                 hash_out: str = "_h") -> DataFrame:
+    """Explode ``df`` to one row per (pigeonhole chunk, block key): columns
+    ``keep_cols`` + (hash_out, chunk, key). One narrow explode — the
+    blocking half of every hamming-radius join in this module."""
+    bounds = hamming_block_bounds(max_hamming)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            hash_block(F.col(pcol), lo, hi).alias("key"),
+        )
+        for c, (lo, hi) in enumerate(bounds)
+    ])
+    keep = list(keep_cols or [])
+    return df.select(
+        *keep, F.col(pcol).alias(hash_out), F.explode(blocks).alias("b")
+    ).select(
+        *keep, hash_out,
+        F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"),
+    )
+
+
 def first_matching_block(col_a, col_b, bounds: list[tuple[int, int]]):
     """Index of the FIRST block where two hashes agree (NULL if none).
 

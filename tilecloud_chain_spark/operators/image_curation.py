@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tilecloud_chain_spark.operators.dedup import hash_block
+from tilecloud_chain_spark.operators.dedup import blocked_keys
 from tilecloud_chain_spark.operators.similarity import _cosine
 
 
@@ -102,27 +102,15 @@ def phash_decontaminate(
     per partition by the partial aggregate. Nothing here depends on the
     contamination rate (a broadcast of the hit-id set would).
     """
-    nb = int(max_hamming) + 1
-    if not 1 <= nb <= 64:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    bounds = [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
+    ev = blocked_keys(
+        eval_df.select(F.col(eval_phash_col).alias("_ep")).distinct(),
+        "_ep", max_hamming, hash_out="_ep",
+    ).select("chunk", "key", "_ep").distinct()
 
-    def _blocked(df: DataFrame, pid: str, pcol: str) -> DataFrame:
-        blocks = F.array(*[
-            F.struct(F.lit(c).alias("chunk"), hash_block(F.col(pcol), lo, hi).alias("key"))
-            for c, (lo, hi) in enumerate(bounds)
-        ])
-        return df.select(
-            F.col(pid), F.col(pcol).alias("_h"), F.explode(blocks).alias("b")
-        ).select(pid, "_h", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
-
-    ev = _blocked(
-        eval_df.select(F.col(eval_phash_col).alias("_ep")).distinct()
-        .withColumn("_eid", F.monotonically_increasing_id()),
-        "_eid", "_ep",
-    ).select("chunk", "key", F.col("_h").alias("_ep")).distinct()
-
-    corpus = _blocked(imgs.select(id_col, phash_col), id_col, phash_col)
+    corpus = blocked_keys(
+        imgs.select(id_col, phash_col), phash_col, max_hamming,
+        keep_cols=[id_col],
+    )
     near = F.coalesce(
         F.bit_count(F.col("_h").bitwiseXOR(F.col("_ep"))) <= max_hamming,
         F.lit(False),
@@ -165,6 +153,48 @@ def bucket_expr(
     return F.array_min(F.array(*entries))["i"]
 
 
+def _distributed_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> tuple[DataFrame, F.Column]:
+    """Dense 0-based rank of each row within its group (globally when
+    ``group_cols`` is empty) WITHOUT a group-partitioned — or, worse,
+    single-partition — window: range-repartition by (group, order) keys so
+    ranks are contiguous across ascending partition ids, COUNT per
+    (partition, group) — O(partitions x groups) driver data — turn the
+    counts into base offsets, and add the partition-LOCAL rank. The one
+    full-data movement is the range repartition any global order costs.
+    Third use of the pattern (``text.py:token_stream_chunks`` pioneered
+    it); returns the checkpointed repartitioned frame (it is referenced
+    by both the counts job and the caller's final select) plus the rank
+    Column to select from it."""
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    base = (
+        df.repartitionByRange(parts, *group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = base.groupBy("_pid", *group_cols).count().collect()
+    acc: dict[tuple, int] = {}
+    offsets: dict[tuple, int] = {}
+    for r in sorted(
+        counts,
+        key=lambda r: (tuple(r[g] for g in group_cols), int(r["_pid"])),
+    ):
+        gkey = tuple(r[g] for g in group_cols)
+        offsets[(int(r["_pid"]), gkey)] = acc.get(gkey, 0)
+        acc[gkey] = offsets[(int(r["_pid"]), gkey)] + int(r["count"])
+    off_map = F.create_map(*[
+        x
+        for (pid, gkey), off in sorted(offsets.items())
+        for x in (F.lit("|".join(str(v) for v in (pid, *gkey))), F.lit(off))
+    ])
+    lookup = F.concat_ws("|", F.col("_pid"), *[F.col(g) for g in group_cols])
+    win = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    return base, F.row_number().over(win) - 1 + off_map[lookup]
+
+
 def aspect_bucket_pack(
     imgs: DataFrame,
     batch_size: int,
@@ -196,36 +226,13 @@ def aspect_bucket_pack(
     order costs."""
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    parts = max(imgs.sparkSession.sparkContext.defaultParallelism, 2)
-    base = (
+    base, rank = _distributed_rank(
         imgs.select(
             F.col(id_col).alias("id"),
             bucket_expr(w_col, h_col, buckets).alias("bucket"),
-        )
-        .repartitionByRange(parts, "bucket", "id")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # referenced twice: counts + rank
-    )
-    counts = base.groupBy("_pid", "bucket").count().collect()
-    # offsets: for each (pid, bucket), rows of the SAME bucket in LOWER
-    # pids (range partitions ascend in (bucket, id), so lower pid == lower
-    # ids for a shared bucket)
-    acc: dict[int, int] = {}
-    offsets: dict[tuple[int, int], int] = {}
-    for r in sorted(counts, key=lambda r: (int(r["bucket"]), int(r["_pid"]))):
-        key = (int(r["_pid"]), int(r["bucket"]))
-        offsets[key] = acc.get(int(r["bucket"]), 0)
-        acc[int(r["bucket"])] = offsets[key] + int(r["count"])
-    nb = len(buckets)
-    off_map = F.create_map(*[
-        x
-        for (pid, bucket), off in sorted(offsets.items())
-        for x in (F.lit(pid * nb + bucket), F.lit(off))
-    ])
-    win = Window.partitionBy("_pid", "bucket").orderBy("id")
-    rank = (
-        F.row_number().over(win) - 1
-        + off_map[F.col("_pid") * nb + F.col("bucket")]
+        ),
+        group_cols=["bucket"],
+        order_cols=["id"],
     )
     b = F.lit(int(batch_size))
     return base.select(
@@ -275,25 +282,12 @@ def epoch_schedule(
         F.col(bucket_col).cast("string"),
         F.col(batch_col).cast("string"),
     ))
-    parts = max(batches.sparkSession.sparkContext.defaultParallelism, 2)
-    base = (
+    base, pos = _distributed_rank(
         batches.select(bucket_col, batch_col).distinct()
-        .select(okey.alias("_ok"), bucket_col, batch_col)
-        .repartitionByRange(parts, "_ok", bucket_col, batch_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # referenced twice: counts + rank
+        .select(okey.alias("_ok"), bucket_col, batch_col),
+        group_cols=[],
+        order_cols=["_ok", bucket_col, batch_col],
     )
-    counts = base.groupBy("_pid").count().collect()
-    off: dict[int, int] = {}
-    acc = 0
-    for r in sorted(counts, key=lambda r: int(r["_pid"])):
-        off[int(r["_pid"])] = acc
-        acc += int(r["count"])
-    off_map = F.create_map(*[
-        x for pid, o in sorted(off.items()) for x in (F.lit(pid), F.lit(o))
-    ])
-    win = Window.partitionBy("_pid").orderBy("_ok", bucket_col, batch_col)
-    pos = F.row_number().over(win) - 1 + off_map[F.col("_pid")]
     w = F.lit(int(world_size))
     return base.select(
         bucket_col,
@@ -419,39 +413,24 @@ def image_admission(
     dd = image_caption_dedup(imgs, dedup_hamming, id_col=id_col).select(
         id_col, F.col("keep").alias("dedup_keep")
     )
+    cf = None
+    if clip_pairs is not None:
+        cf = clip_filter(clip_pairs, clip_threshold, id_col=id_col).select(
+            id_col, F.col("keep").alias("_ck")
+        )
+    ct = None
+    if eval_df is not None:
+        ct = phash_decontaminate(
+            imgs, eval_df, decontam_hamming, id_col=id_col
+        ).select(id_col, F.col("contaminated").alias("_ct"))
     base = imgs.select(
         F.col(id_col),
         F.col(w_col),
         F.col(h_col),
         bucket_expr(w_col, h_col, buckets).alias("bucket"),
     )
-    if clip_pairs is not None:
-        cf = clip_filter(clip_pairs, clip_threshold, id_col=id_col).select(
-            id_col, F.col("keep").alias("_ck")
-        )
-        base = base.join(cf, id_col, "left")
-        clip_keep = F.coalesce(F.col("_ck"), F.lit(True))
-    else:
-        clip_keep = F.lit(True)
-    if eval_df is not None:
-        ct = phash_decontaminate(
-            imgs, eval_df, decontam_hamming, id_col=id_col
-        ).select(id_col, F.col("contaminated").alias("_ct"))
-        base = base.join(ct, id_col, "left")
-        contaminated = F.coalesce(F.col("_ct"), F.lit(False))
-    else:
-        contaminated = F.lit(False)
-    base = base.join(dd, id_col)
-    admitted = clip_keep & ~contaminated & F.col("dedup_keep")
-    staged = base.select(
-        F.col(id_col),
-        F.col(w_col),
-        F.col(h_col),
-        "bucket",
-        clip_keep.alias("clip_keep"),
-        contaminated.alias("contaminated"),
-        "dedup_keep",
-        admitted.alias("admitted"),
+    staged = compose_admission_flags(
+        base, dd, clip_flags=cf, contam_flags=ct, id_col=id_col
     ).localCheckpoint(eager=True)
     packed = aspect_bucket_pack(
         staged.filter(F.col("admitted")),
@@ -461,6 +440,56 @@ def image_admission(
         w_col=w_col,
         h_col=h_col,
     ).select(id_col, "batch_index", "slot")
+    return assemble_admission(staged, packed, id_col=id_col)
+
+
+def compose_admission_flags(
+    base: DataFrame,
+    dedup_flags: DataFrame,
+    clip_flags: DataFrame | None = None,
+    contam_flags: DataFrame | None = None,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """THE admission rule, in one place (used by both the composed
+    operator and the staged ``plans/curation.py`` pipeline): join the
+    narrow flag tables onto ``base`` (id, w, h, bucket) and compute
+
+        admitted = clip_keep AND NOT contaminated AND dedup_keep
+
+    with the stated defaults — a missing clip row (embedding backfill
+    still running) keeps the image (TRUE); a missing contamination row
+    means not contaminated (FALSE). ``clip_flags`` carries (id, _ck),
+    ``contam_flags`` (id, _ct), ``dedup_flags`` (id, dedup_keep)."""
+    if clip_flags is not None:
+        base = base.join(clip_flags, id_col, "left")
+        clip_keep = F.coalesce(F.col("_ck"), F.lit(True))
+    else:
+        clip_keep = F.lit(True)
+    if contam_flags is not None:
+        base = base.join(contam_flags, id_col, "left")
+        contaminated = F.coalesce(F.col("_ct"), F.lit(False))
+    else:
+        contaminated = F.lit(False)
+    base = base.join(dedup_flags, id_col)
+    admitted = clip_keep & ~contaminated & F.col("dedup_keep")
+    keep = [c for c in base.columns if c not in
+            (id_col, "_ck", "_ct", "dedup_keep")]
+    return base.select(
+        F.col(id_col),
+        *keep,
+        clip_keep.alias("clip_keep"),
+        contaminated.alias("contaminated"),
+        "dedup_keep",
+        admitted.alias("admitted"),
+    )
+
+
+def assemble_admission(
+    staged: DataFrame, packed: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """Final admission-table shape shared by the operator and the staged
+    plan: flags left-joined with the (id, batch_index, slot) packing of
+    the admitted rows — rejected rows keep their bucket but no slot."""
     return staged.join(packed, id_col, "left").select(
         id_col, "clip_keep", "contaminated", "dedup_keep", "admitted",
         "bucket", "batch_index", "slot",

@@ -36,8 +36,10 @@ from tilecloud_chain_spark.checkpoint import CheckpointStore
 from tilecloud_chain_spark.operators.image_curation import (
     DEFAULT_BUCKETS,
     aspect_bucket_pack,
+    assemble_admission,
     bucket_expr,
     clip_filter,
+    compose_admission_flags,
     epoch_schedule,
     phash_decontaminate,
 )
@@ -61,15 +63,42 @@ def curate_images(
     seed: str = "epoch0",
     buckets=DEFAULT_BUCKETS,
     job_id: str | None = None,
+    with_schedule: bool = True,
 ) -> str:
     """Run (or resume) the staged admission pipeline; returns job_id.
 
     Pass the returned ``job_id`` back in to resume after a kill: done
     stages are skipped (their committed parquet is reused), the failed
     stage re-executes. The caller must supply the same inputs on resume —
-    the store checkpoints stage OUTPUTS, not the source table."""
+    the store checkpoints stage OUTPUTS, not the source table. The
+    parameter set is recorded in the job marker at creation and a resume
+    with DIFFERENT parameters is refused — otherwise the new values would
+    be silently ignored for committed stages (or, worse, a mid-run kill
+    would yield a mixed-parameter admission table)."""
+    import json
+
+    params = json.dumps({
+        "clip_threshold": float(clip_threshold),
+        "dedup_hamming": int(dedup_hamming),
+        "decontam_hamming": int(decontam_hamming),
+        "batch_size": int(batch_size),
+        "world_size": int(world_size),
+        "seed": str(seed),
+        "buckets": [list(b) for b in buckets],
+        "has_eval": eval_df is not None,
+        "has_clip": clip_pairs is not None,
+    }, sort_keys=True)
+    command = f"curate_images {params}"
     if job_id is None:
-        job_id = store.create_job("curate_images", command="curate_images")
+        job_id = store.create_job("curate_images", command=command)
+    else:
+        prev = store.job(job_id).get("command", "")
+        if prev != command:
+            raise ValueError(
+                f"job {job_id} was created with different parameters — "
+                f"resume must reuse them (or start a new job).\n"
+                f"  recorded: {prev}\n  requested: {command}"
+            )
 
     cell = F.col("image_id").alias("cell")
 
@@ -103,31 +132,20 @@ def curate_images(
         dd = store.output(job_id, "dedup", _Z).select(
             "image_id", F.col("keep").alias("dedup_keep")
         )
-        base = base.join(dd, "image_id")
+        cf = None
         if clip_pairs is not None:
             cf = store.output(job_id, "clip", _Z).select(
                 "image_id", F.col("keep").alias("_ck")
             )
-            base = base.join(cf, "image_id", "left")
-            clip_keep = F.coalesce(F.col("_ck"), F.lit(True))
-        else:
-            clip_keep = F.lit(True)
+        ct = None
         if eval_df is not None:
             ct = store.output(job_id, "decontam", _Z).select(
                 "image_id", F.col("contaminated").alias("_ct")
             )
-            base = base.join(ct, "image_id", "left")
-            contaminated = F.coalesce(F.col("_ct"), F.lit(False))
-        else:
-            contaminated = F.lit(False)
-        return base.select(
-            "image_id", "w", "h", "bucket",
-            clip_keep.alias("clip_keep"),
-            contaminated.alias("contaminated"),
-            "dedup_keep",
-            (clip_keep & ~contaminated & F.col("dedup_keep")).alias("admitted"),
-            cell,
-        )
+        # the same single-source admission rule as the composed operator
+        return compose_admission_flags(
+            base, dd, clip_flags=cf, contam_flags=ct
+        ).withColumn("cell", F.col("image_id"))
 
     store.run_stage(job_id, "admitted", _Z, _admitted)
 
@@ -147,7 +165,8 @@ def curate_images(
             + F.col("batch_index").cast("long"),
         )
 
-    store.run_stage(job_id, "schedule", _Z, _schedule)
+    if with_schedule:
+        store.run_stage(job_id, "schedule", _Z, _schedule)
     return job_id
 
 
@@ -160,7 +179,4 @@ def admission_table(store: CheckpointStore, job_id: str) -> DataFrame:
     packed = store.output(job_id, "batches", _Z).select(
         "image_id", "batch_index", "slot"
     )
-    return adm.join(packed, "image_id", "left").select(
-        "image_id", "clip_keep", "contaminated", "dedup_keep", "admitted",
-        "bucket", "batch_index", "slot",
-    )
+    return assemble_admission(adm, packed)

@@ -33,7 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tilecloud_chain_spark.operators.dedup import hash_block
+from tilecloud_chain_spark.operators.dedup import blocked_keys
 from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
 
 IMG_SCHEMA = "image_id long, w int, h int, caption string, phash long"
@@ -54,25 +54,14 @@ def phash_near_anti_join(
     large side is the ever-growing seen state, so neither side is
     force-broadcast — the equi-join on (chunk, key) lets AQE broadcast
     the batch side."""
-    nb = int(max_hamming) + 1
-    if not 1 <= nb <= 64:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    bounds = [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
-
-    def _blocked(df: DataFrame, pcol: str, out: str) -> DataFrame:
-        blocks = F.array(*[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                hash_block(F.col(pcol), lo, hi).alias("key"),
-            )
-            for c, (lo, hi) in enumerate(bounds)
-        ])
-        return df.select(F.col(pcol).alias(out), F.explode(blocks).alias("b")).select(
-            out, F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key")
-        )
-
-    probe = _blocked(batch.select(phash_col).distinct(), phash_col, "_bh")
-    state = _blocked(seen_phash.select(phash_col).distinct(), phash_col, "_sh")
+    probe = blocked_keys(
+        batch.select(phash_col).distinct(), phash_col, max_hamming,
+        hash_out="_bh",
+    )
+    state = blocked_keys(
+        seen_phash.select(phash_col).distinct(), phash_col, max_hamming,
+        hash_out="_sh",
+    )
     hits = (
         probe.join(state, ["chunk", "key"])
         .filter(F.bit_count(F.col("_bh").bitwiseXOR(F.col("_sh"))) <= max_hamming)
