@@ -11,6 +11,7 @@ from tilecloud_chain_spark.functions import image as IMG
 from tilecloud_chain_spark.operators.image_curation import (
     DEFAULT_BUCKETS,
     aspect_bucket_pack,
+    bucket_expr,
     clip_filter,
     epoch_schedule,
     image_admission,
@@ -399,3 +400,107 @@ def test_image_quality_metrics_real_codec(spark):
     gray = px.mean(axis=2)
     assert got[r0["image_id"]]["brightness"] == pytest.approx(gray.mean(), abs=1e-3)
     assert got[r0["image_id"]]["contrast"] == pytest.approx(gray.std(), abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# _distributed_rank (shared prefix-sum helper: 3 call sites)
+
+
+from hypothesis import given, settings, strategies as st
+
+from tilecloud_chain_spark.operators.image_curation import _distributed_rank
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-1000, 1000)),
+        min_size=1, max_size=60, unique=True,
+    )
+)
+def test_distributed_rank_matches_pandas_reference(spark, rows):
+    """Grouped dense rank == pandas groupby-rank for arbitrary (group,
+    order) data, regardless of how the range partitioner splits it."""
+    df = spark.createDataFrame(rows, "g int, v long")
+    base, rank = _distributed_rank(df, group_cols=["g"], order_cols=["v"])
+    got = {(r.g, r.v): r.rank for r in base.select("g", "v", rank.alias("rank")).collect()}
+    want = {}
+    by_g = {}
+    for g, v in sorted(rows):
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        for i, v in enumerate(sorted(vs)):
+            want[(g, v)] = i
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60,
+                     unique=True))
+def test_distributed_rank_global_matches_sort_order(spark, rows):
+    """Empty group_cols = a global dense rank in order-key order."""
+    df = spark.createDataFrame([(v,) for v in rows], "v long")
+    base, rank = _distributed_rank(df, group_cols=[], order_cols=["v"])
+    got = {r.v: r.rank for r in base.select("v", rank.alias("rank")).collect()}
+    assert got == {v: i for i, v in enumerate(sorted(rows))}
+
+
+# ---------------------------------------------------------------------------
+# bucket_targets / bucket_resize
+
+
+def test_bucket_targets_sdxl_geometry():
+    from tilecloud_chain_spark.operators.image_curation import bucket_targets
+
+    tg = bucket_targets(DEFAULT_BUCKETS)
+    assert len(tg) == len(DEFAULT_BUCKETS)
+    for (bw, bh), (w, h) in zip(DEFAULT_BUCKETS, tg):
+        assert w % 64 == 0 and h % 64 == 0
+        # area within one 64-step of the 1024^2 budget, aspect near bucket
+        assert abs(w * h - 1024 * 1024) <= 64 * max(w, h)
+        assert abs(w / h - bw / bh) < 0.15 * max(1.0, bw / bh)
+    # the square bucket is exactly 1024x1024
+    assert tg[DEFAULT_BUCKETS.index((1, 1))] == (1024, 1024)
+
+
+def test_bucket_resize_real_codec_roundtrip(spark):
+    from tilecloud_chain_spark.operators.image_curation import (
+        bucket_resize,
+        bucket_targets,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    dims = [(96, 48), (64, 64), (40, 80), (120, 72)]
+    for i, (w, h) in enumerate(dims):
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rows.append((f"i{i}", IMG.encode(px, "png"), "png", w, h))
+    # a constant image must stay bit-exact constant through the resample
+    rows.append(("flat", IMG.encode(np.full((50, 100, 3), 77, np.uint8),
+                                    "png"), "png", 100, 50))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    ).withColumn("bucket", bucket_expr("w", "h", DEFAULT_BUCKETS))
+    tg = bucket_targets(DEFAULT_BUCKETS, base_area=64 * 64, multiple=8)
+    out = bucket_resize(df, targets=tg)
+    got = {r.image_id: r.asDict() for r in out.collect()}
+    assert len(got) == len(rows)
+    for rid, _, _, w, h in rows:
+        r = got[rid]
+        tw, th = tg[r["bucket"]]
+        assert (r["w"], r["h"]) == (tw, th), rid
+        assert (r["src_w"], r["src_h"]) == (w, h), rid
+        px = IMG.decode(bytes(r["bytes"]), "png")
+        assert px.shape[:2] == (th, tw), rid
+    flat = IMG.decode(bytes(got["flat"]["bytes"]), "png")
+    assert (flat == 77).all()
+
+
+def test_bucket_resize_validates_target_count(spark):
+    from tilecloud_chain_spark.operators.image_curation import bucket_resize
+
+    df = spark.createDataFrame(
+        [("a", b"x", "png", 0)], "image_id string, bytes binary, fmt string, bucket int"
+    )
+    with pytest.raises(ValueError):
+        bucket_resize(df, targets=[(64, 64)])

@@ -297,6 +297,85 @@ def epoch_schedule(
     )
 
 
+def bucket_targets(
+    buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+    base_area: int = 1024 * 1024,
+    multiple: int = 64,
+) -> tuple[tuple[int, int], ...]:
+    """Per-bucket target (w, h): the SDXL convention — every bucket's
+    resolution has ~``base_area`` pixels, dims follow the bucket aspect
+    and snap to ``multiple`` (latent/patch alignment). Deterministic pure
+    integer math, so trainers and loaders agree without coordination."""
+    out = []
+    for bw, bh in buckets:
+        w = float(base_area * bw / bh) ** 0.5
+        out.append((
+            max(multiple, int(round(w / multiple)) * multiple),
+            max(multiple, int(round((base_area / w) / multiple)) * multiple),
+        ))
+    return tuple(out)
+
+
+def bucket_resize(
+    imgs: DataFrame,
+    buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+    targets: Sequence[tuple[int, int]] | None = None,
+    base_area: int = 64 * 64,
+    multiple: int = 8,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Resize every image to ITS bucket's target resolution — the stage
+    between admission/packing and the trainer (a packed batch must be
+    dimension-uniform to collate): decode, area-resample to
+    ``targets[bucket]``, re-encode, in ONE Arrow stage keyed by the
+    already-computed ``bucket_col`` (no shuffle — the target table is a
+    plain literal dict in the closure). Defaults size targets for the
+    test codec scale; pass ``targets=bucket_targets(buckets)`` for the
+    SDXL 1024² geometry.
+
+    Output: (id_col, bucket, bytes, w, h, src_w, src_h) with w/h the
+    TARGET dims. Pixel semantics are :func:`functions/image.resize_area`
+    (exact box mean; constants stay bit-exact) — pinned in pytest, not
+    SQL-expressible (like overviews/quality metrics)."""
+    tg = tuple(targets) if targets is not None else bucket_targets(
+        buckets, base_area=base_area, multiple=multiple
+    )
+    if len(tg) != len(buckets):
+        raise ValueError(f"targets has {len(tg)} entries for {len(buckets)} buckets")
+    out_schema = (
+        f"{id_col} string, {bucket_col} int, bytes binary, "
+        "w int, h int, src_w int, src_h int"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tilecloud_chain_spark.functions import image as IMG
+
+        for pdf in it:
+            rows = []
+            for rid, bkt, buf, fmt in zip(
+                pdf[id_col], pdf[bucket_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                tw, th = tg[int(bkt)]
+                img = IMG.decode(bytes(buf), fmt)
+                small = IMG.resize_area(img, th, tw)
+                rows.append((
+                    str(rid), int(bkt), IMG.encode(small, fmt), tw, th,
+                    int(img.shape[1]), int(img.shape[0]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, bucket_col, "bytes", "w", "h",
+                         "src_w", "src_h"],
+            )
+
+    return imgs.select(id_col, bucket_col, bytes_col, fmt_col).mapInPandas(
+        _batches, out_schema
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decoded-pixel quality metrics
 
