@@ -504,3 +504,12 @@ def test_bucket_resize_validates_target_count(spark):
     )
     with pytest.raises(ValueError):
         bucket_resize(df, targets=[(64, 64)])
+
+
+def test_pack_and_schedule_empty_input(spark):
+    """Empty corpus: both prefix-sum operators return zero rows instead of
+    failing analysis on an argless (VOID-typed) create_map offset table."""
+    empty = spark.createDataFrame([], "image_id string, w int, h int")
+    packed = aspect_bucket_pack(empty, 8)
+    assert packed.count() == 0
+    assert epoch_schedule(packed, 4).count() == 0

@@ -185,14 +185,20 @@ def _distributed_rank(
         gkey = tuple(r[g] for g in group_cols)
         offsets[(int(r["_pid"]), gkey)] = acc.get(gkey, 0)
         acc[gkey] = offsets[(int(r["_pid"]), gkey)] + int(r["count"])
-    off_map = F.create_map(*[
-        x
-        for (pid, gkey), off in sorted(offsets.items())
-        for x in (F.lit("|".join(str(v) for v in (pid, *gkey))), F.lit(off))
-    ])
-    lookup = F.concat_ws("|", F.col("_pid"), *[F.col(g) for g in group_cols])
+    if offsets:
+        off_map = F.create_map(*[
+            x
+            for (pid, gkey), off in sorted(offsets.items())
+            for x in (F.lit("|".join(str(v) for v in (pid, *gkey))), F.lit(off))
+        ])
+        lookup = F.concat_ws(
+            "|", F.col("_pid"), *[F.col(g) for g in group_cols]
+        )
+        offset = off_map[lookup]
+    else:  # empty input: argless create_map() is a VOID map that fails
+        offset = F.lit(0)  # analysis; any typed literal works for 0 rows
     win = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-    return base, F.row_number().over(win) - 1 + off_map[lookup]
+    return base, F.row_number().over(win) - 1 + offset
 
 
 def aspect_bucket_pack(
