@@ -213,3 +213,71 @@ def _to_wkt(geom) -> str:
     if len(parts) == 1:
         return "POLYGON " + parts[0]
     return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+
+
+
+# ---------------------------------------------------------------------------
+# EPSG:3395 World Mercator (ellipsoidal) + ETRS89 alias (round 6)
+
+
+def test_ellipsoidal_mercator_epsg_worked_example():
+    """EPSG Guidance Note 7-2, Mercator variant A worked example
+    (Makassar / NEIEZ on Bessel 1841, k0=0.997, lon0=110E, FE=3900000,
+    FN=900000): lat 3S lon 120E -> E 5009726.58, N 569150.82. Reproducing
+    the published numbers validates the ellipsoidal formulas
+    independently of EPSG:3395's own parameters."""
+    from tilecloud_chain_spark.crs import (
+        BESSEL_A, BESSEL_F, _EllipsoidalMercator,
+    )
+
+    m = _EllipsoidalMercator(BESSEL_A, BESSEL_F, k0=0.997, lon0_deg=110.0,
+                             fe=3_900_000.0, fn=900_000.0)
+    x, y = m.fwd(120.0, -3.0)
+    assert round(float(x), 2) == 5_009_726.58
+    assert round(float(y), 2) == 569_150.82
+    lon, lat = m.inv(x, y)
+    assert abs(float(lon) - 120.0) < 1e-9 and abs(float(lat) + 3.0) < 1e-9
+
+
+def test_world_mercator_3395_properties():
+    from tilecloud_chain_spark.crs import transform_coords
+
+    # equator is exact-linear and shared with 3857
+    xs, ys = transform_coords("EPSG:4326", "EPSG:3395", [0.0, 180.0], [0.0, 0.0])
+    assert xs[0] == 0.0 and ys[0] == 0.0
+    assert abs(xs[1] - 20037508.342789244) < 1e-6
+    # ellipsoidal y < spherical y away from the equator (flattening), and
+    # antisymmetric in latitude
+    (x95,), (y95,) = transform_coords("EPSG:4326", "EPSG:3395", [7.0], [46.0])
+    (x57,), (y57,) = transform_coords("EPSG:4326", "EPSG:3857", [7.0], [46.0])
+    assert x95 == x57
+    assert 0 < y95 < y57 and (y57 - y95) > 10_000  # ~0.3% at mid-latitudes
+    (_,), (yneg,) = transform_coords("EPSG:4326", "EPSG:3395", [7.0], [-46.0])
+    assert abs(yneg + y95) < 1e-6
+    # round-trip across the globe
+    import numpy as np
+
+    lons = np.linspace(-179.0, 179.0, 23)
+    lats = np.linspace(-84.0, 84.0, 23)
+    xs, ys = transform_coords("EPSG:4326", "EPSG:3395", lons, lats)
+    lon2, lat2 = transform_coords("EPSG:3395", "EPSG:4326", xs, ys)
+    assert np.allclose(lon2, lons, atol=1e-9)
+    assert np.allclose(lat2, lats, atol=1e-9)
+
+
+def test_etrs89_alias_and_merc_proj4_literals():
+    from tilecloud_chain_spark.crs import supported, transform_coords
+
+    assert supported("EPSG:4258")
+    (x,), (y,) = transform_coords("EPSG:4258", "EPSG:3857", [7.0], [46.0])
+    (x2,), (y2,) = transform_coords("EPSG:4326", "EPSG:3857", [7.0], [46.0])
+    assert (x, y) == (x2, y2)
+    # proj4 literal routing: spherical merc stays 3857, WGS84-ellipsoid
+    # merc resolves to 3395
+    (xs,), (_,) = transform_coords(
+        "EPSG:4326", "+proj=merc +a=6378137 +b=6378137", [7.0], [46.0])
+    (xe,), (ye,) = transform_coords(
+        "EPSG:4326", "+proj=merc +ellps=WGS84", [7.0], [46.0])
+    (x39,), (y39,) = transform_coords("EPSG:4326", "EPSG:3395", [7.0], [46.0])
+    assert xs == xe == x39 and (ye, y39) == (ye, ye)
+    assert ye == y39

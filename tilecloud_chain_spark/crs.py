@@ -25,6 +25,12 @@ are implemented from their published definitions:
   example (OSGB36/BNG: 50°30'N 0°30'E -> 577274.99, 69740.50) and the PROJ
   quickstart UTM pair (12E 55N, zone 32 -> 691875.63, 6098907.83). Zones
   build lazily and memoize.
+- **EPSG:3395 (World Mercator, and ``+proj=merc +ellps=WGS84``)**:
+  ellipsoidal Mercator variant A (EPSG method 9804); the kernel is pinned
+  against GN7-2's Makassar / NEIEZ worked example on Bessel (3°S 120°E ->
+  5009726.58, 569150.82 with k0=0.997) — reproduced to the published cm.
+- **EPSG:4258 (ETRS89 geographic)**: identity with WGS84 (coincident to
+  < 1 cm at any tile-math tolerance; the plate-fixed drift is ~2.5 cm/yr).
 
 Accuracy evidence (no pyproj in this environment): (a) the reference's OWN
 pinned PostGIS ``ST_Transform(…, 21781)`` coordinates (proj-computed,
@@ -110,6 +116,55 @@ def merc_inv(x, y):
     lon = np.asarray(x, dtype=np.float64) / _MERC_R * _R2D
     lat = (2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / _MERC_R)) - np.pi / 2.0) * _R2D
     return lon, lat
+
+
+# --------------------------------------------------------------------------
+# ellipsoidal Mercator (variant A) — EPSG method 9804; EPSG:3395 is this on
+# WGS84 with k0=1, FE=FN=0 (World Mercator)
+# --------------------------------------------------------------------------
+
+
+class _EllipsoidalMercator:
+    """Mercator on the ellipsoid: y uses the isometric latitude
+    ``ln(tan(pi/4 + phi/2) * ((1 - e sin phi)/(1 + e sin phi))^(e/2))``;
+    the inverse iterates the standard fixed point on phi (quadratic
+    convergence; 15 rounds is exact to double precision). The class is
+    pinned against the classic EPSG Guidance Note 7-2 worked example
+    (Makassar / NEIEZ on Bessel 1841, k0=0.997) in tests/test_crs.py,
+    which validates the formulas independently of EPSG:3395's
+    parameters."""
+
+    def __init__(self, a: float, f: float, k0: float = 1.0,
+                 lon0_deg: float = 0.0, fe: float = 0.0, fn: float = 0.0):
+        self.a, self.k0, self.lon0 = a, k0, lon0_deg * _D2R
+        self.fe, self.fn = fe, fn
+        self.e = np.sqrt(_e2(f))
+
+    def _con(self, phi):
+        esin = self.e * np.sin(phi)
+        return ((1.0 - esin) / (1.0 + esin)) ** (self.e / 2.0)
+
+    def fwd(self, lon_deg, lat_deg):
+        lon = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        lat = np.clip(
+            np.asarray(lat_deg, dtype=np.float64), -89.9999999, 89.9999999
+        ) * _D2R
+        x = self.fe + self.a * self.k0 * (lon - self.lon0)
+        y = self.fn + self.a * self.k0 * np.log(
+            np.tan(np.pi / 4.0 + lat / 2.0) * self._con(lat)
+        )
+        return x, y
+
+    def inv(self, x, y):
+        t = np.exp(-(np.asarray(y, np.float64) - self.fn) / (self.a * self.k0))
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(15):
+            phi = np.pi / 2.0 - 2.0 * np.arctan(t * self._con(phi))
+        lon = self.lon0 + (np.asarray(x, np.float64) - self.fe) / (self.a * self.k0)
+        return lon * _R2D, phi * _R2D
+
+
+_WORLD_MERC = _EllipsoidalMercator(WGS84_A, WGS84_F)
 
 
 # --------------------------------------------------------------------------
@@ -353,6 +408,11 @@ _REGISTRY = {
     "EPSG:4326": (_IDENT, _IDENT),
     "EPSG:3857": (merc_fwd, merc_inv),
     "EPSG:900913": (merc_fwd, merc_inv),
+    # World Mercator: ellipsoidal (EPSG method 9804) on WGS84
+    "EPSG:3395": (_WORLD_MERC.fwd, _WORLD_MERC.inv),
+    # ETRS89 geographic: coincides with WGS84 to < 1 cm at this engine's
+    # tolerance (the plate-fixed drift is ~2.5 cm/yr, far below tile math)
+    "EPSG:4258": (_IDENT, _IDENT),
     "EPSG:21781": (_swiss_fwd(_LV03), _swiss_inv(_LV03)),
     "EPSG:2056": (_swiss_fwd(_LV95), _swiss_inv(_LV95)),
 }
@@ -371,6 +431,11 @@ def _parse_proj4(literal: str) -> str | None:
         return "EPSG:4326"
     if proj == "merc" and toks.get("a") == toks.get("b") == "6378137":
         return "EPSG:3857"
+    if proj == "merc" and (
+        toks.get("ellps") == "WGS84"
+        or (toks.get("a") == "6378137" and "b" not in toks)
+    ):
+        return "EPSG:3395"
     if proj == "somerc":
         return "EPSG:2056" if toks.get("x_0", "600000").startswith("26") else "EPSG:21781"
     if proj == "utm" and toks.get("zone", "").isdigit():
