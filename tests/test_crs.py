@@ -281,3 +281,65 @@ def test_etrs89_alias_and_merc_proj4_literals():
     (x39,), (y39,) = transform_coords("EPSG:4326", "EPSG:3395", [7.0], [46.0])
     assert xs == xe == x39 and (ye, y39) == (ye, ye)
     assert ye == y39
+
+
+# ---------------------------------------------------------------------------
+# arbitrary +proj=tmerc literals (round 6)
+
+
+def test_tmerc_literal_equals_utm_registry_path():
+    from tilecloud_chain_spark.crs import transform_coords
+
+    lit = "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84"
+    (x1,), (y1,) = transform_coords("EPSG:4326", lit, [12.0], [55.0])
+    (x2,), (y2,) = transform_coords("EPSG:4326", "EPSG:32632", [12.0], [55.0])
+    assert (x1, y1) == (x2, y2)
+
+
+_OSGB = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+         "+x_0=400000 +y_0=-100000 +ellps=airy")
+
+
+def test_tmerc_literal_osgb_worked_example():
+    """EPSG GN7-2 TM worked example (OSGB36/BNG, Airy, lat_0=49N): OSGB36
+    geodetic 50°30'N 0°30'E -> 577274.99, 69740.50 — through the LITERAL
+    parsing path (nonzero lat_0/M0, named non-WGS84 ellipsoid)."""
+    from tilecloud_chain_spark.crs import transform_coords
+
+    (e,), (n,) = transform_coords("EPSG:4326", _OSGB, [0.5], [50.5])
+    assert abs(float(e) - 577274.99) < 0.02
+    assert abs(float(n) - 69740.50) < 0.02
+
+
+def test_tmerc_literal_towgs84_three_param():
+    import numpy as np
+
+    from tilecloud_chain_spark.crs import transform_coords
+
+    shifted = _OSGB + " +towgs84=446.448,-125.157,542.06"
+    (e0,), (n0,) = transform_coords("EPSG:4326", _OSGB, [0.5], [50.5])
+    (es,), (ns,) = transform_coords("EPSG:4326", shifted, [0.5], [50.5])
+    # the OSGB36->WGS84 shift moves BNG coordinates by ~50-150 m
+    assert 20 < abs(es - e0) < 500 and 20 < abs(ns - n0) < 500
+    # explicit zero shift is the identity wrapper
+    (ez,), (nz,) = transform_coords(
+        "EPSG:4326", _OSGB + " +towgs84=0,0,0", [0.5], [50.5])
+    assert (ez, nz) == (e0, n0)
+    # shifted round-trip closes to ~mm through both datum hops
+    lon, lat = transform_coords(shifted, "EPSG:4326", [es], [ns])
+    assert np.allclose([lon[0], lat[0]], [0.5, 50.5], atol=1e-6)
+
+
+def test_tmerc_literal_refuses_helmert_and_unknown_ellipsoid():
+    import pytest as _pt
+
+    from tilecloud_chain_spark.crs import transform_coords
+
+    with _pt.raises(NotImplementedError, match="Helmert"):
+        transform_coords(
+            "EPSG:4326",
+            _OSGB + " +towgs84=446.448,-125.157,542.06,-0.15,0.247,0.842,-20.489",
+            [0.5], [50.5])
+    with _pt.raises(NotImplementedError, match="ellipsoid"):
+        transform_coords(
+            "EPSG:4326", "+proj=tmerc +lon_0=9 +ellps=evrst30", [12.0], [55.0])

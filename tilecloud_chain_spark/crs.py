@@ -31,6 +31,14 @@ are implemented from their published definitions:
   5009726.58, 569150.82 with k0=0.997) — reproduced to the published cm.
 - **EPSG:4258 (ETRS89 geographic)**: identity with WGS84 (coincident to
   < 1 cm at any tile-math tolerance; the plate-fixed drift is ~2.5 cm/yr).
+- **Arbitrary ``+proj=tmerc`` literals** (Gauss-Krüger zones, national
+  grids like OSGB): the general TM kernel on any of the named PROJ
+  ellipsoids (WGS84/GRS80/bessel/intl/airy/krass/clrk66) or explicit
+  ``+a``/``+b``/``+rf``, with optional 3-parameter ``+towgs84`` datum
+  translation (the Swiss wrapper generalized). The literal path is pinned
+  against GN7-2's OSGB worked example (nonzero lat_0) and proven equal to
+  the UTM registry path on a UTM-parameter literal. 7-parameter Helmert
+  and unknown ellipsoids are refused loudly — never approximated.
 
 Accuracy evidence (no pyproj in this environment): (a) the reference's OWN
 pinned PostGIS ``ST_Transform(…, 21781)`` coordinates (proj-computed,
@@ -418,6 +426,103 @@ _REGISTRY = {
 }
 
 
+# named ellipsoids (public PROJ table values) for +ellps= literals
+_ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    "WGS84": (WGS84_A, WGS84_F),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "bessel": (BESSEL_A, BESSEL_F),
+    "intl": (6378388.0, 1.0 / 297.0),
+    "airy": (6377563.396, 1.0 / 299.3249646),
+    "krass": (6378245.0, 1.0 / 298.3),
+    "clrk66": (6378206.4, 1.0 / 294.9786982),
+}
+
+
+def _ellipsoid_from_tokens(toks: dict) -> tuple[float, float]:
+    if "ellps" in toks:
+        try:
+            return _ELLIPSOIDS[toks["ellps"]]
+        except KeyError:
+            raise NotImplementedError(
+                f"ellipsoid {toks['ellps']!r} not implemented "
+                f"(supported: {sorted(_ELLIPSOIDS)})"
+            ) from None
+    if "a" in toks:
+        a = float(toks["a"])
+        if "rf" in toks:
+            return a, 1.0 / float(toks["rf"])
+        if "f" in toks:
+            return a, float(toks["f"])
+        if "b" in toks:
+            return a, (a - float(toks["b"])) / a
+        raise NotImplementedError(
+            f"ellipsoid underdetermined (+a without +b/+f/+rf): {toks}"
+        )
+    return WGS84_A, WGS84_F  # PROJ's default datum
+
+
+def _towgs84(toks: dict) -> np.ndarray | None:
+    """3-parameter geocentric translation local-datum -> WGS84 (the same
+    convention as the registered Swiss shift). 7-parameter Helmert with
+    nonzero rotation/scale is refused loudly rather than approximated."""
+    if "towgs84" not in toks:
+        return None
+    vals = [float(v) for v in toks["towgs84"].split(",")]
+    if len(vals) not in (3, 7):
+        raise NotImplementedError(f"malformed +towgs84: {toks['towgs84']}")
+    if len(vals) == 7 and any(vals[3:]):
+        raise NotImplementedError(
+            "7-parameter Helmert (rotation/scale) not implemented — "
+            "only 3-parameter geocentric translation"
+        )
+    shift = np.array(vals[:3])
+    return shift if np.any(shift) else None
+
+
+def _datum_wrapped(proj, a: float, f: float, shift):
+    """Wrap a projection defined on datum (a, f) so the registry sees
+    WGS84-lonlat <-> projected, exactly like the Swiss pair: forward
+    applies the INVERSE translation (WGS84 -> local geodetic) before
+    projecting; inverse translates back after unprojecting."""
+    if shift is None:
+        return proj.fwd, proj.inv
+
+    def fwd(lon, lat):
+        lon_l, lat_l = _shift_datum(lon, lat, WGS84_A, WGS84_F, a, f, -shift)
+        return proj.fwd(lon_l, lat_l)
+
+    def inv(x, y):
+        lon_l, lat_l = proj.inv(x, y)
+        return _shift_datum(lon_l, lat_l, a, f, WGS84_A, WGS84_F, shift)
+
+    return fwd, inv
+
+
+def _register_tmerc(toks: dict) -> str:
+    """Arbitrary ``+proj=tmerc`` literal (Gauss-Krüger zones, national
+    grids): build the general Transverse Mercator on the literal's
+    ellipsoid/parameters, wrap the optional 3-param datum shift, memoize
+    under a canonical key. The TM kernel itself is the UTM one, pinned
+    against the EPSG GN7-2 OSGB worked example (lat_0=49N — a nonzero
+    M0 path)."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    a, f = _ellipsoid_from_tokens(toks)
+    tm = _TransverseMercator(
+        lon0_deg=float(toks.get("lon_0", 0.0)),
+        k0=float(toks.get("k", toks.get("k_0", 1.0))),
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+        lat0_deg=float(toks.get("lat_0", 0.0)),
+        a=a, f=f,
+    )
+    _REGISTRY[key] = _datum_wrapped(tm, a, f, _towgs84(toks))
+    return key
+
+
 def _parse_proj4(literal: str) -> str | None:
     """Map the proj4 literals the reference's configs/tests use onto the
     registry (``transform_bbox`` takes proj4 literals in the reference —
@@ -427,6 +532,8 @@ def _parse_proj4(literal: str) -> str | None:
         for t in literal.split()
     )
     proj = toks.get("proj")
+    if proj == "tmerc":
+        return _register_tmerc(toks)
     if proj == "longlat":
         return "EPSG:4326"
     if proj == "merc" and toks.get("a") == toks.get("b") == "6378137":
