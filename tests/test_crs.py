@@ -343,3 +343,35 @@ def test_tmerc_literal_refuses_helmert_and_unknown_ellipsoid():
     with _pt.raises(NotImplementedError, match="ellipsoid"):
         transform_coords(
             "EPSG:4326", "+proj=tmerc +lon_0=9 +ellps=evrst30", [12.0], [55.0])
+
+
+def test_merc_literal_makassar_worked_example_and_lat_ts():
+    """Generic +proj=merc literal — the GN7-2 Makassar/NEIEZ example
+    expressed AS a proj4 literal (variant A, +k), and its variant-B twin
+    (+lat_ts chosen so k0 matches: the two literals must agree)."""
+    import numpy as np
+
+    from tilecloud_chain_spark.crs import transform_coords
+
+    lit = ("+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 "
+           "+ellps=bessel")
+    (e,), (n,) = transform_coords("EPSG:4326", lit, [120.0], [-3.0])
+    assert round(float(e), 2) == 5_009_726.58
+    assert round(float(n), 2) == 569_150.82
+    lon, lat = transform_coords(lit, "EPSG:4326", [e], [n])
+    assert np.allclose([lon[0], lat[0]], [120.0, -3.0], atol=1e-9)
+    # variant B: find lat_ts whose k0 == 0.997 on Bessel, assert agreement
+    from tilecloud_chain_spark.crs import BESSEL_F, _e2
+
+    e2 = _e2(BESSEL_F)
+    # k0(phi) = cos(phi)/sqrt(1-e2 sin^2 phi); solve by bisection
+    lo, hi = 0.0, 10.0
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        p = np.radians(mid)
+        k = np.cos(p) / np.sqrt(1 - e2 * np.sin(p) ** 2)
+        lo, hi = (mid, hi) if k > 0.997 else (lo, mid)
+    lit_b = (f"+proj=merc +lon_0=110 +lat_ts={lo} +x_0=3900000 "
+             "+y_0=900000 +ellps=bessel")
+    (eb,), (nb,) = transform_coords("EPSG:4326", lit_b, [120.0], [-3.0])
+    assert abs(eb - e) < 0.01 and abs(nb - n) < 0.01

@@ -31,14 +31,17 @@ are implemented from their published definitions:
   5009726.58, 569150.82 with k0=0.997) — reproduced to the published cm.
 - **EPSG:4258 (ETRS89 geographic)**: identity with WGS84 (coincident to
   < 1 cm at any tile-math tolerance; the plate-fixed drift is ~2.5 cm/yr).
-- **Arbitrary ``+proj=tmerc`` literals** (Gauss-Krüger zones, national
-  grids like OSGB): the general TM kernel on any of the named PROJ
+- **Arbitrary ``+proj=tmerc`` and ``+proj=merc`` literals** (Gauss-Krüger
+  zones, national grids like OSGB, regional Mercators like Makassar/NEIEZ):
+  the general TM / ellipsoidal-Mercator kernels on any of the named PROJ
   ellipsoids (WGS84/GRS80/bessel/intl/airy/krass/clrk66) or explicit
-  ``+a``/``+b``/``+rf``, with optional 3-parameter ``+towgs84`` datum
-  translation (the Swiss wrapper generalized). The literal path is pinned
-  against GN7-2's OSGB worked example (nonzero lat_0) and proven equal to
-  the UTM registry path on a UTM-parameter literal. 7-parameter Helmert
-  and unknown ellipsoids are refused loudly — never approximated.
+  ``+a``/``+b``/``+rf``, Mercator variant A (``+k``) or B (``+lat_ts``),
+  with optional 3-parameter ``+towgs84`` datum translation (the Swiss
+  wrapper generalized). The literal paths are pinned against GN7-2's OSGB
+  and Makassar worked examples and proven equal to the UTM registry path
+  on a UTM-parameter literal; a spherical ``+a=+b`` literal degenerates
+  exactly to the spherical formulas (e=0). 7-parameter Helmert and
+  unknown ellipsoids are refused loudly — never approximated.
 
 Accuracy evidence (no pyproj in this environment): (a) the reference's OWN
 pinned PostGIS ``ST_Transform(…, 21781)`` coordinates (proj-computed,
@@ -523,6 +526,32 @@ def _register_tmerc(toks: dict) -> str:
     return key
 
 
+def _register_merc(toks: dict) -> str:
+    """Arbitrary ellipsoidal ``+proj=merc`` literal — Mercator variant A
+    (``+k``) or variant B (``+lat_ts``: k0 = cos(phi_ts) /
+    sqrt(1 - e^2 sin^2 phi_ts), EPSG method 9805). Pinned against the
+    same GN7-2 Makassar/NEIEZ worked example as EPSG:3395's kernel."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    a, f = _ellipsoid_from_tokens(toks)
+    if "lat_ts" in toks:
+        phi_ts = float(toks["lat_ts"]) * _D2R
+        k0 = float(np.cos(phi_ts) / np.sqrt(1.0 - _e2(f) * np.sin(phi_ts) ** 2))
+    else:
+        k0 = float(toks.get("k", toks.get("k_0", 1.0)))
+    m = _EllipsoidalMercator(
+        a, f, k0=k0,
+        lon0_deg=float(toks.get("lon_0", 0.0)),
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+    )
+    _REGISTRY[key] = _datum_wrapped(m, a, f, _towgs84(toks))
+    return key
+
+
 def _parse_proj4(literal: str) -> str | None:
     """Map the proj4 literals the reference's configs/tests use onto the
     registry (``transform_bbox`` takes proj4 literals in the reference —
@@ -538,11 +567,14 @@ def _parse_proj4(literal: str) -> str | None:
         return "EPSG:4326"
     if proj == "merc" and toks.get("a") == toks.get("b") == "6378137":
         return "EPSG:3857"
-    if proj == "merc" and (
+    if proj == "merc" and set(toks) <= {"proj", "ellps", "a", "no_defs"} and (
         toks.get("ellps") == "WGS84"
         or (toks.get("a") == "6378137" and "b" not in toks)
+        or ("ellps" not in toks and "a" not in toks)
     ):
         return "EPSG:3395"
+    if proj == "merc":
+        return _register_merc(toks)
     if proj == "somerc":
         return "EPSG:2056" if toks.get("x_0", "600000").startswith("26") else "EPSG:21781"
     if proj == "utm" and toks.get("zone", "").isdigit():
