@@ -375,3 +375,33 @@ def test_merc_literal_makassar_worked_example_and_lat_ts():
              "+y_0=900000 +ellps=bessel")
     (eb,), (nb,) = transform_coords("EPSG:4326", lit_b, [120.0], [-3.0])
     assert abs(eb - e) < 0.01 and abs(nb - n) < 0.01
+
+
+def test_longlat_literal_with_datum_shift():
+    """+proj=longlat on a non-WGS84 datum WITH +towgs84 is a real datum
+    transform (the CH1903 geographic literal must agree with the Swiss
+    registered chain); without +towgs84 it stays the WGS84 identity."""
+    import numpy as np
+
+    from tilecloud_chain_spark.crs import transform_coords
+
+    ch_geo = "+proj=longlat +ellps=bessel +towgs84=674.374,15.056,405.346"
+    # Bern in WGS84 -> CH1903 geodetic via the literal; projecting THOSE
+    # coords with the bare somerc (no second shift) must equal the
+    # registered EPSG:21781 chain from WGS84 directly
+    lon_w, lat_w = 7.438632420871814, 46.95108277227297
+    (lon_ch,), (lat_ch,) = transform_coords("EPSG:4326", ch_geo, [lon_w], [lat_w])
+    assert abs(lon_ch - lon_w) > 1e-5 and abs(lat_ch - lat_w) > 1e-5  # real shift
+    from tilecloud_chain_spark.crs import _LV03
+
+    x_direct, y_direct = _LV03.fwd(lon_ch, lat_ch)
+    (x_chain,), (y_chain,) = transform_coords(
+        "EPSG:4326", "EPSG:21781", [lon_w], [lat_w])
+    assert np.allclose([x_direct, y_direct], [x_chain, y_chain], atol=1e-6)
+    # roundtrip closes
+    (lon2,), (lat2,) = transform_coords(ch_geo, "EPSG:4326", [lon_ch], [lat_ch])
+    assert np.allclose([lon2, lat2], [lon_w, lat_w], atol=1e-9)
+    # no +towgs84 -> WGS84 identity (reference-literal back-compat)
+    (lx,), (ly,) = transform_coords(
+        "EPSG:4326", "+proj=longlat +ellps=bessel", [lon_w], [lat_w])
+    assert (lx, ly) == (lon_w, lat_w)

@@ -564,7 +564,27 @@ def _parse_proj4(literal: str) -> str | None:
     if proj == "tmerc":
         return _register_tmerc(toks)
     if proj == "longlat":
-        return "EPSG:4326"
+        shift = _towgs84(toks)
+        a, f = _ellipsoid_from_tokens(toks)
+        if shift is None:
+            # no datum translation given: geographic coords on any
+            # ellipsoid are taken as WGS84-equivalent (PROJ's own behavior
+            # absent +towgs84 — the ellipsoid alone cannot shift a datum)
+            return "EPSG:4326"
+        key = "PROJ4:" + ",".join(
+            f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+        )
+        if key not in _REGISTRY:
+
+            class _Geographic:
+                fwd = staticmethod(
+                    lambda lon, lat: (np.asarray(lon, np.float64),
+                                      np.asarray(lat, np.float64))
+                )
+                inv = fwd
+
+            _REGISTRY[key] = _datum_wrapped(_Geographic, a, f, shift)
+        return key
     if proj == "merc" and toks.get("a") == toks.get("b") == "6378137":
         return "EPSG:3857"
     if proj == "merc" and set(toks) <= {"proj", "ellps", "a", "no_defs"} and (
