@@ -847,9 +847,13 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids gets 4 messy spellings of ONE logical URL (mixed-case scheme/
     host + default port; duplicate+trailing slash + reordered params;
     utm param + fragment; trailing-dot host + interleaved utm): all 4 must
-    canonicalize identically and keep only the min doc_id. The oracle
-    REPLAYS the canonicalization (regexp parts, tracking-param filter,
-    param sort, default-port CASE) independently in DuckDB SQL."""
+    canonicalize identically and keep only the min doc_id. Every 7th group
+    replaces its 4th spelling with a scheme-less RELATIVE url — those rows
+    must pass through canonicalization UNCHANGED (raw-string identity, so
+    each keeps itself) instead of collapsing into one degenerate '://…'
+    group (r6 ADVICE). The oracle REPLAYS the canonicalization (regexp
+    parts, tracking-param filter, param sort, default-port CASE, malformed
+    passthrough) independently in DuckDB SQL."""
     from tilecloud_chain_spark.operators import urls as U
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
@@ -867,6 +871,8 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 2, F.concat(
             F.lit("http://cdn"), h, F.lit(".example.com/docs/page"), gs,
             F.lit("?utm_source=feed&a=1&b=2#frag")))
+        .when((v == 3) & (F.pmod(g, F.lit(7)) == 3), F.concat(
+            F.lit("/docs/page"), gs, F.lit("?a=1&b=2")))
         .otherwise(F.concat(
             F.lit("http://cdn"), h, F.lit(".example.com./docs/page"), gs,
             F.lit("?a=1&utm_campaign=x&b=2")))
@@ -2665,8 +2671,10 @@ def oracle_sql() -> dict[str, str]:
                                || g || '/?a=1&b=2'
                    WHEN 2 THEN 'http://cdn' || h || '.example.com/docs/page'
                                || g || '?utm_source=feed&a=1&b=2#frag'
-                   ELSE 'http://cdn' || h || '.example.com./docs/page'
-                        || g || '?a=1&utm_campaign=x&b=2'
+                   ELSE CASE WHEN g % 7 = 3
+                        THEN '/docs/page' || g || '?a=1&b=2'
+                        ELSE 'http://cdn' || h || '.example.com./docs/page'
+                             || g || '?a=1&utm_campaign=x&b=2' END
                  END AS url
           FROM src
         ),
@@ -2675,11 +2683,14 @@ def oracle_sql() -> dict[str, str]:
                  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
-                 regexp_extract(url, '\?([^#]*)', 1) AS query
+                 regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\?(.*)$', 1) AS query
           FROM u
         ),
         canon AS (
           SELECT doc_id, url,
+                 CASE WHEN scheme = ''
+                        OR regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '\.$', '') = ''
+                 THEN url ELSE
                  scheme || '://' ||
                  CASE WHEN regexp_extract(hostport, ':(\d+)$', 1) = ''
                         OR (scheme = 'http'
@@ -2704,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
                         list_filter(string_split(query, '&'),
                           p -> p <> '' AND NOT regexp_matches(
                             p, '^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)='))), '&')
+                 END
                  END AS canonical_url
           FROM parts
         )

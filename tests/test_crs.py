@@ -405,3 +405,74 @@ def test_longlat_literal_with_datum_shift():
     (lx,), (ly,) = transform_coords(
         "EPSG:4326", "+proj=longlat +ellps=bessel", [lon_w], [lat_w])
     assert (lx, ly) == (lon_w, lat_w)
+
+
+# refuse-loudly token whitelist (round 7, ADVICE r6)
+
+
+def test_unknown_proj4_tokens_refused_loudly():
+    """Tokens the kernels do not honor must raise, never silently drop:
+    +datum=OSGB36 (EPSG:27700's canonical literal — silently accepting it
+    on WGS84 is a ~120 m error) and +units=km (1000x off)."""
+    import pytest
+
+    from tilecloud_chain_spark import crs
+
+    osgb_datum = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+                  "+x_0=400000 +y_0=-100000 +datum=OSGB36 +units=m +no_defs")
+    with pytest.raises(NotImplementedError, match="datum=OSGB36"):
+        crs.transform_coords("EPSG:4326", osgb_datum, [-1.0], [52.0])
+    with pytest.raises(NotImplementedError, match="units=km"):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=tmerc +lon_0=9 +ellps=WGS84 +units=km", [9.0], [52.0])
+    with pytest.raises(NotImplementedError, match="nadgrids"):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=merc +ellps=WGS84 +nadgrids=real.gsb", [9.0], [52.0])
+    # verified no-ops still pass
+    assert crs.supported(
+        "+proj=merc +ellps=WGS84 +units=m +datum=WGS84 +wktext "
+        "+type=crs +no_defs")
+
+
+def test_bare_a_merc_is_a_sphere_not_3395():
+    """PROJ semantics: '+proj=merc +a=6378137' (no +b/+ellps) is a SPHERE
+    (es=0) — spherical Mercator = EPSG:3857, NOT ellipsoidal EPSG:3395
+    (y diverges ~35 km at 55N). Non-standard radii are refused."""
+    import numpy as np
+    import pytest
+
+    from tilecloud_chain_spark import crs
+
+    assert crs._resolve("+proj=merc +a=6378137") == "EPSG:3857"
+    (xs,), (ys,) = crs.transform_coords(
+        "EPSG:4326", "+proj=merc +a=6378137", [9.0], [55.0])
+    (x57,), (y57,) = crs.transform_coords("EPSG:4326", "EPSG:3857", [9.0], [55.0])
+    assert np.allclose([xs, ys], [x57, y57])
+    (_,), (y95,) = crs.transform_coords("EPSG:4326", "EPSG:3395", [9.0], [55.0])
+    assert abs(ys - y95) > 30_000  # the aliasing bug this pins against
+    with pytest.raises(NotImplementedError, match="sphere|spherical"):
+        crs.transform_coords(
+            "EPSG:4326", "+proj=merc +a=6300000", [9.0], [55.0])
+
+
+def test_somerc_and_utm_literal_validation():
+    """somerc literals must match the pinned Swiss axis; UTM literals on a
+    non-WGS84 ellipsoid (a different grid, e.g. ED50) are refused."""
+    import pytest
+
+    from tilecloud_chain_spark import crs
+
+    lv03 = ("+proj=somerc +lat_0=46.95240555555556 "
+            "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
+            "+ellps=bessel +towgs84=674.4,15.1,405.3,0,0,0,0 +units=m +no_defs")
+    assert crs._resolve(lv03) == "EPSG:21781"
+    lv95 = lv03.replace("+x_0=600000 +y_0=200000", "+x_0=2600000 +y_0=1200000")
+    assert crs._resolve(lv95) == "EPSG:2056"
+    with pytest.raises(NotImplementedError, match="Swiss"):
+        crs._resolve(lv03.replace("+lat_0=46.95240555555556", "+lat_0=45"))
+    with pytest.raises(NotImplementedError, match="non-CH1903"):
+        crs._resolve(lv03.replace("674.4,15.1,405.3", "600,20,400"))
+    with pytest.raises(NotImplementedError, match="ellps=intl"):
+        crs._resolve("+proj=utm +zone=32 +ellps=intl")

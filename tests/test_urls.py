@@ -72,3 +72,25 @@ def test_url_dedup_plan_shape(spark):
     assert "partial_min" in plan, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_malformed_urls_pass_through_unchanged(spark):
+    """Scheme-less / relative / malformed URLs must NOT all collapse into
+    one degenerate '://…' group (r6 ADVICE: first-wins would silently drop
+    all-but-one of every unparseable URL in the corpus). They pass through
+    as the raw string, so they only dedup against byte-identical rows."""
+    for raw in ["/docs/page7?a=1", "example.com/a", "not a url", "ftp:/x"]:
+        assert _canon(spark, raw) == raw, raw
+    rows = [(1, "/rel/a"), (2, "/rel/b"), (3, "/rel/a"), (4, "no-scheme")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r.keep for r in U.url_dedup(df).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: True}
+
+
+def test_fragment_query_does_not_leak(spark):
+    """A '?' appearing after '#' is fragment content, not a query — it
+    must be dropped with the fragment (r6 ADVICE: the old query regex
+    matched the first '?' anywhere)."""
+    assert _canon(spark, "http://h.com/a#sec?x=1") == "http://h.com/a"
+    assert (_canon(spark, "http://h.com/a?b=2#sec?x=1")
+            == "http://h.com/a?b=2")

@@ -464,6 +464,37 @@ def _ellipsoid_from_tokens(toks: dict) -> tuple[float, float]:
     return WGS84_A, WGS84_F  # PROJ's default datum
 
 
+def _require_known_tokens(toks: dict, handled: frozenset) -> None:
+    """Refuse-loudly guard for proj4 literals: every token must either be
+    *handled* by the kernel being built or be a verified no-op. Before
+    round 7 unknown tokens were silently dropped, so ``+datum=OSGB36``
+    (EPSG:27700's canonical literal) was accepted on WGS84 with no datum
+    shift (~120 m error) and ``+units=km`` returned meters (1000x off) —
+    silently-wrong coordinates in a module whose policy is 'refused
+    loudly, never approximated'."""
+    for tok, val in toks.items():
+        if tok in handled:
+            continue
+        if tok in ("no_defs", "wktext"):
+            continue
+        if tok == "type" and val == "crs":
+            continue
+        if tok == "units" and val == "m":
+            continue
+        if tok == "datum" and val == "WGS84":
+            continue
+        if tok == "nadgrids" and val == "@null":
+            continue
+        raise NotImplementedError(
+            f"proj4 token +{tok}={val or ''} not implemented (honored tokens:"
+            f" {sorted(handled)}; no-ops: units=m, datum=WGS84,"
+            " nadgrids=@null, wktext, type=crs, no_defs)"
+        )
+
+
+_ELLIPSOID_TOKENS = frozenset({"proj", "ellps", "a", "b", "rf", "f", "towgs84"})
+
+
 def _towgs84(toks: dict) -> np.ndarray | None:
     """3-parameter geocentric translation local-datum -> WGS84 (the same
     convention as the registered Swiss shift). 7-parameter Helmert with
@@ -513,6 +544,10 @@ def _register_tmerc(toks: dict) -> str:
     )
     if key in _REGISTRY:
         return key
+    _require_known_tokens(
+        toks,
+        _ELLIPSOID_TOKENS | {"lat_0", "lon_0", "k", "k_0", "x_0", "y_0"},
+    )
     a, f = _ellipsoid_from_tokens(toks)
     tm = _TransverseMercator(
         lon0_deg=float(toks.get("lon_0", 0.0)),
@@ -536,6 +571,10 @@ def _register_merc(toks: dict) -> str:
     )
     if key in _REGISTRY:
         return key
+    _require_known_tokens(
+        toks,
+        _ELLIPSOID_TOKENS | {"lat_ts", "lon_0", "k", "k_0", "x_0", "y_0"},
+    )
     a, f = _ellipsoid_from_tokens(toks)
     if "lat_ts" in toks:
         phi_ts = float(toks["lat_ts"]) * _D2R
@@ -564,6 +603,7 @@ def _parse_proj4(literal: str) -> str | None:
     if proj == "tmerc":
         return _register_tmerc(toks)
     if proj == "longlat":
+        _require_known_tokens(toks, _ELLIPSOID_TOKENS)
         shift = _towgs84(toks)
         a, f = _ellipsoid_from_tokens(toks)
         if shift is None:
@@ -585,23 +625,101 @@ def _parse_proj4(literal: str) -> str | None:
 
             _REGISTRY[key] = _datum_wrapped(_Geographic, a, f, shift)
         return key
-    if proj == "merc" and toks.get("a") == toks.get("b") == "6378137":
-        return "EPSG:3857"
-    if proj == "merc" and set(toks) <= {"proj", "ellps", "a", "no_defs"} and (
-        toks.get("ellps") == "WGS84"
-        or (toks.get("a") == "6378137" and "b" not in toks)
-        or ("ellps" not in toks and "a" not in toks)
-    ):
-        return "EPSG:3395"
     if proj == "merc":
+        _require_known_tokens(
+            toks,
+            _ELLIPSOID_TOKENS | {"lat_ts", "lon_0", "k", "k_0", "x_0", "y_0"},
+        )
+        defaults_zeroish = (
+            float(toks.get("lat_ts", 0)) == 0.0
+            and float(toks.get("lon_0", 0)) == 0.0
+            and float(toks.get("x_0", 0)) == 0.0
+            and float(toks.get("y_0", 0)) == 0.0
+            and float(toks.get("k", toks.get("k_0", 1))) == 1.0
+            and "towgs84" not in toks
+        )
+        sphere = (
+            "ellps" not in toks
+            and "a" in toks
+            and not ({"b", "rf", "f"} & set(toks))
+        )
+        if sphere:
+            # PROJ semantics: a bare +a defines a SPHERE (es=0), i.e.
+            # spherical Mercator — NOT the WGS84 ellipsoid. Aliasing
+            # +a=6378137 to ellipsoidal EPSG:3395 diverges ~35 km at 55N.
+            if toks["a"] == "6378137" and defaults_zeroish:
+                return "EPSG:3857"
+            raise NotImplementedError(
+                "spherical +proj=merc with a bare +a is only implemented "
+                "for the standard Earth radius with default parameters "
+                "(+a=6378137 -> EPSG:3857); give +b/+rf/+f or +ellps for "
+                "the ellipsoidal kernel"
+            )
+        if toks.get("a") == toks.get("b") == "6378137" and defaults_zeroish:
+            return "EPSG:3857"
+        if defaults_zeroish and toks.get("ellps", "WGS84") == "WGS84" and (
+            not ({"a", "b", "rf", "f"} & set(toks))
+        ):
+            return "EPSG:3395"
         return _register_merc(toks)
     if proj == "somerc":
-        return "EPSG:2056" if toks.get("x_0", "600000").startswith("26") else "EPSG:21781"
+        return _register_somerc(toks)
     if proj == "utm" and toks.get("zone", "").isdigit():
+        _require_known_tokens(toks, frozenset({"proj", "zone", "south", "ellps"}))
+        if toks.get("ellps", "WGS84") != "WGS84":
+            raise NotImplementedError(
+                "+proj=utm on a non-WGS84 ellipsoid is a different grid "
+                f"(got +ellps={toks['ellps']}); spell it as a +proj=tmerc "
+                "literal with the zone's lon_0/k/x_0"
+            )
         zone = int(toks["zone"])
         if 1 <= zone <= 60:
             return f"EPSG:{32700 + zone if 'south' in toks else 32600 + zone}"
     return None
+
+
+# the two Swiss grids this engine pins (swisstopo-exact kernels); a somerc
+# literal must match one of them — other oblique-Mercator axes would need
+# their own worked-example pins and are refused loudly
+_SOMERC_PINS = {
+    "600000": "EPSG:21781",
+    "2600000": "EPSG:2056",
+}
+
+
+def _register_somerc(toks: dict) -> str:
+    _require_known_tokens(
+        toks,
+        _ELLIPSOID_TOKENS | {"lat_0", "lon_0", "k", "k_0", "x_0", "y_0"},
+    )
+    lat0 = float(toks.get("lat_0", 0))
+    lon0 = float(toks.get("lon_0", 0))
+    if (
+        abs(lat0 - 46.952405555555565) > 1e-6
+        or abs(lon0 - 7.439583333333333) > 1e-6
+        or float(toks.get("k_0", toks.get("k", 1))) != 1.0
+        or toks.get("ellps", "bessel") != "bessel"
+    ):
+        raise NotImplementedError(
+            "+proj=somerc is implemented only for the Swiss CH1903/CH1903+ "
+            "axis (lat_0=46.9524055..., lon_0=7.4395833..., k_0=1, "
+            "ellps=bessel)"
+        )
+    shift = _towgs84(toks)
+    if shift is not None and not np.allclose(
+        shift, [674.374, 15.056, 405.346], atol=0.5
+    ):
+        raise NotImplementedError(
+            f"+proj=somerc with a non-CH1903 datum shift ({toks['towgs84']})"
+        )
+    x0 = toks.get("x_0", "600000")
+    code = _SOMERC_PINS.get(x0.split(".")[0])
+    if code is None:
+        raise NotImplementedError(
+            f"+proj=somerc with x_0={x0} matches neither LV03 (600000) "
+            "nor LV95 (2600000)"
+        )
+    return code
 
 
 def _resolve(srs: str) -> str:

@@ -34,7 +34,10 @@ TRACKING_PARAM_RE = r"^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)="
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# query extracted from the PRE-fragment substring (see canonicalize_url):
+# a '?' inside the fragment ('#sec?x=1') is fragment content, not a query
+_QUERY_RE = r"\?(.*)$"
+_PREFRAGMENT_RE = r"^([^#]*)"
 
 
 def canonicalize_url(url) -> F.Column:
@@ -70,7 +73,9 @@ def canonicalize_url(url) -> F.Column:
     path = F.regexp_replace(raw_path, r"/{2,}", "/")
     path = F.regexp_replace(path, r"(.)/$", r"$1")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, _QUERY_RE, 1)
+    query = F.regexp_extract(
+        F.regexp_extract(u, _PREFRAGMENT_RE, 1), _QUERY_RE, 1
+    )
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -81,7 +86,14 @@ def canonicalize_url(url) -> F.Column:
     qpart = F.when(qjoined == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), qjoined)
     )
-    return F.concat(scheme, F.lit("://"), hostc, path, qpart)
+    canonical = F.concat(scheme, F.lit("://"), hostc, path, qpart)
+    # scheme-less / relative / malformed URLs all extract to the same
+    # degenerate '://<path>' — canonicalizing them would collapse every
+    # unparseable URL in the corpus into ONE dedup group and first-
+    # occurrence-wins would drop all but one of those documents. Pass the
+    # raw string through instead: such rows only ever group with byte-
+    # identical siblings (plain exact-string dedup, always safe).
+    return F.when((scheme == "") | (host == ""), u).otherwise(canonical)
 
 
 def url_dedup(
