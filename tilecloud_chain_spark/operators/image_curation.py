@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tilecloud_chain_spark.operators.prefix import attach_offsets
+
 from tilecloud_chain_spark.operators.dedup import blocked_keys
 from tilecloud_chain_spark.operators.similarity import _cosine
 
@@ -177,26 +179,19 @@ def _distributed_rank(
     )
     counts = base.groupBy("_pid", *group_cols).count().collect()
     acc: dict[tuple, int] = {}
-    offsets: dict[tuple, int] = {}
+    rows: list[tuple] = []
     for r in sorted(
         counts,
         key=lambda r: (tuple(r[g] for g in group_cols), int(r["_pid"])),
     ):
         gkey = tuple(r[g] for g in group_cols)
-        offsets[(int(r["_pid"]), gkey)] = acc.get(gkey, 0)
-        acc[gkey] = offsets[(int(r["_pid"]), gkey)] + int(r["count"])
-    if offsets:
-        off_map = F.create_map(*[
-            x
-            for (pid, gkey), off in sorted(offsets.items())
-            for x in (F.lit("|".join(str(v) for v in (pid, *gkey))), F.lit(off))
-        ])
-        lookup = F.concat_ws(
-            "|", F.col("_pid"), *[F.col(g) for g in group_cols]
-        )
-        offset = off_map[lookup]
-    else:  # empty input: argless create_map() is a VOID map that fails
-        offset = F.lit(0)  # analysis; any typed literal works for 0 rows
+        off = acc.get(gkey, 0)
+        rows.append((int(r["_pid"]), *gkey, off))
+        acc[gkey] = off + int(r["count"])
+    # offsets travel as a literal map only while tiny and int-keyed; at
+    # cluster partition counts (or for non-integral group values) they
+    # become a broadcast-joined table — see operators/prefix.py
+    base, offset = attach_offsets(base, ["_pid", *group_cols], rows)
     win = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     return base, F.row_number().over(win) - 1 + offset
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from tilecloud_chain_spark.operators.prefix import attach_offsets
+
 
 def hex_threshold(fraction: float) -> str:
     """32-hex-char lexicographic threshold equivalent to ``md5_u128/16^32 <
@@ -119,18 +121,18 @@ def shard_assignments(
         r["_pid"]: r["tot"]
         for r in base.groupBy("_pid").agg(F.sum("n_bytes").alias("tot")).collect()
     }
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for pid in sorted(totals):  # range partitions ascend in id order
-        offsets[pid] = acc
+        rows.append((int(pid), acc))
         acc += int(totals[pid] or 0)
-    off_map = F.create_map(
-        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
-    )
+    # literal map while tiny, broadcast-joined offsets table at cluster
+    # partition counts (operators/prefix.py)
+    base, offset = attach_offsets(base, ["_pid"], rows)
     win = (
         Window.partitionBy("_pid").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    before = F.sum("n_bytes").over(win) + off_map[F.col("_pid")] - F.col("n_bytes")
+    before = F.sum("n_bytes").over(win) + offset - F.col("n_bytes")
     sb = F.lit(float(shard_bytes))  # double division: exact below 2^53 bytes
     shard = F.floor(before / sb).cast("long")
     return base.select(

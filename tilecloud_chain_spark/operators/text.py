@@ -16,6 +16,8 @@ from __future__ import annotations
 import pandas as pd  # noqa: F401 - pandas_udf type hints resolve via module globals
 from pyspark.sql import Column, DataFrame, functions as F
 
+from tilecloud_chain_spark.operators.prefix import attach_offsets
+
 # tiny marker sets; a real system would ship trained n-gram profiles, but the
 # operator shape (scored CASE over marker hits) is the same.
 _LANG_MARKERS = {
@@ -158,18 +160,18 @@ def token_stream_chunks(
         r["_pid"]: r["tot"]
         for r in base.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
     }
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for pid in sorted(totals):  # range partitions are in ascending id order
-        offsets[pid] = acc
+        rows.append((int(pid), acc))
         acc += int(totals[pid])
-    off_map = F.create_map(
-        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
-    )
+    # literal map while tiny, broadcast-joined offsets table at cluster
+    # partition counts (operators/prefix.py)
+    base, offset = attach_offsets(base, ["_pid"], rows)
     win = (
         Window.partitionBy("_pid").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(win) + off_map[F.col("_pid")]
+    cum = F.sum("n_tokens").over(win) + offset
     out = base.select(
         "id", "n_tokens",
         (cum - F.col("n_tokens")).alias("start_off"),
