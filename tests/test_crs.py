@@ -92,10 +92,10 @@ def test_transform_bbox_same_srs_is_normalize_only():
 
 
 def test_unsupported_crs_raises():
-    # Lambert-93 is not implemented; UTM band codes outside zones 1-60 are
-    # not valid UTM either
+    # Krovak (EPSG:5514) is not implemented; UTM band codes outside zones
+    # 1-60 are not valid UTM either
     with pytest.raises(NotImplementedError):
-        crs.transform_coords("EPSG:2154", "EPSG:4326", 1.0, 2.0)
+        crs.transform_coords("EPSG:5514", "EPSG:4326", 1.0, 2.0)
     with pytest.raises(NotImplementedError):
         crs.transform_coords("EPSG:32699", "EPSG:4326", 1.0, 2.0)
 
@@ -476,3 +476,143 @@ def test_somerc_and_utm_literal_validation():
         crs._resolve(lv03.replace("674.4,15.1,405.3", "600,20,400"))
     with pytest.raises(NotImplementedError, match="ellps=intl"):
         crs._resolve("+proj=utm +zone=32 +ellps=intl")
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic (round 7): 2SP + 1SP kernels, EPSG:2154 registry,
+# +proj=lcc literals, reprojected geometry-filter golden
+# ---------------------------------------------------------------------------
+
+
+def _dms(d, m, s=0.0):
+    return d + m / 60.0 + s / 3600.0
+
+
+def test_lcc_2sp_epsg_guidance_note_worked_example():
+    """EPSG GN7-2 'Lambert Conic Conformal (2SP)' worked example (NAD27 /
+    Texas South Central, Clarke 1866, US survey feet): the published
+    intermediate constants AND the projected point reproduce exactly."""
+    p = crs._LambertConformal(
+        lat0_deg=_dms(27, 50), lon0_deg=-99.0,
+        fe=2_000_000.0, fn=0.0,
+        lat1_deg=_dms(28, 23), lat2_deg=_dms(30, 17),
+        a=20_925_832.16, f=1 / 294.97870,  # Clarke 1866 in US ft
+    )
+    assert p.n == pytest.approx(0.48991263, abs=5e-9)
+    assert p.F == pytest.approx(2.31154807, abs=5e-8)
+    assert p.r0 == pytest.approx(37_807_441.20, abs=0.02)  # rF
+    e, n = p.fwd(-96.0, 28.5)
+    assert float(e) == pytest.approx(2_963_503.91, abs=0.01)
+    assert float(n) == pytest.approx(254_759.80, abs=0.01)
+    lon, lat = p.inv(2_963_503.91, 254_759.80)
+    assert float(lon) == pytest.approx(-96.0, abs=1e-7)
+    assert float(lat) == pytest.approx(28.5, abs=1e-7)
+
+
+def test_lcc_1sp_epsg_guidance_note_worked_example():
+    """EPSG GN7-2 'Lambert Conic Conformal (1SP)' worked example (Jamaica
+    1969, Clarke 1866 meters, k0=1): published point reproduces exactly."""
+    p = crs._LambertConformal(
+        lat0_deg=18.0, lon0_deg=-77.0, fe=250_000.0, fn=150_000.0,
+        k0=1.0, a=6_378_206.400, f=1 / 294.97870,
+    )
+    e, n = p.fwd(-_dms(76, 56, 37.26), _dms(17, 55, 55.80))
+    assert float(e) == pytest.approx(255_966.58, abs=0.01)
+    assert float(n) == pytest.approx(142_493.51, abs=0.01)
+
+
+def test_lcc_scale_unity_on_standard_parallels():
+    """The conic's DEFINING property, checked numerically (independent of
+    any remembered golden): linear scale along both standard parallels is
+    exactly 1; between them < 1; outside > 1."""
+    a, f = crs.GRS80_A, crs.GRS80_F
+    p = crs._LambertConformal(
+        lat0_deg=46.5, lon0_deg=3.0, fe=0.0, fn=0.0,
+        lat1_deg=49.0, lat2_deg=44.0, a=a, f=f,
+    )
+    e2 = (2 - f) * f
+
+    def scale(phi_deg):
+        dlon = 1e-6
+        x1, y1 = p.fwd(2.0, phi_deg)
+        x2, y2 = p.fwd(2.0 + dlon, phi_deg)
+        dist = float(np.hypot(x2 - x1, y2 - y1))
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(phi_deg)) ** 2)
+        return dist / float(np.radians(dlon) * nu * np.cos(np.radians(phi_deg)))
+
+    assert scale(49.0) == pytest.approx(1.0, abs=1e-7)
+    assert scale(44.0) == pytest.approx(1.0, abs=1e-7)
+    assert scale(46.5) < 1.0 - 1e-5
+    assert scale(51.0) > 1.0 + 1e-5
+
+
+def test_lcc_epsg_2154_registry_and_literal():
+    """EPSG:2154 (RGF93 / Lambert-93): the natural origin (3°E, 46.5°N)
+    lands on the false origin EXACTLY by construction; the canonical
+    +proj=lcc literal resolves to the same kernel; round-trip over the
+    extent of France is machine precision."""
+    e, n = crs.transform_coords("EPSG:4326", "EPSG:2154", [3.0], [46.5])
+    assert float(e[0]) == pytest.approx(700_000.0, abs=1e-6)
+    assert float(n[0]) == pytest.approx(6_600_000.0, abs=1e-6)
+
+    lit = ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+           "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs")
+    for lon, lat in [(2.3522, 48.8566), (5.37, 43.30), (-1.55, 47.22)]:
+        xr, yr = crs.transform_coords("EPSG:4326", "EPSG:2154", [lon], [lat])
+        xl, yl = crs.transform_coords("EPSG:4326", lit, [lon], [lat])
+        assert float(xl[0]) == pytest.approx(float(xr[0]), abs=1e-9)
+        assert float(yl[0]) == pytest.approx(float(yr[0]), abs=1e-9)
+        back = crs.transform_coords("EPSG:2154", "EPSG:4326", xr, yr)
+        assert float(back[0][0]) == pytest.approx(lon, abs=1e-9)
+        assert float(back[1][0]) == pytest.approx(lat, abs=1e-9)
+    # Paris sanity window (±2 km around the well-known Lambert-93 value)
+    xp, yp = crs.transform_coords("EPSG:4326", "EPSG:2154", [2.3522], [48.8566])
+    assert abs(float(xp[0]) - 652_000) < 2_000
+    assert abs(float(yp[0]) - 6_862_000) < 2_000
+
+
+def test_lcc_literal_validation():
+    with pytest.raises(NotImplementedError, match="lat_1.*lat_0|lat_0.*lat_1"):
+        crs.transform_coords("EPSG:4326", "+proj=lcc +ellps=GRS80", [1.0], [1.0])
+    with pytest.raises(NotImplementedError, match="not implemented"):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +ellps=GRS80 "
+            "+units=km", [1.0], [46.0],
+        )
+    # 3-param datum shift composes (NTF-era style shift, magnitude check):
+    # shifting the datum must move the result by roughly the shift size
+    base = crs.transform_coords(
+        "EPSG:4326",
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +ellps=GRS80",
+        [3.0], [46.5])
+    shifted = crs.transform_coords(
+        "EPSG:4326",
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +ellps=GRS80 "
+        "+towgs84=-168,-60,320",
+        [3.0], [46.5])
+    d = float(np.hypot(shifted[0][0] - base[0][0], shifted[1][0] - base[1][0]))
+    assert 150 < d < 600
+
+
+def test_reprojected_geometry_filter_lcc(spark):
+    """Layer geometry delivered in Lambert-93 against the Swiss grid must
+    produce the identical filtered tile set as the native-SRS geometry
+    (the same guarantee test_reprojected_geometry_filter_utm pins for UTM)."""
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.sources import enumerate as EN
+
+    grid = SWISSGRID_5
+    layer = LAYERS["polygon"]
+    native = parse_wkt(layer.geom_wkt)
+    g_lcc = GE.transform_geom("EPSG:21781", "EPSG:2154", native)
+    geoms_native = GE.resolve_geoms(grid, layer, zooms=range(3))
+    geoms_reproj = GE.resolve_geoms(
+        grid, layer,
+        geom_rows=[{"wkt": _to_wkt(g_lcc)}],
+        zooms=range(3), layer_srs="EPSG:2154",
+    )
+    tiles = EN.dense_tiles(spark, grid, range(3))
+    a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_native).collect()}
+    b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_reproj).collect()}
+    assert a == b and len(a) > 0

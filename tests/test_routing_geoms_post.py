@@ -55,10 +55,10 @@ def test_transform_bbox_lv03_lv95():
     # CRS still raise
     out = GEO.transform_bbox("EPSG:21781", "EPSG:3857", (600000, 200000, 601000, 201000))
     assert out[0] < out[2] and out[1] < out[3]
-    # UTM is implemented since round 3 (crs.py TM series); a genuinely
-    # unimplemented CRS still raises
+    # UTM (round 3) and Lambert-93 (round 7) are implemented; a genuinely
+    # unimplemented CRS (Krovak) still raises
     with pytest.raises(NotImplementedError):
-        GEO.transform_bbox("EPSG:21781", "EPSG:2154", (0, 0, 1, 1))
+        GEO.transform_bbox("EPSG:21781", "EPSG:5514", (0, 0, 1, 1))
 
 
 def test_route_broadcast_join(spark):

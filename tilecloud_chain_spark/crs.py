@@ -65,6 +65,8 @@ import numpy as np
 
 WGS84_A = 6378137.0
 WGS84_F = 1.0 / 298.257223563
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
 BESSEL_A = 6377397.155
 BESSEL_F = 1.0 / 299.1528128
 # EPSG:1766 — CH1903 to WGS 84 geocentric translation (meters)
@@ -371,6 +373,77 @@ class _TransverseMercator:
         return lon_deg, lat_deg
 
 
+class _LambertConformal:
+    """Ellipsoidal Lambert Conformal Conic, 1SP (EPSG method 9801) and 2SP
+    (EPSG method 9802), equations per EPSG Guidance Note 7-2 (public).
+    2SP when ``lat_1``/``lat_2`` are given (France Lambert-93, US State
+    Plane, Canada); 1SP when only ``lat_0`` + ``k0`` (Jamaica-style).
+
+    Correctness is pinned three independent ways in tests: the GN7-2 2SP
+    worked example, numeric scale factor == 1 on both standard parallels
+    (the conic's defining property — checks the math, not a remembered
+    number), and fwd∘inv round-trip to machine precision."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float, fe: float, fn: float,
+                 lat1_deg: float | None = None, lat2_deg: float | None = None,
+                 k0: float = 1.0, a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.fe, self.fn = a, fe, fn
+        self.lam0 = lon0_deg * _D2R
+        self.e2 = _e2(f)
+        self.e = float(np.sqrt(self.e2))
+        phi0 = lat0_deg * _D2R
+        if lat1_deg is None:
+            lat1_deg = lat0_deg  # 1SP: the single parallel is lat_0
+        phi1 = lat1_deg * _D2R
+        if lat2_deg is not None and abs(lat2_deg - lat1_deg) > 1e-12:
+            phi2 = lat2_deg * _D2R
+            m1, m2 = self._m(phi1), self._m(phi2)
+            t1, t2 = self._t(phi1), self._t(phi2)
+            self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+            self.F = float(m1 / (self.n * t1 ** self.n))
+            k0 = 1.0  # 2SP has no scale factor token
+        else:
+            self.n = float(np.sin(phi1))
+            t1 = self._t(phi1)
+            self.F = float(self._m(phi1) / (self.n * t1 ** self.n))
+        self.aFk = self.a * self.F * k0
+        self.r0 = float(self.aFk * self._t(phi0) ** self.n)
+
+    def _m(self, phi):
+        return np.cos(phi) / np.sqrt(1.0 - self.e2 * np.sin(phi) ** 2)
+
+    def _t(self, phi):
+        es = self.e * np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - es) / (1.0 + es)) ** (
+            self.e / 2.0
+        )
+
+    def fwd(self, lon_deg, lat_deg):
+        phi = np.asarray(lat_deg, dtype=np.float64) * _D2R
+        lam = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        r = self.aFk * self._t(phi) ** self.n
+        th = self.n * (lam - self.lam0)
+        return self.fe + r * np.sin(th), self.fn + self.r0 - r * np.cos(th)
+
+    def inv(self, e_, n_):
+        x = np.asarray(e_, dtype=np.float64) - self.fe
+        y = self.r0 - (np.asarray(n_, dtype=np.float64) - self.fn)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        r = sgn * np.sqrt(x * x + y * y)
+        t = (r / self.aFk) ** (1.0 / self.n)
+        th = np.arctan2(sgn * x, sgn * y)
+        lam = th / self.n + self.lam0
+        # GN7-2 fixed-point iteration for phi(t); converges quadratically-
+        # enough in practice — 8 rounds reach float64 fixed point
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            es = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (self.e / 2.0)
+            )
+        return lam * _R2D, phi * _R2D
+
+
 def _utm(zone: int, south: bool) -> _TransverseMercator:
     """UTM zone on WGS84: k0=0.9996, central meridian zone*6-183, FE 500 km,
     FN 10 000 km in the southern hemisphere."""
@@ -428,11 +501,21 @@ _REGISTRY = {
     "EPSG:2056": (_swiss_fwd(_LV95), _swiss_inv(_LV95)),
 }
 
+# RGF93 / Lambert-93 (EPSG:2154) — the national grid of France, LCC 2SP on
+# GRS80; RGF93 coincides with WGS84 at this engine's tolerance (ETRS89-
+# class realization, same argument as EPSG:4258 above)
+_LAMBERT93 = _LambertConformal(
+    lat0_deg=46.5, lon0_deg=3.0, fe=700_000.0, fn=6_600_000.0,
+    lat1_deg=49.0, lat2_deg=44.0,
+    a=GRS80_A, f=GRS80_F,
+)
+_REGISTRY["EPSG:2154"] = (_LAMBERT93.fwd, _LAMBERT93.inv)
+
 
 # named ellipsoids (public PROJ table values) for +ellps= literals
 _ELLIPSOIDS: dict[str, tuple[float, float]] = {
     "WGS84": (WGS84_A, WGS84_F),
-    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "GRS80": (GRS80_A, GRS80_F),
     "bessel": (BESSEL_A, BESSEL_F),
     "intl": (6378388.0, 1.0 / 297.0),
     "airy": (6377563.396, 1.0 / 299.3249646),
@@ -561,6 +644,43 @@ def _register_tmerc(toks: dict) -> str:
     return key
 
 
+def _register_lcc(toks: dict) -> str:
+    """Arbitrary ``+proj=lcc`` literal — 2SP (``+lat_1``/``+lat_2``: France,
+    US State Plane, Canada) or 1SP (``+lat_0`` + ``+k_0``: Jamaica-style).
+    Same refuse-loudly token policy and 3-param datum wrapping as the tmerc
+    arm; kernel pinned against the EPSG GN7-2 2SP worked example plus a
+    numeric scale-unity check on both standard parallels."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    _require_known_tokens(
+        toks,
+        _ELLIPSOID_TOKENS | {"lat_0", "lat_1", "lat_2", "lon_0", "k", "k_0",
+                             "x_0", "y_0"},
+    )
+    a, f = _ellipsoid_from_tokens(toks)
+    lat1 = toks.get("lat_1")
+    if lat1 is None and "lat_0" not in toks:
+        raise NotImplementedError(
+            "+proj=lcc needs +lat_1 (2SP) or +lat_0 (1SP) — a conic with no "
+            "parallel is undefined"
+        )
+    lcc = _LambertConformal(
+        lat0_deg=float(toks.get("lat_0", toks.get("lat_1", 0.0))),
+        lon0_deg=float(toks.get("lon_0", 0.0)),
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+        lat1_deg=float(lat1) if lat1 is not None else None,
+        lat2_deg=float(toks["lat_2"]) if "lat_2" in toks else None,
+        k0=float(toks.get("k", toks.get("k_0", 1.0))),
+        a=a, f=f,
+    )
+    _REGISTRY[key] = _datum_wrapped(lcc, a, f, _towgs84(toks))
+    return key
+
+
 def _register_merc(toks: dict) -> str:
     """Arbitrary ellipsoidal ``+proj=merc`` literal — Mercator variant A
     (``+k``) or variant B (``+lat_ts``: k0 = cos(phi_ts) /
@@ -662,6 +782,8 @@ def _parse_proj4(literal: str) -> str | None:
         ):
             return "EPSG:3395"
         return _register_merc(toks)
+    if proj == "lcc":
+        return _register_lcc(toks)
     if proj == "somerc":
         return _register_somerc(toks)
     if proj == "utm" and toks.get("zone", "").isdigit():
