@@ -212,3 +212,102 @@ def test_bpe_load_merges_hash_left_token(tmp_path):
     assert merges == [("#", "#"), ("a", "b")]
     # round-trip: a trained table with a '#' left token survives
     assert B.load_merges(B.merges_to_lines(merges)) == merges
+
+
+# --------------------------------------------------------------------------
+# byte-level (GPT-2 convention) encoder
+# --------------------------------------------------------------------------
+
+
+def _gpt2_style_table():
+    """A hand-built 50-merge byte-level merges.txt in the published GPT-2
+    format (version header, Ġ space-prefix convention, rank order): the
+    first ranks mirror the real GPT-2 table's opening pattern; every probe
+    pin below is derived BY HAND from rank-greedy application."""
+    pairs = [
+        "Ġ t", "h e", "Ġt he", "Ġ c", "a t",          # ranks 0-4
+        "Ġc at", "Ġ s", "Ġs at", "i s", "is n",       # ranks 5-9
+        "b c", "a b",                                  # ranks 10-11: rank trap
+        # filler ranks 12+: plausible English pairs, none adjacent in probes
+        "Ġ a", "Ġ o", "Ġ w", "Ġ b", "Ġ f", "Ġ m", "Ġ d", "Ġ p", "Ġ l",
+        "e r", "e n", "e d", "o r", "o u", "o n", "a n", "an d", "Ġa n",
+        "Ġan d", "n g", "i ng", "o w", "l e", "l y", "s e", "s t", "c h",
+        "s h", "t r", "w h", "r o", "r a", "u r", "u n", "o m", "u t",
+        "i l", "i r",
+    ]
+    return ["#version: 0.2"] + pairs
+
+
+def test_bytes_to_unicode_pins():
+    """The public GPT-2 byte-alias table: a 256-entry bijection where
+    printable latin bytes alias to themselves and the well-known markers
+    land exactly where every published merges.txt shows them."""
+    from tilecloud_chain_spark.operators import bpe as B
+
+    t = B.bytes_to_unicode()
+    assert len(t) == 256 and len(set(t.values())) == 256
+    assert t[ord(" ")] == "Ġ"   # Ġ — the space-prefix marker
+    assert t[ord("\n")] == "Ċ"  # Ċ
+    assert t[ord("A")] == "A" and t[ord("~")] == "~"
+    assert t[0xC3] == "\xc3" and t[0xA9] == "\xa9"  # self-alias high bytes
+
+
+def test_bpe_encode_bytes_reproduces_published_table(spark, tmp_path):
+    """Byte-level encode of a published-format table: exact hand-derived
+    tokenizations, including the conventions the word-level encoder cannot
+    express — case preserved, space attached to the following word (Ġ),
+    contractions split by the pre-tokenizer, rank-greedy (never
+    left-to-right) merge order, multibyte UTF-8 as byte aliases."""
+    from tilecloud_chain_spark.operators import bpe as B
+
+    p = tmp_path / "merges.txt"
+    p.write_text("\n".join(_gpt2_style_table()))
+    merges = B.load_merges(str(p))
+    assert len(merges) == 50 and merges[0] == ("Ġ", "t")
+
+    probes = [
+        # sentence-initial 'the' has no Ġ: stays t+he; ' cat'/' sat' hit
+        # their Ġ-prefixed merges (at merges before Ġs — rank-greedy)
+        (1, "the cat sat", ["t", "he", "Ġcat", "Ġsat"]),
+        # capital preserved: 'The' is NOT 'the'
+        (2, "The", ["T", "he"]),
+        # contraction split by the pre-tokenizer: isn + 't
+        (3, "isn't", ["isn", "'", "t"]),
+        # rank-greedy trap: (b,c) rank 10 beats (a,b) rank 11
+        (4, "abc", ["a", "bc"]),
+        # multibyte UTF-8: é = 0xC3 0xA9 aliases; (Ġ,c) merges, (Ġc,a) has
+        # no rule without 'at'
+        (5, "a café", ["a", "Ġc", "a", "f", "\xc3", "\xa9"]),
+        # numbers split from punctuation; newline aliases to Ċ
+        (6, "v2.0\n", ["v", "2", ".", "0", "Ċ"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in probes], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: list(r["bpe_tokens"])
+           for r in B.bpe_encode_bytes(df, merges).collect()}
+    for i, _, want in probes:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_bpe_encode_bytes_lossless_roundtrip(spark):
+    """Byte-level BPE is lossless by construction: decoding the token
+    aliases recovers the input byte-exactly for arbitrary unicode."""
+    from tilecloud_chain_spark.operators import bpe as B
+
+    texts = [
+        "plain ascii",
+        "tabs\tand\nnewlines  doubled",
+        "café naïve über",
+        "日本語 한국어",
+        "emoji \U0001f99c ok",
+        "'s 't 're trailing ",
+    ]
+    merges = B.load_merges(_gpt2_style_table())
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = B.bpe_encode_bytes(df, merges).collect()
+    for r in rows:
+        assert B.byte_alias_decode(list(r["bpe_tokens"])) == texts[r["doc_id"]]
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])

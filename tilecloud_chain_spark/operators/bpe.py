@@ -100,16 +100,15 @@ def load_merges(source) -> list[tuple[str, str]]:
     such tables with ``bpe_encode(..., add_eow=False)``. Tables written by
     :func:`merges_to_lines` round-trip exactly, marker included.
 
-    Compatibility scope: this parser accepts any table in the ``merges.txt``
-    FORMAT, but :func:`bpe_encode` is a lowercasing, whitespace-splitting
-    WORD-level encoder — byte-level tables (GPT-2/RoBERTa, with the
-    Ġ/space-prefix token convention) are format-compatible but NOT
-    tokenization-compatible: their merges are keyed on byte-alphabet
-    symbols this encoder never produces, so encoding with an actual GPT-2
-    table degenerates to near-character-level output rather than GPT-2
-    tokenization. Only word-level tables (e.g. ones written by
-    :func:`merges_to_lines` / trained by :func:`train_bpe`) reproduce
-    their source tokenizer."""
+    Which encoder a table needs: :func:`bpe_encode` is a lowercasing,
+    whitespace-splitting WORD-level encoder for tables trained by
+    :func:`train_bpe` / written by :func:`merges_to_lines`. Byte-level
+    tables (GPT-2/RoBERTa — the dominant published format, recognizable by
+    the ``Ġ`` space-prefix convention in their pairs) are keyed on the
+    byte-alias alphabet and must be encoded with :func:`bpe_encode_bytes`,
+    which implements the full GPT-2 convention (published pre-tokenizer
+    regex + byte-to-printable-unicode alias + rank-greedy merges, no
+    ``</w>``) and reproduces the source tokenizer exactly."""
     if isinstance(source, str):
         with open(source) as f:
             lines = f.read().splitlines()
@@ -208,3 +207,106 @@ def train_bpe(df: DataFrame, num_merges: int = 100, max_vocab: int = 50_000,
               text_col: str = "text") -> list[tuple[str, str]]:
     """Convenience: distributed word count + driver merge loop."""
     return train_bpe_merges(word_frequencies(df, text_col), num_merges, max_vocab)
+
+
+# --------------------------------------------------------------------------
+# byte-level encoding (the GPT-2/RoBERTa convention — what published
+# merges.txt tables actually expect)
+# --------------------------------------------------------------------------
+
+#: the published GPT-2 pre-tokenizer pattern (contractions, space-prefixed
+#: letter/number/symbol runs, trailing-whitespace lookahead) — needs the
+#: ``regex`` module for \p{L}/\p{N} unicode categories
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte -> printable-unicode alias table (from the
+    GPT-2 release, public knowledge): every byte gets a single printable
+    unicode character so BPE can operate on lossless byte sequences as
+    strings. Printable latin bytes (``!``..``~``, ``¡``..``¬``,
+    ``®``..``ÿ``) alias to themselves; the remaining 68 bytes map, in
+    order, to ``chr(256 + n)`` — hence space -> ``Ġ`` (chr(288)) and
+    newline -> ``Ċ`` (chr(266)), the markers visible in every published
+    byte-level merges.txt."""
+    identity = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    table = {b: chr(b) for b in identity}
+    n = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + n)
+            n += 1
+    return table
+
+
+def byte_alias_decode(tokens: list[str]) -> str:
+    """Invert :func:`bytes_to_unicode` over a token sequence: byte-level
+    BPE is lossless, so decoding the concatenated aliases recovers the
+    original text exactly (tested as a round-trip property)."""
+    back = {c: b for b, c in bytes_to_unicode().items()}
+    return bytes(back[c] for t in tokens for c in t).decode("utf-8")
+
+
+def bpe_encode_bytes(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level BPE encode with the full GPT-2 convention, so PUBLISHED
+    merge tables (GPT-2, RoBERTa, and their many descendants — the most
+    common real tokenizer format in LLM pipelines) reproduce their source
+    tokenization exactly: pre-tokenize with the published regex (keeps
+    contractions and the space-prefix with the following word), alias each
+    pre-token's UTF-8 bytes through :func:`bytes_to_unicode` (one symbol
+    per byte), then rank-greedy merges — always the LOWEST-rank applicable
+    pair next, never left-to-right. No lowercasing, no ``</w>``.
+
+    Output and scale shape match :func:`bpe_encode`: (id_col, bpe_tokens
+    array<string>, n_bpe_tokens int) from one Arrow-batched stage, merge
+    table broadcast in the closure, per-pre-token memoization within each
+    batch (natural text repeats pre-tokens heavily)."""
+    import pandas as pd
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def encode(batches):
+        import regex
+
+        pat = regex.compile(GPT2_SPLIT_PATTERN)
+        alias = bytes_to_unicode()
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_col, counts = [], []
+            for t in pdf[text_col]:
+                out: list[str] = []
+                for piece in pat.findall(t or ""):
+                    enc = cache.get(piece)
+                    if enc is None:
+                        sym = "".join(alias[b] for b in piece.encode("utf-8"))
+                        enc = _encode_word(sym, ranks, add_eow=False)
+                        cache[piece] = enc
+                    out.extend(enc)
+                toks_col.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bpe_tokens": toks_col,
+                "n_bpe_tokens": pd.array(counts, dtype="int32"),
+            })
+
+    id_type = dict(df.dtypes)[id_col]
+    from tilecloud_chain_spark.session import ensure_parallelism
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(
+        encode, f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe_tokens int"
+    )
