@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from tilecloud_chain_spark.operators.text import tokens
 from tilecloud_chain_spark.session import ensure_parallelism as _ensure_parallelism
@@ -902,6 +903,59 @@ def _has_reliable_checkpoint_dir(df: DataFrame) -> bool:
         return False
 
 
+# rows of (long u, long v) per loop partition: small enough that one task's
+# window sort stays comfortably in memory, large enough that a billion-edge
+# round still fans out to ~15k tasks
+_CC_ROWS_PER_PARTITION = 1 << 16
+# star rounds before escalating to two hops per convergence check
+_CC_TWO_HOP_AFTER = 3
+
+
+def _cc_loop_partitions(n_edges: int) -> int:
+    return max(1, -(-int(n_edges) // _CC_ROWS_PER_PARTITION))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # connect every strictly-larger neighbor of u to u's min neighbor.
+    # The per-u min rides a window over the SAME hash partitioning the
+    # groupBy+join formulation would shuffle twice for — one exchange per
+    # star instead of two. No terminal distinct: duplicates cannot change
+    # small_star's min and its terminal distinct dedupes the round's output.
+    nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    big = nbrs.withColumn("mn", F.min("v").over(w)).filter(F.col("v") > F.col("u"))
+    return (
+        big.select(F.col("v").alias("u"), F.least("mn", F.col("u")).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # orient edges to the smaller endpoint, connect neighbors <= u to min.
+    # Same one-exchange window form; the (u, mn) self-edge the groupBy
+    # formulation unioned in is emitted by the partition's FIRST row
+    # (row_number marker) so the windowed frame is computed once — a
+    # unionAll of two selects of it would run the window shuffle twice.
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    w = Window.partitionBy("u")
+    om = o.withColumn("mn", F.min("v").over(w)).withColumn(
+        "_rn", F.row_number().over(w.orderBy("v"))
+    )
+    to_min = F.struct(F.col("v").alias("u"), F.col("mn").alias("v"))
+    self_min = F.struct(F.col("u").alias("u"), F.col("mn").alias("v"))
+    return (
+        om.select(
+            F.explode(
+                F.when(F.col("_rn") == 1, F.array(to_min, self_min))
+                .otherwise(F.array(to_min))
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 50, reliable: bool | None = None
 ) -> DataFrame:
@@ -919,6 +973,17 @@ def connected_components(
     Convergence is detected with an edge-set fingerprint; raises if
     ``max_iters`` rounds do not converge (log2 of any realistic component
     count is far smaller).
+
+    The loop's wall cost at toy scale is dominated by data-INDEPENDENT
+    per-round coordination (stage scheduling + checkpoint + the convergence
+    action), so three levers cut exactly that without touching semantics:
+    each star is a single window exchange instead of groupBy+join (two);
+    loop parallelism is sized to the measured edge count (post-collapse
+    edge lists are often tiny even for a huge corpus — ``coalesce`` only,
+    never a repartition shuffle, so billion-edge rounds keep full fan-out);
+    and past round ``_CC_TWO_HOP_AFTER`` two star rounds run per
+    convergence check, halving the fixed cost on deep chains while shallow
+    graphs (the common case, 2-3 rounds) never pay for an unused hop.
 
     ``reliable`` selects the per-round lineage-truncation mechanism:
     ``localCheckpoint`` (False — executor-block storage, the right local
@@ -964,46 +1029,40 @@ def connected_components(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct(),
-        eager=True,
+        eager=False,
     )
-
-    def large_star(e: DataFrame) -> DataFrame:
-        # connect every strictly-larger neighbor of u to u's min neighbor.
-        # No terminal distinct: duplicates cannot change small_star's min
-        # aggregation and its terminal distinct dedupes the round's output —
-        # one fewer shuffle per round.
-        nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-        big = nbrs.join(m, "u").filter(F.col("v") > F.col("u"))
-        return (
-            big.select(F.col("v").alias("u"), F.least("mn", F.col("u")).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-
-    def small_star(e: DataFrame) -> DataFrame:
-        # orient edges to the smaller endpoint, connect neighbors <= u to min
-        o = e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m = o.groupBy("u").agg(F.min("v").alias("mn"))
-        return (
-            o.join(m, "u")
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-            .unionAll(m.select(F.col("u"), F.col("mn").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+    # the count IS the action that materializes both lazy checkpoints (one
+    # job, not checkpoint-job + count-job), and it sizes the loop's
+    # parallelism to the DATA: post-collapse edge lists are often tiny even
+    # when the corpus is huge, and 32+ tasks per stage per round is then
+    # pure scheduling overhead (~2/3 of toy-scale CC wall). coalesce never
+    # increases partition counts, so a genuinely large edge list keeps its
+    # parallelism untouched.
+    n_edges = edges.count()
+    edges = edges.coalesce(_cc_loop_partitions(n_edges))
 
     prev_fp = None
-    for _ in range(max_iters):
+    rounds_done = 0
+    while rounds_done < max_iters:
+        # escalate to two star rounds per fingerprint once past the shallow
+        # regime: most dedup graphs converge in 2-3 rounds (extra hops would
+        # be wasted work), but a deep chain runs O(log n) rounds and the
+        # per-round fixed cost (checkpoint + convergence action) then
+        # dominates — fusing two hops halves it
+        hops = 1 if rounds_done < _CC_TWO_HOP_AFTER else 2
+        e = edges
+        for _ in range(hops):
+            e = _small_star(_large_star(e))
         # LAZY checkpoint: the fingerprint aggregation is the round's single
         # action and materializes the checkpoint as it runs — eager=True
         # would pay a second full pass per round just to checkpoint
-        edges = _ckpt(small_star(large_star(edges)), eager=False)
+        edges = _ckpt(e.coalesce(_cc_loop_partitions(n_edges)), eager=False)
         fp = edges.agg(
             F.count("*").alias("n"),
             F.sum(F.hash("u", "v").cast("long")).alias("h"),
         ).collect()[0]
+        rounds_done += hops
+        n_edges = fp["n"]
         cur_fp = (fp["n"], fp["h"])
         if cur_fp == prev_fp:
             break
