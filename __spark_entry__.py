@@ -892,12 +892,17 @@ def q_image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image+caption pair dedup over the north-rule table shape
     (operators/image_dedup.py): groups of 3 consecutive ids synthesize one
     logical image — v0 the original, v1 an exact-caption re-post with far
-    pixels (20-bit phash flip), v2 a re-encode with near pixels (1-bit
-    phash flip) under a different caption; every 7th group's v2 is instead
-    far in BOTH (a singleton). Caption-equal OR hamming<=6 edges ->
-    connected components -> min-id keep. The oracle recomputes captions,
-    phashes (same integer arithmetic: xor / shifts), the pair predicate
-    (bit_count(xor)), and components (recursive reach) independently."""
+    pixels (20-bit phash flip), v2 a re-encode whose caption was trivially
+    edited ("colors" -> "colours", shingle-Jaccard 5/7). Every 7th group's
+    v2 is far in BOTH caption and pixels (a singleton); every 5th group's
+    v2 phash drifted far (10-bit flip) so it can ONLY join through the
+    r7 caption NEAR-dup edge family (MinHash-LSH at threshold 0.5);
+    remaining v2s are phash-near (1-bit). Caption-equal OR hamming<=6 OR
+    caption-LSH edges -> connected components -> min-id keep. The oracle
+    recomputes captions, phashes (same integer arithmetic), the exact pair
+    predicate (bit_count(xor)), the SAME md5 MinHash-LSH formulation over
+    one rep per distinct caption, and components (recursive reach)
+    independently."""
     from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
@@ -906,24 +911,33 @@ def q_image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("doc_id div 3").alias("g"),
         F.expr("doc_id % 3").alias("v"),
     )
-    caption = F.when(
-        F.col("v") < 2, F.concat(F.lit("cap "), F.col("g").cast("string"))
-    ).otherwise(
-        F.concat(F.lit("cap "), F.col("g").cast("string"), F.lit(" alt"))
+    gs = F.col("g").cast("string")
+    caption = (
+        F.when(F.col("v") < 2, F.concat(
+            F.lit("stock photo of scene "), gs, F.lit(" with vivid colors")))
+        .when(F.expr("g % 7 = 0"), F.concat(
+            F.lit("totally unrelated caption number "), gs,
+            F.lit(" for testing")))
+        .otherwise(F.concat(
+            F.lit("stock photo of scene "), gs, F.lit(" with vivid colours")))
     )
     phash = (
         F.when(F.col("v") == 0, F.expr(_IC_BASE))
         .when(F.col("v") == 1, F.expr(f"({_IC_BASE}) ^ 1048575"))
+        .when(F.expr("g % 7 = 0"), F.expr(f"({_IC_BASE}) ^ 1099511627775"))
+        .when(F.expr("g % 5 = 0"), F.expr(
+            f"({_IC_BASE}) ^ shiftleft(CAST(1023 AS BIGINT), "
+            "CAST(g % 50 AS INT))"
+        ))
         .otherwise(F.expr(
-            f"CASE WHEN g % 7 = 0 THEN ({_IC_BASE}) ^ 1099511627775 "
-            f"ELSE ({_IC_BASE}) ^ shiftleft(CAST(1 AS BIGINT), "
-            "CAST(g % 60 AS INT)) END"
+            f"({_IC_BASE}) ^ shiftleft(CAST(1 AS BIGINT), "
+            "CAST(g % 60 AS INT))"
         ))
     )
     imgs = staged.select(
         "image_id", caption.alias("caption"), phash.alias("phash")
     )
-    return image_caption_dedup(imgs, max_hamming=6)
+    return image_caption_dedup(imgs, max_hamming=6, caption_near_threshold=0.5)
 
 
 def q_clip_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,60 +1389,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_adaptive_docs": q_knn_adaptive_docs,
         "lsh_candidates": q_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
-        "serving_decisions": q_serving_decisions,
-        "host_serving_decisions": q_host_serving_decisions,
-        "styled_tiles": q_styled_tiles,
         "clean_corpus": q_clean_corpus,
-        "media_frames": q_media_frames,
         "quantize_embeddings": q_quantize_embeddings,
+        "wmts_paths": q_wmts_paths,
+        "cell_key_roundtrip": q_cell_key_roundtrip,
+        "process_partition": q_process_partition,
+        "web_mercator": q_web_mercator,
         # --- gate-ordering note: the driver's correctness gate runs the
         # FIRST 50 entries. STANDING POLICY (r4 verdict): any entry whose
         # implementation OR composed dependencies changed in-round must sit
-        # inside the window. Round 6: three NEW entries (quality_score_docs,
-        # substring_dedup_docs, semantic_dedup_docs) enter the window, and
-        # media_frames + quantize_embeddings rotate BACK in per the r5
-        # verdict (their driver-gate evidence was aging); every entry whose
-        # module changed this round (dedup.py -> minhash/lsh/jaccard/
-        # clusters/clean_corpus/line_dedup/decontaminate/simhash;
-        # similarity.py -> cosine/quantized/ivf/ann/near-dups) is inside.
-        # A fourth new entry (host_limit_slots — the URLTileStore semaphore
-        # analog), a fifth (url_dedup_docs — URL canonicalization +
-        # first-wins dedup, operators/urls.py), and a sixth
-        # (image_caption_dedup — pair-level dedup of the north-rule
-        # image+caption table, operators/image_dedup.py) also enter the
-        # window, plus SIX image-curation entries (clip_filter_pairs,
-        # image_decontam, aspect_buckets, the composed image_admission
-        # capstone, its resumable staged twin image_admission_staged
-        # [plans/curation.py], and epoch_schedule — all new this round so
-        # they must be inside). The EIGHTEEN below sit outside the window
-        # this round (fourteen rotated out now — wmts_paths +
-        # cell_key_roundtrip + process_partition [gridmath untouched,
-        # green since r1], feature_info [serving.py untouched, green
-        # since r3], legend_dedup [legends.py geometry untouched, green
-        # since r2], expire_tiles [expire.py untouched, green since r4],
-        # fingerprint_docs + hash_drop_docs [filters.py untouched, both
-        # green r5], utfgrid_tiles, asof_join, sessionize, web_mercator,
-        # interval_islands, event_rollup — and four were already outside:
-        # top_events + two TPC-H rollups + daily windows). All eighteen
-        # are green in the driver gate within the last two rounds with
-        # their code untouched this round (the last four are pure-SQL,
-        # green since r1).
+        # inside the window. Round 7 rotation (r6 verdict task 9): the
+        # three OLDEST outside entries rotate back in — wmts_paths +
+        # cell_key_roundtrip + process_partition (outside since r6,
+        # gridmath untouched but the policy is the policy) — plus
+        # web_mercator, which is FORCED in because crs.py changed this
+        # round (Lambert Conformal Conic). Everything whose module or
+        # composed dependencies changed in r7 is inside: dedup.py
+        # (window-form stars + two-hop CC + edge-sized loop parallelism)
+        # -> every minhash/lsh/jaccard/simhash/span/line/decontaminate
+        # entry and every connected_components consumer (dedup_clusters,
+        # clean_corpus, semantic_dedup_docs, image_caption_dedup — which
+        # also gained the caption NEAR-dup LSH edge family this round —
+        # image_admission, image_admission_staged); image_curation.py
+        # (broadcast-join prefix-sum offsets) -> aspect_buckets,
+        # epoch_schedule, token_chunks; urls.py (r7-committed canonicalizer
+        # guards) -> url_dedup_docs. Rotated OUT to make room, all
+        # r6-driver-gate green with modules untouched this round:
+        # serving_decisions + host_serving_decisions (plans/serving.py),
+        # styled_tiles (raster styling), media_frames (sources/media.py,
+        # freshly re-evidenced r6). The EIGHTEEN below sit outside the
+        # window this round: those four, feature_info [serving.py
+        # untouched, green since r3], legend_dedup [green since r2],
+        # expire_tiles [green r4], fingerprint_docs + hash_drop_docs
+        # [filters.py untouched, green r5], utfgrid_tiles, asof_join,
+        # sessionize, interval_islands, event_rollup, top_events, two
+        # TPC-H rollups, daily windows (the last four pure-SQL, green
+        # since r1).
         # The FULL registry (including these eighteen) is still cross-
         # engine-checked every round by tests/test_entry_oracle.py, which
         # parametrizes over ALL oracle_sql() keys — the rotation only
         # affects which rows land in the driver's CORRECTNESS file.
-        "wmts_paths": q_wmts_paths,
+        "serving_decisions": q_serving_decisions,
+        "host_serving_decisions": q_host_serving_decisions,
+        "styled_tiles": q_styled_tiles,
+        "media_frames": q_media_frames,
         "expire_tiles": q_expire_tiles,
         "fingerprint_docs": q_fingerprint_docs,
         "hash_drop_docs": q_hash_drop_docs,
-        "cell_key_roundtrip": q_cell_key_roundtrip,
-        "process_partition": q_process_partition,
         "feature_info": q_feature_info,
         "legend_dedup": q_legend_dedup,
         "utfgrid_tiles": q_utfgrid_tiles,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        "web_mercator": q_web_mercator,
         "interval_islands": q_interval_islands,
         "event_rollup": q_event_rollup,
         "top_events_per_user": q_top_events_per_user,
@@ -2727,31 +2739,46 @@ def oracle_sql() -> dict[str, str]:
     # image+caption dedup: recompute the synthesized captions/phashes with
     # the same integer arithmetic, the caption-equal OR hamming<=6 pair
     # predicate, and the duplicate components via recursive reachability
-    image_caption_dedup = """
+    image_caption_dedup = f"""
         WITH RECURSIVE src AS (
           SELECT doc_id AS image_id, doc_id // 3 AS g, doc_id % 3 AS v
           FROM documents
         ),
         imgs AS (
           SELECT image_id,
-                 CASE WHEN v < 2 THEN 'cap ' || g
-                      ELSE 'cap ' || g || ' alt' END AS caption,
+                 CASE WHEN v < 2 THEN
+                        'stock photo of scene ' || g || ' with vivid colors'
+                      WHEN g % 7 = 0 THEN
+                        'totally unrelated caption number ' || g || ' for testing'
+                      ELSE 'stock photo of scene ' || g || ' with vivid colours'
+                 END AS caption,
                  CASE WHEN v = 0 THEN g * 1000003
                       WHEN v = 1 THEN xor(g * 1000003, 1048575)
                       WHEN g % 7 = 0 THEN xor(g * 1000003, 1099511627775)
+                      WHEN g % 5 = 0 THEN xor(g * 1000003,
+                               (1023::BIGINT << CAST(g % 50 AS INTEGER)))
                       ELSE xor(g * 1000003,
                                (1::BIGINT << CAST(g % 60 AS INTEGER)))
                  END AS phash
           FROM src
         ),
-        prs AS (
+        cap_docs AS (
+          SELECT min(image_id) AS doc_id, caption AS text
+          FROM imgs GROUP BY caption
+        ),
+        {_lsh_prs_sql('cap_docs', threshold=0.5)},
+        pair_pred AS (
           SELECT a.image_id AS id_a, b.image_id AS id_b
           FROM imgs a JOIN imgs b ON a.image_id < b.image_id
           WHERE a.caption = b.caption
              OR bit_count(xor(a.phash, b.phash)) <= 6
         ),
         edges AS (
-          SELECT id_a AS u, id_b AS w FROM prs
+          SELECT id_a AS u, id_b AS w FROM pair_pred
+          UNION
+          SELECT id_b, id_a FROM pair_pred
+          UNION
+          SELECT id_a, id_b FROM prs
           UNION
           SELECT id_b, id_a FROM prs
         ),

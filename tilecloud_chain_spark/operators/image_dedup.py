@@ -37,18 +37,8 @@ from pyspark.sql import functions as F
 from tilecloud_chain_spark.operators.dedup import (
     connected_components,
     int64_near_pairs,
+    minhash_dedup_pairs,
 )
-
-
-def _star_edges(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
-    """O(n) min-id star edges (rep, member) per exact-duplicate group —
-    map-side-combinable min agg + join, never a group-partitioned window."""
-    reps = df.groupBy(group_col).agg(F.min(id_col).alias("_rep"))
-    return (
-        df.join(reps, group_col)
-        .filter(F.col(id_col) != F.col("_rep"))
-        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
 
 
 def image_caption_dedup(
@@ -57,6 +47,9 @@ def image_caption_dedup(
     id_col: str = "image_id",
     phash_col: str = "phash",
     caption_col: str = "caption",
+    caption_near_threshold: float | None = None,
+    caption_shingle_k: int = 3,
+    caption_max_bucket: int | None = None,
 ) -> DataFrame:
     """Dedup the image+caption table: (id_col, dup_group, keep) — one row
     per input image, ``dup_group`` = min id of its duplicate component,
@@ -64,22 +57,94 @@ def image_caption_dedup(
 
     Duplicate edge when captions are exactly equal OR phash hamming
     distance <= ``max_hamming``; duplicate groups are connected components
-    of the union graph (a near-dup of a caption-dup is a dup of both)."""
+    of the union graph (a near-dup of a caption-dup is a dup of both).
+
+    ``caption_near_threshold`` adds a third edge family: captions that are
+    NEAR-duplicates (shingle-Jaccard >= threshold via the engine's
+    MinHash-LSH path) also connect — catching the re-encoded image whose
+    caption was trivially edited ("my dog!" vs "my dog") AND whose phash
+    drifted past ``max_hamming``, which the exact families both miss. The
+    LSH runs over one representative per DISTINCT caption (the kind=0
+    slice of the same aggregate the star edges use), so a caption flood —
+    10^9 copies of one stock caption — enters shingling/banding ONCE and
+    stays O(n) end-to-end; exact-duplicate members reach the near-edge
+    through their caption-exact star. ``caption_max_bucket`` passes
+    through as the LSH degenerate-bucket backstop (default None = exact
+    LSH semantics, required for the cross-engine oracle).
+
+    Both exact-group star families (caption-equal, phash-equal) ride ONE
+    min-agg + ONE join: each row explodes to its (kind, key) group keys,
+    the per-key min id comes back as the star center, and the phash-rep
+    table the hamming block join needs falls out of the same aggregate
+    (kind=1 slice) instead of its own groupBy. Captions enter the shuffle
+    as a two-seed ``xxhash64`` pair (128 effective bits — a false key
+    collision needs ~2^64 DISTINCT captions, vastly beyond any corpus),
+    never as raw strings: at 10^12 rows that is the difference between
+    shuffling 16-byte keys and shuffling full caption bytes, twice.
+    NULL captions / NULL phashes contribute no group keys (matching the
+    previous inner-join semantics: an absent caption equals nothing)."""
     base = imgs.select(
         F.col(id_col), F.col(phash_col).alias("_ph"), F.col(caption_col).alias("_cap")
-    ).localCheckpoint(eager=True)  # referenced by 3 edge builders + final join
+    ).localCheckpoint(eager=True)  # referenced by the edge builders + final join
 
-    cap_edges = _star_edges(base, "_cap", id_col)
-    ph_edges = _star_edges(base, "_ph", id_col)
+    cap_key = F.struct(
+        F.lit(0).alias("kind"),
+        F.xxhash64("_cap").alias("k1"),
+        F.xxhash64(F.lit("s1"), F.col("_cap")).alias("k2"),
+    )
+    ph_key = F.struct(
+        F.lit(1).alias("kind"), F.col("_ph").alias("k1"), F.lit(0).alias("k2")
+    )
+    keys = F.filter(
+        F.array(
+            F.when(F.col("_cap").isNotNull(), cap_key),
+            F.when(F.col("_ph").isNotNull(), ph_key),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    keyed = base.select(F.col(id_col), F.explode(keys).alias("k")).select(
+        id_col, "k.kind", "k.k1", "k.k2"
+    )
+    reps = keyed.groupBy("kind", "k1", "k2").agg(F.min(id_col).alias("_rep"))
+    star_edges = (
+        keyed.join(reps, ["kind", "k1", "k2"])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
     # hamming-near edges between DISTINCT phash values (one min-id rep per
     # value; hamming 0 cannot occur across distinct values, so these are
     # exactly the 1..max_hamming pairs)
-    ph_reps = base.groupBy("_ph").agg(F.min(id_col).alias("id"))
+    ph_reps = reps.filter(F.col("kind") == 1).select(
+        F.col("k1").alias("_ph"), F.col("_rep").alias("id")
+    )
     near_edges = int64_near_pairs(
         ph_reps, max_hamming, hash_col="_ph", id_col="id", materialize=False
     ).select("id_a", "id_b")
 
-    edges = cap_edges.unionAll(ph_edges).unionAll(near_edges)
+    edges = star_edges.unionAll(near_edges)
+    if caption_near_threshold is not None:
+        # one representative per DISTINCT caption: reuse the kind=0 slice
+        # of the star aggregate (no second caption groupBy); reps pick
+        # their caption text back up with a semi-join, so only (id, hash)
+        # ever crossed the group shuffle
+        cap_rep_ids = reps.filter(F.col("kind") == 0).select(
+            F.col("_rep").alias(id_col)
+        )
+        cap_texts = base.join(cap_rep_ids, id_col, "left_semi").select(
+            id_col, "_cap"
+        )
+        cap_near = minhash_dedup_pairs(
+            cap_texts,
+            threshold=caption_near_threshold,
+            k=caption_shingle_k,
+            text_col="_cap",
+            id_col=id_col,
+            # input is already one row per distinct caption — the md5
+            # collapse would be a pure no-op pass
+            collapse_exact=False,
+            max_bucket=caption_max_bucket,
+        ).select("id_a", "id_b")
+        edges = edges.unionAll(cap_near)
     cc = connected_components(edges)
     out = base.join(
         cc.withColumnRenamed("id", id_col), id_col, "left"
