@@ -71,6 +71,10 @@ N_POINTS = int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "4000000"))
 # --------------------------------------------------------------------------
 
 CALIB_NOMINAL = 0.33  # seconds, quiet-host reference (recorded 2026-08-16)
+# quiet-host reference for the MULTI-THREAD probe below (recorded
+# 2026-08-18, min of repeated samples across host phases — same
+# methodology as CALIB_NOMINAL)
+MEMBW_NOMINAL = float(os.environ.get("SPARK_GRAFT_MEMBW_NOMINAL", "0.195"))
 
 
 def _host_phase_calib() -> float:
@@ -82,6 +86,34 @@ def _host_phase_calib() -> float:
     for _ in range(4):
         zlib.compress(data, 1)
         hashlib.md5(data).digest()
+    return time.perf_counter() - t0
+
+
+def _membw_calib(threads: int = 4, iters: int = 2) -> float:
+    """Multi-thread memory-bandwidth probe (r6 verdict task 7): the
+    single-thread kernel above under-detects MEMORY-BUS phases — the ones
+    that hit 32-thread Spark jobs hardest — because one core alone can't
+    saturate the bus. Here ``threads`` threads each stream zlib-1 + md5
+    over their OWN 24 MB buffer concurrently (both kernels release the
+    GIL on large buffers, so the streams genuinely overlap): a bus-phase
+    host slows this probe even when the single-thread one reads ~1.0."""
+    import hashlib
+    import threading
+    import zlib
+
+    bufs = [bytes(range(256)) * (24 * 1024 * 4) for _ in range(threads)]
+
+    def work(data: bytes) -> None:
+        for _ in range(iters):
+            zlib.compress(data, 1)
+            hashlib.md5(data).digest()
+
+    ths = [threading.Thread(target=work, args=(b,)) for b in bufs]
+    t0 = time.perf_counter()
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
     return time.perf_counter() - t0
 
 
@@ -773,13 +805,16 @@ def _scaling(sf_dir: str) -> dict:
     single-box bandwidth analysis in BENCH.md."""
     out = _measure_pair(SCALE_N, SCALE_4N, sf_dir, SCALE_REPS)
     if os.environ.get("SPARK_GRAFT_SCALING_8_32", "1") != "0":
-        # informational only (outside the single-box envelope) — 1 rep
+        # informational only (outside the single-box envelope) — but
+        # published as a DISTRIBUTION like the primary pair (r6 verdict:
+        # point samples can't separate a host phase from a regression).
         # 8 and 32 cores chew through the primary pair's workload so fast
         # that task-launch fixed cost dominates (assign_join measured ~flat
         # 1.15s->1.12s — the scheduler, not the engine); scale the work so
         # work-per-core matches the primary pair's regime
         supp_mult = int(os.environ.get("SPARK_GRAFT_SUPP_WORK_MULT", "4"))
-        out["supplementary_8_32"] = _measure_pair(8, 32, sf_dir, 1, supp_mult)
+        supp_reps = int(os.environ.get("SPARK_GRAFT_SUPP_REPS", "3"))
+        out["supplementary_8_32"] = _measure_pair(8, 32, sf_dir, supp_reps, supp_mult)
     return out
 
 
@@ -1014,8 +1049,20 @@ def run_skew_bench() -> None:
             )
             for _ in range(3)
         )
+        # caption-flood with the r7 NEAR-dup family ON: the LSH only ever
+        # sees one representative per DISTINCT caption, so a 100k-copy
+        # caption flood enters shingling/banding ONCE — this column must
+        # stay as flat as the exact-only one
+        near_sec = min(
+            _time_once(
+                lambda: image_caption_dedup(
+                    df, 6, caption_near_threshold=0.5
+                ).filter(F.col("keep")).count()
+            )
+            for _ in range(3)
+        )
         results["img_dedup"].append({
-            "dup_factor": n_copies, "sec": sec,
+            "dup_factor": n_copies, "sec": sec, "near_cap_sec": near_sec,
             "uncollapsed_pairs": n_copies * (n_copies - 1) // 2,
         })
         df.unpersist()
@@ -1129,15 +1176,19 @@ def _skew_section() -> list[str]:
             "phash — the exact-duplicate flood for image_caption_dedup.",
             "Caption/phash exact groups collapse to O(n) star edges and",
             "hamming blocking runs over DISTINCT phash representatives",
-            "only, so the flood never reaches a pairwise join:",
+            "only, so the flood never reaches a pairwise join. The",
+            "'+caption LSH' column (r7) re-runs the same fixture with",
+            "caption_near_threshold=0.5: the caption-flood enters the",
+            "MinHash-LSH as ONE representative, so it must stay flat too:",
             "",
-            "| image copies | uncollapsed pairs avoided | image_caption_dedup |",
-            "|---|---|---|",
+            "| image copies | uncollapsed pairs avoided | image_caption_dedup | +caption LSH |",
+            "|---|---|---|---|",
         ]
         for row in r["img_dedup"]:
+            near = row.get("near_cap_sec")
             lines.append(
                 f"| {row['dup_factor']:,} | {row['uncollapsed_pairs']:,} | "
-                f"{row['sec']} s |"
+                f"{row['sec']} s | {near if near is not None else '—'} s |"
             )
     return lines
 
@@ -1157,12 +1208,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _run_all(spark, sf_dir)  # warm-up pass (JIT, codegen, file listing)
     calib_before = round(_host_phase_calib(), 3)
+    membw_before = round(_membw_calib(), 3)
     times = _run_all(spark, sf_dir, reps=int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3")))
     calib_after = round(_host_phase_calib(), 3)
+    membw_after = round(_membw_calib(), 3)
     total = round(sum(times.values()), 3)
     spark.stop()
 
     phase_factor = round((calib_before + calib_after) / 2.0 / CALIB_NOMINAL, 3)
+    membw_factor = round((membw_before + membw_after) / 2.0 / MEMBW_NOMINAL, 3)
     result = {
         "metric": "wall seconds for headline tile-assign/join/filter/knn/dedup/image workloads",
         "value": total,
@@ -1175,9 +1229,20 @@ def main() -> None:
             "calib_after_sec": calib_after,
             "nominal_sec": CALIB_NOMINAL,
             "factor": phase_factor,
+            "membw_before_sec": membw_before,
+            "membw_after_sec": membw_after,
+            "membw_nominal_sec": MEMBW_NOMINAL,
+            "membw_factor": membw_factor,
         },
         "queries_normalized": {
             k: round(v / max(phase_factor, 1e-9), 3) for k, v in times.items()
+        },
+        # normalized by the MULTI-THREAD memory-bandwidth probe — the
+        # appropriate denominator for 32-thread Spark jobs (the
+        # single-thread factor under-detects bus phases; r5/r6 both leaned
+        # on that blind spot to explain broad-based drift — now measured)
+        "queries_normalized_membw": {
+            k: round(v / max(membw_factor, 1e-9), 3) for k, v in times.items()
         },
     }
 
@@ -1185,7 +1250,55 @@ def main() -> None:
         result["scaling"] = _scaling(sf_dir)
         _write_bench_md(result)
 
-    print(json.dumps(result))
+    print(_headline_line(result))
+
+
+def _headline_line(result: dict) -> str:
+    """The ONE stdout JSON line, kept compact enough to survive the
+    driver's ~2000-char line capture (r6's full dict outgrew it and the
+    round's perf record survived only as a truncated tail): queries raw +
+    normalized at 2dp, scaling as summary floats with per-rep efficiency
+    lists. The FULL result dict — per-stage tables, supplementary stage
+    breakdown, skew tables — is written to BENCH_DETAIL.json (and BENCH.md
+    prose) instead of inlined."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    def _r2(d: dict) -> dict:
+        return {k: round(v, 2) for k, v in d.items()}
+
+    def _pair_summary(s: dict) -> dict:
+        return {
+            "cores_n": s["cores_n"],
+            "cores_4n": s["cores_4n"],
+            "sec_n": s["sec_n"],
+            "sec_4n": s["sec_4n"],
+            "efficiency": s["efficiency"],
+            "rep_efficiencies": [r["efficiency"] for r in s["rep_efficiencies"]],
+            "efficiency_min": s["efficiency_min"],
+            "efficiency_median": s["efficiency_median"],
+            "efficiency_max": s["efficiency_max"],
+        }
+
+    headline = {
+        "metric": "wall seconds for headline workloads (detail: BENCH_DETAIL.json)",
+        "value": result["value"],
+        "unit": "sec",
+        "queries": _r2(result["queries"]),
+        "sf": result["sf"],
+        "host_phase_factor": result["host_phase"]["factor"],
+        "membw_factor": result["host_phase"]["membw_factor"],
+        "queries_normalized": _r2(result["queries_normalized"]),
+    }
+    if "scaling" in result:
+        headline["scaling"] = _pair_summary(result["scaling"])
+        sup = result["scaling"].get("supplementary_8_32")
+        if sup:
+            headline["scaling"]["supplementary_8_32"] = _pair_summary(sup)
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1900, f"headline line {len(line)} chars — must stay <1900"
+    return line
 
 
 def _pair_table(s: dict) -> list:
@@ -1323,12 +1436,21 @@ def _write_bench_md(result: dict) -> None:
         f"{hp.get('calib_after_sec')}s -> host-phase factor "
         f"**{hp.get('factor')}** (1.0 = quiet). `normalized` = raw / factor.",
         "",
-        "Calib blind spot (disclosed): the kernel is single-thread",
-        "CPU-bound, so MEMORY-BUS phases — which hit multi-second",
-        "32-thread Spark jobs hardest — are only partly captured. A run",
-        "where untouched queries drift up 10-30% UNIFORMLY at factor ~1.0",
-        "is such a phase: read the vs-anchor columns jointly (broad-based",
-        "drift = host; a single query moving alone = code).",
+        "Memory-bandwidth probe (r7, closes the disclosed calib blind",
+        "spot): the single-thread kernel cannot saturate the memory bus,",
+        "so bus phases — which hit 32-thread Spark jobs hardest — went",
+        "unmeasured and two rounds of broad-based drift could only be",
+        "ATTRIBUTED to them. A 4-thread concurrent zlib-1+md5 stream over",
+        f"4x24 MB (nominal {MEMBW_NOMINAL}s, recorded 2026-08-18 as the",
+        "min of repeated samples) now runs alongside:",
+        "",
+        f"membw before/after = {hp.get('membw_before_sec')}s / "
+        f"{hp.get('membw_after_sec')}s -> memory-bandwidth factor "
+        f"**{hp.get('membw_factor')}**. `norm (bus)` = raw / membw factor —",
+        "the appropriate denominator for cross-round comparison of",
+        "32-thread queries; a bus phase shows membw factor >> single-thread",
+        "factor. A single query moving alone under BOTH normalizations is",
+        "code, not host.",
         "",
         "Per-query wall seconds at sf="
         + str(result["sf"])
@@ -1385,18 +1507,20 @@ def _write_bench_md(result: dict) -> None:
         "the north-rule scaling pair uses the work-dominated flagship",
         "stages where per-core efficiency is meaningful.",
         "",
-        "| query | r3 sec | r5 norm | sec | normalized | vs r3 | vs r5 |",
-        "|---|---|---|---|---|---|---|",
+        "| query | r3 sec | r5 norm | sec | normalized | norm (bus) | vs r3 | vs r5 |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for k, v in result["queries"].items():
         r3 = _R3_DRIVER_QUERIES.get(k)
         r5 = _R5_DRIVER_QUERIES.get(k)
         norm = result["queries_normalized"].get(k, v)
+        norm_bw = result.get("queries_normalized_membw", {}).get(k, norm)
         ratio3 = f"{norm / r3:.2f}x" if r3 else "new"
         ratio5 = f"{norm / r5:.2f}x" if r5 else "new"
         lines.append(
             f"| {k} | {r3 if r3 is not None else '—'} | "
-            f"{r5 if r5 is not None else '—'} | {v} | {norm} | {ratio3} | {ratio5} |"
+            f"{r5 if r5 is not None else '—'} | {v} | {norm} | {norm_bw} | "
+            f"{ratio3} | {ratio5} |"
         )
     lines.extend(_skew_section())
     lines.append("")
