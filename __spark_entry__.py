@@ -940,6 +940,46 @@ def q_image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_caption_dedup(imgs, max_hamming=6, caption_near_threshold=0.5)
 
 
+def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/html.py, r7): each document is
+    wrapped in a crawl-shaped page — head with title+script payload, a
+    link-dense nav, a short h1, the article body, a summary paragraph with
+    an entity (&amp;), every 5th doc an extra editorial paragraph, every
+    3rd a link-dense related-posts block, and a link-dense footer. Correct
+    extraction (parse -> skip script/head -> block segmentation -> link-
+    density/length classification -> reassembly) must recover EXACTLY the
+    body + summary (+ the extra paragraph where present) — a pure function
+    of the source text, which is what the DuckDB oracle recomputes without
+    needing an HTML parser of its own. Kept/dropped counts vary per row,
+    so the classifier decisions are pinned too."""
+    from tilecloud_chain_spark.operators.html import html_extract
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), ds,
+        F.lit("</title><script>var x = '<p>not text</p>';</script></head>"
+              "<body><nav><a href='/'>home</a> <a href='/about'>about</a> "
+              "<a href='/contact'>contact</a></nav><h1>Doc "), ds,
+        F.lit("</h1><p>Article body: "), F.col("text"),
+        F.lit("</p><p>Summary &amp; notes for document "), ds,
+        F.lit(" follow here.</p>"),
+        F.when(F.expr("doc_id % 5 = 0"), F.concat(
+            F.lit("<p>Extra editorial paragraph with plenty of descriptive "
+                  "words for document "), ds, F.lit(".</p>"))
+        ).otherwise(F.lit("")),
+        F.when(F.expr("doc_id % 3 = 0"), F.lit(
+            "<div><a href='/r1'>related post number one</a> "
+            "<a href='/r2'>related post number two</a></div>")
+        ).otherwise(F.lit("")),
+        F.lit("<div class='footer'><a href='/terms'>terms</a> "
+              "<a href='/privacy'>privacy</a> &copy; 2026</div>"
+              "</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return html_extract(pages)
+
+
 def q_clip_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image curation — CLIP-score (caption<->image embedding alignment)
     filtering (operators/image_curation.py:clip_filter): each embedding
@@ -1363,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_limit_slots": q_host_limit_slots,
         "url_dedup_docs": q_url_dedup_docs,
         "image_caption_dedup": q_image_caption_dedup,
+        "html_extract_docs": q_html_extract_docs,
         "clip_filter_pairs": q_clip_filter_pairs,
         "image_decontam": q_image_decontam,
         "aspect_buckets": q_aspect_buckets,
@@ -1382,7 +1423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "sparse_metatiles": q_sparse_metatiles,
         "multi_grid_identifiers": q_multi_grid_identifiers,
-        "embedding_near_dups": q_embedding_near_dups,
         "image_pipeline_stored": q_image_pipeline_stored,
         "ann_topk": q_ann_topk,
         "simhash_pairs": q_simhash_pairs,
@@ -1433,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_serving_decisions": q_host_serving_decisions,
         "styled_tiles": q_styled_tiles,
         "media_frames": q_media_frames,
+        "embedding_near_dups": q_embedding_near_dups,
         "expire_tiles": q_expire_tiles,
         "fingerprint_docs": q_fingerprint_docs,
         "hash_drop_docs": q_hash_drop_docs,
@@ -2795,6 +2836,25 @@ def oracle_sql() -> dict[str, str]:
         FROM imgs i LEFT JOIN comp c ON c.id = i.image_id
     """
 
+    # HTML -> text extraction: the page template makes correct extraction
+    # an exact function of the source text (body + summary + conditional
+    # editorial paragraph), and kept/dropped counts pin the per-block
+    # link-density/length decisions — no SQL HTML parser needed
+    html_extract_docs = """
+        SELECT doc_id,
+               'Article body: ' || text || chr(10) ||
+               'Summary & notes for document ' || doc_id ||
+               ' follow here.' ||
+               CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                 'Extra editorial paragraph with plenty of descriptive ' ||
+                 'words for document ' || doc_id || '.'
+               ELSE '' END AS clean_text,
+               CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS n_blocks_kept,
+               CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END
+                 AS n_blocks_dropped
+        FROM documents
+    """
+
     # CLIP-score filter: even/odd partner pairing + cosine, keep >= 0.1
     clip_filter_pairs = """
         SELECT a.vec_id AS image_id,
@@ -3193,6 +3253,7 @@ def oracle_sql() -> dict[str, str]:
         "host_limit_slots": host_limit_slots,
         "url_dedup_docs": url_dedup_docs,
         "image_caption_dedup": image_caption_dedup,
+        "html_extract_docs": html_extract_docs,
         "clip_filter_pairs": clip_filter_pairs,
         "image_decontam": image_decontam,
         "aspect_buckets": aspect_buckets,
