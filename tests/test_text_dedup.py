@@ -974,3 +974,70 @@ def test_host_limit_slots_bounds_task_concurrency(spark):
     b = sorted((r.id, r.slot) for r in RT.host_limit_slots(
         df, limits, default_concurrent=7, id_col="id").select("id", "slot").collect())
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# r7: interleaved pigeonhole blocking + CC driver finisher
+# --------------------------------------------------------------------------
+
+
+def _brute_near(rows, radius):
+    import itertools
+
+    want = set()
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        hm = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        if hm <= radius:
+            want.add((min(ia, ib), max(ia, ib), hm))
+    return want
+
+
+def test_int64_near_pairs_low_entropy_exact(spark):
+    """The low-entropy case that kills contiguous-slice blocking: small-
+    integer-like hashes whose high bits are near-constant. Interleaved
+    groups must stay exact vs brute force, at the default threshold AND
+    with the two-level sub-split forced (tiny overfull_bucket) AND with
+    the probe disabled (overfull_bucket=None)."""
+    import random
+
+    from tilecloud_chain_spark.operators.dedup import int64_near_pairs
+
+    random.seed(7)
+    vals = [i * 1000003 for i in range(300)] + [
+        random.getrandbits(40) for _ in range(150)
+    ]
+    rows = [(i, v if v < 1 << 63 else v - (1 << 64))
+            for i, v in enumerate(dict.fromkeys(vals))]
+    df = spark.createDataFrame(rows, "id long, h long")
+    want = {r: _brute_near(rows, r) for r in (2, 6)}
+    for radius in (2, 6):
+        for t in (1024, 4, None):
+            got = {(r.id_a, r.id_b, r.hamming) for r in
+                   int64_near_pairs(df, radius, "h", overfull_bucket=t).collect()}
+            assert got == want[radius], (radius, t)
+
+
+def test_connected_components_driver_finish_equivalence(spark):
+    """The bounded driver union-find finisher must produce components
+    IDENTICAL to the distributed star loop (forced by zeroing the finish
+    budget), on a graph with a deep chain + isolated islands + a star."""
+    import tilecloud_chain_spark.operators.dedup as dd
+
+    edges = (
+        [(i, i + 1) for i in range(0, 120)]          # deep chain
+        + [(1000, 1000 + i) for i in range(1, 30)]   # star
+        + [(2000, 2001), (3000, 3001)]               # islands
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.id, r.component)
+            for r in dd.connected_components(df).collect()}
+    budget = dd._CC_DRIVER_FINISH_EDGES
+    try:
+        dd._CC_DRIVER_FINISH_EDGES = 0  # force the distributed loop
+        slow = {(r.id, r.component)
+                for r in dd.connected_components(df).collect()}
+    finally:
+        dd._CC_DRIVER_FINISH_EDGES = budget
+    assert fast == slow
+    comp = dict(fast)
+    assert comp[120] == 0 and comp[1000 + 29] == 1000 and comp[3001] == 3000

@@ -708,12 +708,38 @@ def hash_block(col, lo: int, hi: int):
 def hamming_block_bounds(max_hamming: int) -> list[tuple[int, int]]:
     """The ``max_hamming + 1`` contiguous bit-slices of a 64-bit hash used
     for pigeonhole blocking (a pair within the radius agrees exactly on at
-    least one slice). Shared by simhash/phash near-pair joins, eval-set
-    decontamination, and the streaming near-anti-join."""
+    least one slice). Retained for the contiguous-block consumers
+    (``sources/media.py``); the shared block join below uses INTERLEAVED
+    groups instead — see :func:`interleaved_positions`."""
     nb = int(max_hamming) + 1
     if not 1 <= nb <= 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     return [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
+
+
+def interleaved_positions(nb: int, positions: list[int] | None = None) -> list[list[int]]:
+    """Partition bit positions round-robin into ``nb`` disjoint groups
+    (bit i -> group i mod nb). Pigeonhole holds for ANY disjoint cover, and
+    round-robin is the one that survives LOW-ENTROPY hashes: real phash
+    corpora concentrate entropy in a bit RANGE (small-integer-like hashes:
+    the low bits), so a contiguous slice over the dead range puts the whole
+    corpus in one bucket and the block join degrades toward n² no matter
+    how few true pairs exist — interleaving gives every group ~1/nb of
+    whatever entropy the corpus has (measured on the adversarial
+    multiples-of-1000003 bench fixture: 67M -> ~5M candidates)."""
+    pos = positions if positions is not None else list(range(64))
+    return [pos[c::nb] for c in range(nb)]
+
+
+def gather_bits(col, positions: list[int]):
+    """Bits at ``positions`` of an int64 Column, packed little-endian into
+    an int key — pure codegen shift/and/or chain (no UDF)."""
+    out = None
+    for idx, p in enumerate(positions):
+        bit = F.shiftrightunsigned(col, p).bitwiseAND(F.lit(1))
+        term = F.shiftleft(bit, idx) if idx else bit
+        out = term if out is None else out.bitwiseOR(term)
+    return out if out is not None else F.lit(0).cast("long")
 
 
 def blocked_keys(df: DataFrame, pcol: str, max_hamming: int, *,
@@ -721,14 +747,21 @@ def blocked_keys(df: DataFrame, pcol: str, max_hamming: int, *,
                  hash_out: str = "_h") -> DataFrame:
     """Explode ``df`` to one row per (pigeonhole chunk, block key): columns
     ``keep_cols`` + (hash_out, chunk, key). One narrow explode — the
-    blocking half of every hamming-radius join in this module."""
-    bounds = hamming_block_bounds(max_hamming)
+    blocking half of every hamming-radius join in this module. Groups are
+    INTERLEAVED bit positions (see :func:`interleaved_positions`) so a
+    low-entropy hash corpus cannot flood any one chunk's buckets; every
+    consumer pair (probe/state, eval/corpus, self-join sides) derives both
+    sides from this one function, so the keys always agree."""
+    nb = int(max_hamming) + 1
+    if not 1 <= nb <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    groups = interleaved_positions(nb)
     blocks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
-            hash_block(F.col(pcol), lo, hi).alias("key"),
+            gather_bits(F.col(pcol), grp).alias("key"),
         )
-        for c, (lo, hi) in enumerate(bounds)
+        for c, grp in enumerate(groups)
     ])
     keep = list(keep_cols or [])
     return df.select(
@@ -805,55 +838,109 @@ def int64_near_pairs(
     hash_col: str,
     id_col: str = "id",
     materialize: bool = True,
+    overfull_bucket: int = 1024,
 ) -> DataFrame:
     """Near-pairs by hamming distance over ANY int64 hash column — EXACT
     (same result as the brute-force popcount over all pairs). The shared
     engine under :func:`simhash_near_pairs` (text) and the image/frame
     phash dedup (``operators/image_dedup.py``, ``sources/media.py``).
 
-    Blocking: the 64 bits are sliced into ``max_hamming + 1`` contiguous
-    blocks; by pigeonhole a pair within hamming <= max_hamming agrees on at
-    least one whole block, so the block-keyed self-join generates every true
-    pair as a candidate and the popcount filter removes false positives
-    (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates for Web Crawling" —
-    public knowledge). Scale note: small radii give wide keys (h=3 -> 16-bit
-    keys); large radii shrink keys (h=12 -> ~5-bit keys) and bucket sizes grow
-    toward n^2/2^bits — at 100 TB keep h small or use the paper's
-    multi-block-combination tables; this implementation favors exactness.
+    Blocking: the 64 bit positions are partitioned into ``max_hamming + 1``
+    disjoint groups; by pigeonhole a pair within hamming <= max_hamming
+    agrees on EVERY bit of at least one group, so the group-keyed self-join
+    generates every true pair as a candidate and the popcount filter
+    removes false positives (Manku/Jain/Sarma, WWW'07 "Detecting
+    Near-Duplicates for Web Crawling" — public knowledge). Groups are
+    INTERLEAVED bit positions, not contiguous slices — the low-entropy
+    defense (r7): real hash corpora concentrate entropy in a bit range
+    (small-integer-like phashes: the low bits), and a contiguous slice
+    over the dead range puts the whole corpus in one bucket (n² join
+    output no matter how few true pairs exist); round-robin positions give
+    every group ~1/nb of whatever entropy exists (measured 67M -> ~5M
+    candidates on the adversarial multiples-of-1000003 bench fixture).
+
+    Residual skew defense: if ANY bucket is wider than ``overfull_bucket``
+    (a corpus whose TOTAL entropy is < nb * log2(bucket) bits), the join
+    key is extended by a SECOND pigeonhole over each group's complement
+    positions — every candidate pair already agrees on its group, so its
+    <= max_hamming differing bits all lie in the complement, and
+    round-robin sub-groups of the complement guarantee agreement on >= 1
+    sub-group. Still exact, one recursion level (property-tested vs brute
+    force on low-entropy fixtures). The flood check is ONE
+    map-side-combinable aggregation over the narrow (id, hash) explode
+    resolved at plan-build time — measured 3x cheaper than carrying a
+    per-row bucket-width column through a join (which taxed the common
+    uniform-hash case more than the flood it guarded against). A corpus
+    whose level-2 buckets still flood has essentially ONE phash value
+    repeated — its true pair set is itself quadratic, which is why every
+    caller collapses exact-duplicate hashes to representatives first.
 
     ``materialize``: localCheckpoint the (id, hash) projection before the
     self-join — mandatory when the hash column is produced by an expensive
-    stage (a pandas-UDF simhash / decode+phash), since the self-join would
-    otherwise run that stage once per side. Callers whose input is already
-    materialized (or trivially cheap) pass False.
+    stage (a pandas-UDF simhash / decode+phash), since the flood probe and
+    the self-join sides would otherwise each run that stage. Callers whose
+    input is already materialized (or trivially cheap) pass False.
 
     Output: (id_a, id_b, hamming) with id_a < id_b."""
     nb = int(max_hamming) + 1
     if not 1 <= nb <= 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    bounds = [(i * 64 // nb, (i + 1) * 64 // nb) for i in range(nb)]
+    groups = interleaved_positions(nb)
     s = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h64"))
     if materialize:
         s = s.localCheckpoint(eager=True)
 
     # one explode, NOT a union of nb branches — the plan stays a single
     # projection over the (id, hash) table
-    blocks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"), hash_block(F.col("h64"), lo, hi).alias("key"))
-        for c, (lo, hi) in enumerate(bounds)
-    ])
-    blocked = s.select(
-        "id", "h64", F.explode(blocks).alias("b")
-    ).select("id", "h64", F.col("b.chunk").alias("chunk"), F.col("b.key").alias("key"))
-    a = blocked.select(F.col("id").alias("id_a"), F.col("h64").alias("sh_a"), "chunk", "key")
-    b = blocked.select(F.col("id").alias("id_b"), F.col("h64").alias("sh_b"), "chunk", "key")
+    blocked = blocked_keys(s, "h64", max_hamming, keep_cols=["id"], hash_out="h64")
+    two_level = False
+    if overfull_bucket is not None and all(64 - len(g) >= nb for g in groups):
+        # plan-build-time flood probe (narrow agg, map-side combinable);
+        # when max_hamming >= 62 there are too few complement positions
+        # for a second pigeonhole and the plain join is the only option
+        maxw = (
+            blocked.groupBy("chunk", "key").agg(F.count("*").alias("_bw"))
+            .agg(F.max("_bw")).collect()[0][0]
+        )
+        two_level = (maxw or 0) > int(overfull_bucket)
+
+    keys = ["chunk", "key"]
+    if two_level:
+        def _subkey(j: int):
+            # the sub-group positions depend on which group the row is
+            # bucketed under (the complement differs per chunk) — one CASE
+            # chain keeps the path a SINGLE explode + self-join, not
+            # max_hamming+1 plan branches
+            e = None
+            for c in range(nb):
+                comp = [p for p in range(64) if p % nb != c]
+                k = gather_bits(F.col("h64"), comp[j::nb])
+                e = F.when(F.col("chunk") == c, k) if e is None else e.when(
+                    F.col("chunk") == c, k
+                )
+            return F.struct(F.lit(j).alias("sub"), e.alias("subkey"))
+
+        subs = F.array(*[_subkey(j) for j in range(nb)])
+        blocked = blocked.select(
+            "id", "h64", "chunk", "key", F.explode(subs).alias("sb")
+        ).select(
+            "id", "h64", "chunk", "key",
+            F.col("sb.sub").alias("sub"), F.col("sb.subkey").alias("subkey"),
+        )
+        keys = ["chunk", "key", "sub", "subkey"]
+
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    a = blocked.select(F.col("id").alias("id_a"), F.col("h64").alias("sh_a"), *keys)
+    b = blocked.select(F.col("id").alias("id_b"), F.col("h64").alias("sh_b"), *keys)
     return (
-        a.join(b, ["chunk", "key"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("chunk") == first_matching_block(F.col("sh_a"), F.col("sh_b"), bounds))
         .select("id_a", "id_b", ham)
         .filter(F.col("hamming") <= max_hamming)
+        # a pair is generated once per agreeing (group[, sub-group]) route —
+        # the terminal distinct runs over TRUE pairs only (post-popcount),
+        # the problem's output size, not its candidate volume
+        .distinct()
     )
 
 
@@ -903,16 +990,64 @@ def _has_reliable_checkpoint_dir(df: DataFrame) -> bool:
         return False
 
 
-# rows of (long u, long v) per loop partition: small enough that one task's
-# window sort stays comfortably in memory, large enough that a billion-edge
-# round still fans out to ~15k tasks
-_CC_ROWS_PER_PARTITION = 1 << 16
-# star rounds before escalating to two hops per convergence check
-_CC_TWO_HOP_AFTER = 3
+# loop-partition sizing bounds: a tiny edge list (the common post-collapse
+# case) runs as a handful of tasks so per-round scheduling doesn't dominate;
+# a list with real work fans out to every core ASAP (8k rows is already
+# enough per task); a billion-edge list is bounded at 64k rows per task so
+# one task's window sort stays comfortably in memory (~15k tasks)
+_CC_MIN_ROWS_PER_PARTITION = 1 << 13
+_CC_MAX_ROWS_PER_PARTITION = 1 << 16
 
 
-def _cc_loop_partitions(n_edges: int) -> int:
-    return max(1, -(-int(n_edges) // _CC_ROWS_PER_PARTITION))
+#: residual edge count below which the CC loop finishes with a bounded
+#: driver-side union-find instead of more distributed rounds: ~16 MB of
+#: (long, long) rows — the same order as a broadcast-join threshold
+_CC_DRIVER_FINISH_EDGES = 1 << 20
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Exact min-label components over a MEASURED-small edge list, as the
+    same (member -> component-min) edge shape the star loop converges to.
+    Union-find with path compression; second pass labels every root's tree
+    with the component's min id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = edges.collect()
+    for row in rows:
+        ru, rv = find(row[0]), find(row[1])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    members: dict = {}
+    for node in {x for row in rows for x in (row[0], row[1])}:
+        members.setdefault(find(node), []).append(node)
+    out = [
+        (n, root)
+        for root, ns in members.items()
+        for n in ns
+        if n != root
+    ]
+    return spark.createDataFrame(out, schema=edges.schema) if out else (
+        edges.limit(0)
+    )
+
+
+def _cc_loop_partitions(n_edges: int, parallelism: int) -> int:
+    """min(ceil(n/8k), max(cores, ceil(n/64k))), floor 1 — few tasks for
+    tiny lists, full cores once there is ≥8k rows/core of work, and never
+    fewer than ceil(n/64k) tasks so partitions stay memory-bounded no
+    matter how small the cluster's core count reads."""
+    n = int(n_edges)
+    lo = -(-n // _CC_MAX_ROWS_PER_PARTITION)
+    hi = -(-n // _CC_MIN_ROWS_PER_PARTITION)
+    return max(1, min(hi, max(int(parallelism), lo)))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -976,14 +1111,17 @@ def connected_components(
 
     The loop's wall cost at toy scale is dominated by data-INDEPENDENT
     per-round coordination (stage scheduling + checkpoint + the convergence
-    action), so three levers cut exactly that without touching semantics:
-    each star is a single window exchange instead of groupBy+join (two);
-    loop parallelism is sized to the measured edge count (post-collapse
-    edge lists are often tiny even for a huge corpus — ``coalesce`` only,
-    never a repartition shuffle, so billion-edge rounds keep full fan-out);
-    and past round ``_CC_TWO_HOP_AFTER`` two star rounds run per
-    convergence check, halving the fixed cost on deep chains while shallow
-    graphs (the common case, 2-3 rounds) never pay for an unused hop.
+    action), so two levers cut exactly that without touching semantics:
+    each star is a single window exchange instead of groupBy+join (two),
+    and loop parallelism is sized to the measured edge count (few tasks
+    for a tiny post-collapse edge list, full cores from ~8k rows/core,
+    64k-row-bounded tasks for a billion-edge round; ``coalesce`` only,
+    never a repartition shuffle). A third lever — fusing TWO star rounds
+    per convergence action — was A/B-measured SLOWER on the adversarial
+    deep-chain bench fixture (2.5-2.8 s one-hop vs 3.0-3.5 s two-hop over
+    3 reps each): per-action plan depth doubles, and Catalyst analysis +
+    AQE stage scheduling of the deeper plan cost more than the saved
+    convergence actions; rejected.
 
     ``reliable`` selects the per-round lineage-truncation mechanism:
     ``localCheckpoint`` (False — executor-block storage, the right local
@@ -1038,30 +1176,37 @@ def connected_components(
     # pure scheduling overhead (~2/3 of toy-scale CC wall). coalesce never
     # increases partition counts, so a genuinely large edge list keeps its
     # parallelism untouched.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     n_edges = edges.count()
-    edges = edges.coalesce(_cc_loop_partitions(n_edges))
+    edges = edges.coalesce(_cc_loop_partitions(n_edges, par))
 
     prev_fp = None
-    rounds_done = 0
-    while rounds_done < max_iters:
-        # escalate to two star rounds per fingerprint once past the shallow
-        # regime: most dedup graphs converge in 2-3 rounds (extra hops would
-        # be wasted work), but a deep chain runs O(log n) rounds and the
-        # per-round fixed cost (checkpoint + convergence action) then
-        # dominates — fusing two hops halves it
-        hops = 1 if rounds_done < _CC_TWO_HOP_AFTER else 2
-        e = edges
-        for _ in range(hops):
-            e = _small_star(_large_star(e))
+    for _ in range(max_iters):
+        if n_edges <= _CC_DRIVER_FINISH_EDGES:
+            # bounded driver finish: the residual edge list fits in ~16 MB,
+            # and each remaining distributed round costs a data-INDEPENDENT
+            # ~0.5 s of plan analysis + stage scheduling regardless of how
+            # few edges are left (measured: a 4.7k-edge deep chain burned 6
+            # such rounds). Union-find over a measured-small list is exact,
+            # instant, and bounded — this is NOT a driver-side loop over
+            # big data: at 10^12 rows the loop above keeps running
+            # distributed rounds until the residual fits the budget, which
+            # it always eventually does (each round only shrinks the list).
+            edges = _driver_union_find(pairs.sparkSession, edges)
+            break
         # LAZY checkpoint: the fingerprint aggregation is the round's single
         # action and materializes the checkpoint as it runs — eager=True
         # would pay a second full pass per round just to checkpoint
-        edges = _ckpt(e.coalesce(_cc_loop_partitions(n_edges)), eager=False)
+        edges = _ckpt(
+            _small_star(_large_star(edges)).coalesce(
+                _cc_loop_partitions(n_edges, par)
+            ),
+            eager=False,
+        )
         fp = edges.agg(
             F.count("*").alias("n"),
             F.sum(F.hash("u", "v").cast("long")).alias("h"),
         ).collect()[0]
-        rounds_done += hops
         n_edges = fp["n"]
         cur_fp = (fp["n"], fp["h"])
         if cur_fp == prev_fp:

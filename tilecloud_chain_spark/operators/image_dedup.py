@@ -105,7 +105,13 @@ def image_caption_dedup(
     keyed = base.select(F.col(id_col), F.explode(keys).alias("k")).select(
         id_col, "k.kind", "k.k1", "k.k2"
     )
-    reps = keyed.groupBy("kind", "k1", "k2").agg(F.min(id_col).alias("_rep"))
+    # materialized once: referenced by the star join, the hamming block
+    # join's flood probe + both self-join sides, and (with caption_near)
+    # the caption-rep semi-join — unmaterialized, the group aggregate
+    # would re-run per reference
+    reps = keyed.groupBy("kind", "k1", "k2").agg(
+        F.min(id_col).alias("_rep")
+    ).localCheckpoint(eager=True)
     star_edges = (
         keyed.join(reps, ["kind", "k1", "k2"])
         .filter(F.col(id_col) != F.col("_rep"))
