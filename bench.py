@@ -501,6 +501,21 @@ def w_quality(spark: SparkSession, sf_dir: str) -> int:
     return Q.quality_classify_udf(docs, profiles).count()
 
 
+def w_html_extract(spark: SparkSession, sf_dir: str) -> int:
+    """HTML -> text extraction at sf (r7, the crawl front door): the gate
+    fixture's page template over the documents table, one zero-shuffle
+    Arrow stage — a full-materialization agg so the reassembly cannot be
+    pruned from the plan."""
+    import __spark_entry__ as E
+
+    out = E.q_html_extract_docs(spark, sf_dir)
+    r = out.agg(
+        F.sum(F.length("clean_text")).alias("chars"),
+        F.sum("n_blocks_dropped").alias("dropped"),
+    ).collect()[0]
+    return int(r["chars"]) + int(r["dropped"])
+
+
 def w_semantic_dedup(spark: SparkSession, sf_dir: str) -> int:
     """SemDeDup at sf: distributed k-means fit (1 Lloyd round) + cluster
     partition + within-cluster cosine graph + rep-level CC keep flags.
@@ -588,6 +603,7 @@ WORKLOADS = {
     "img_curation": w_img_curation,
     "span_dedup": w_span_dedup,
     "quality": w_quality,
+    "html_extract": w_html_extract,
     "semantic": w_semantic_dedup,
     "clean_corpus": w_clean_corpus,
     "img_admission": w_img_admission,
@@ -1506,6 +1522,31 @@ def _write_bench_md(result: dict) -> None:
         "this row is a per-query anchor, not a scaling-gate workload;",
         "the north-rule scaling pair uses the work-dominated flagship",
         "stages where per-core efficiency is meaningful.",
+        "",
+        "r7 rework of that fixed cost (measured, each with min-of-3 A/B",
+        "probes): (1) the hamming block join's pigeonhole groups are now",
+        "INTERLEAVED bit positions + a plan-time flood probe — the",
+        "adversarial fixture's low-entropy phashes had been flooding the",
+        "high-bit blocks (67M join candidates for 5,293 true pairs);",
+        "near-pairs 6.0 -> 1.7 s. (2) connected_components finishes with",
+        "a bounded (~16 MB budget) driver union-find once the measured",
+        "residual edge list fits — the 4.7k-edge deep chain had been",
+        "burning 6 distributed rounds x ~0.5 s of pure per-round",
+        "coordination; CC 4.4 -> 1.0 s. (3) each star is one window",
+        "exchange instead of groupBy+join. A fourth lever — fusing two",
+        "star rounds per convergence action — was A/B-measured SLOWER",
+        "(2.5-2.8 s one-hop vs 3.0-3.5 s two-hop: plan depth per action",
+        "costs more than the saved actions) and rejected. Net:",
+        "image_caption_dedup 9.4 -> 3.2 s, dedup_clusters_100k 4.4 ->",
+        "2.4 s, img_admission 8.2 -> ~7.0 s raw at sf0.1. img_admission's",
+        "remaining wall above its subcomponents is ~8 sequential bounded",
+        "driver actions (flood probe, stage checkpoints, prefix-sum",
+        "collects) x ~0.3-0.5 s toy-scale scheduling floor each — all",
+        "data-independent and amortized on multi-hour stages.",
+        "",
+        "html_extract (new r7) is the crawl front door: parse + classify",
+        "+ reassemble in ONE zero-shuffle Arrow stage over the gate's",
+        "page-template fixture.",
         "",
         "| query | r3 sec | r5 norm | sec | normalized | norm (bus) | vs r3 | vs r5 |",
         "|---|---|---|---|---|---|---|---|",
