@@ -980,6 +980,42 @@ def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+def q_html_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-block feature table under html_extract (operators/html.py:
+    html_blocks) over the same page template as html_extract_docs: one row
+    per (doc, block) with the collapsed text, char count, link chars, and
+    link density — the inspectable intermediate a user tunes thresholds
+    on. The oracle rebuilds every block's text/link layout from
+    documents.text with plain string functions (the template is the
+    parser-free specification) and zips block_idx positionally."""
+    from tilecloud_chain_spark.operators.html import html_blocks
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), ds,
+        F.lit("</title><script>var x = '<p>not text</p>';</script></head>"
+              "<body><nav><a href='/'>home</a> <a href='/about'>about</a> "
+              "<a href='/contact'>contact</a></nav><h1>Doc "), ds,
+        F.lit("</h1><p>Article body: "), F.col("text"),
+        F.lit("</p><p>Summary &amp; notes for document "), ds,
+        F.lit(" follow here.</p>"),
+        F.when(F.expr("doc_id % 5 = 0"), F.concat(
+            F.lit("<p>Extra editorial paragraph with plenty of descriptive "
+                  "words for document "), ds, F.lit(".</p>"))
+        ).otherwise(F.lit("")),
+        F.when(F.expr("doc_id % 3 = 0"), F.lit(
+            "<div><a href='/r1'>related post number one</a> "
+            "<a href='/r2'>related post number two</a></div>")
+        ).otherwise(F.lit("")),
+        F.lit("<div class='footer'><a href='/terms'>terms</a> "
+              "<a href='/privacy'>privacy</a> &copy; 2026</div>"
+              "</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return html_blocks(pages)
+
+
 def q_clip_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image curation — CLIP-score (caption<->image embedding alignment)
     filtering (operators/image_curation.py:clip_filter): each embedding
@@ -1397,13 +1433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
-        "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
         "ivf_topk": q_ivf_topk,
         "host_limit_slots": q_host_limit_slots,
         "url_dedup_docs": q_url_dedup_docs,
         "image_caption_dedup": q_image_caption_dedup,
         "html_extract_docs": q_html_extract_docs,
+        "html_blocks_docs": q_html_blocks_docs,
         "clip_filter_pairs": q_clip_filter_pairs,
         "image_decontam": q_image_decontam,
         "aspect_buckets": q_aspect_buckets,
@@ -1453,11 +1489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image_admission, image_admission_staged); image_curation.py
         # (broadcast-join prefix-sum offsets) -> aspect_buckets,
         # epoch_schedule, token_chunks; urls.py (r7-committed canonicalizer
-        # guards) -> url_dedup_docs. Rotated OUT to make room, all
-        # r6-driver-gate green with modules untouched this round:
+        # guards) -> url_dedup_docs; the two NEW html entries
+        # (html_extract_docs + html_blocks_docs, operators/html.py).
+        # Rotated OUT to make room, all r6-driver-gate green with modules
+        # untouched this round:
         # serving_decisions + host_serving_decisions (plans/serving.py),
         # styled_tiles (raster styling), media_frames (sources/media.py,
-        # freshly re-evidenced r6). The EIGHTEEN below sit outside the
+        # freshly re-evidenced r6), embedding_near_dups + cosine_topk
+        # (similarity cosine paths, no dedup/CC dependency). The below sit
+        # outside the
         # window this round: those four, feature_info [serving.py
         # untouched, green since r3], legend_dedup [green since r2],
         # expire_tiles [green r4], fingerprint_docs + hash_drop_docs
@@ -1474,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "styled_tiles": q_styled_tiles,
         "media_frames": q_media_frames,
         "embedding_near_dups": q_embedding_near_dups,
+        "cosine_topk": q_cosine_topk,
         "expire_tiles": q_expire_tiles,
         "fingerprint_docs": q_fingerprint_docs,
         "hash_drop_docs": q_hash_drop_docs,
@@ -2836,6 +2877,46 @@ def oracle_sql() -> dict[str, str]:
         FROM imgs i LEFT JOIN comp c ON c.id = i.image_id
     """
 
+    # per-block twin: every block's text/link layout rebuilt from
+    # documents.text with plain string functions; block_idx via the
+    # positional zip of parallel unnests (DuckDB zips them by position)
+    html_blocks_docs = """
+        WITH bl AS (
+          SELECT doc_id,
+                 list_filter([
+                   {'t': 'home about contact', 'l': 16},
+                   {'t': 'Doc ' || doc_id, 'l': 0},
+                   {'t': 'Article body: ' || text, 'l': 0},
+                   {'t': 'Summary & notes for document ' || doc_id ||
+                         ' follow here.', 'l': 0},
+                   CASE WHEN doc_id % 5 = 0 THEN
+                     {'t': 'Extra editorial paragraph with plenty of ' ||
+                           'descriptive words for document ' || doc_id ||
+                           '.', 'l': 0}
+                   ELSE NULL END,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     {'t': 'related post number one related post number two',
+                      'l': 46}
+                   ELSE NULL END,
+                   {'t': 'terms privacy © 2026', 'l': 12}
+                 ], b -> b IS NOT NULL) AS blocks
+          FROM documents
+        ),
+        ub AS (
+          SELECT doc_id,
+                 unnest(range(0, len(blocks))) AS bi,
+                 unnest(list_transform(blocks, b -> b.t)) AS btext,
+                 unnest(list_transform(blocks, b -> b.l)) AS lc
+          FROM bl
+        )
+        SELECT doc_id, CAST(bi AS INTEGER) AS block_idx, btext AS text,
+               CAST(length(btext) AS INTEGER) AS chars,
+               CAST(lc AS INTEGER) AS link_chars,
+               CAST(round(lc * 1.0 / length(btext), 6) AS DOUBLE)
+                 AS link_density
+        FROM ub
+    """
+
     # HTML -> text extraction: the page template makes correct extraction
     # an exact function of the source text (body + summary + conditional
     # editorial paragraph), and kept/dropped counts pin the per-block
@@ -3254,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": url_dedup_docs,
         "image_caption_dedup": image_caption_dedup,
         "html_extract_docs": html_extract_docs,
+        "html_blocks_docs": html_blocks_docs,
         "clip_filter_pairs": clip_filter_pairs,
         "image_decontam": image_decontam,
         "aspect_buckets": aspect_buckets,
