@@ -1263,9 +1263,12 @@ def dedup_clusters(
         minhash_signatures_udf, None,
     )
     cc = connected_components(rep_pairs)
+    # mem is one row per input row by construction (keyed ⋈ unique-per-hash
+    # groups), and the input contract requires unique ids (jaccard_pairs
+    # docstring) — a defensive distinct here would shuffle the ENTIRE
+    # corpus's (id, rep) mapping at 10^12 rows for nothing
     labeled = (
-        mem.distinct()
-        .join(cc.withColumnRenamed("id", "rep_id"), "rep_id", "left")
+        mem.join(cc.withColumnRenamed("id", "rep_id"), "rep_id", "left")
         .select("id", F.coalesce("component", F.col("rep_id")).alias("cluster"))
     )
     return labeled.select(
