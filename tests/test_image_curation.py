@@ -513,3 +513,33 @@ def test_pack_and_schedule_empty_input(spark):
     packed = aspect_bucket_pack(empty, 8)
     assert packed.count() == 0
     assert epoch_schedule(packed, 4).count() == 0
+
+
+def test_image_admission_caption_near_passthrough(spark):
+    """caption_near_threshold reaches the pair-dedup stage: a re-encode
+    with a trivially edited caption AND far phash is only deduped when the
+    near family is on (same in the composed operator and the staged plan
+    via curate_images' param record)."""
+    import hashlib
+
+    from tilecloud_chain_spark.operators.image_curation import image_admission
+
+    cap = "a very nice stock photo of a happy dog playing in the park"
+
+    def _h(i):
+        v = int.from_bytes(hashlib.md5(b"ap%d" % i).digest()[:8], "big")
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    imgs = spark.createDataFrame(
+        [(0, 512, 512, cap, _h(0)),
+         (1, 512, 512, cap.replace("happy", "joyful"), _h(1)),
+         (2, 512, 512, "something else entirely different words", _h(2))],
+        "image_id long, w int, h int, caption string, phash long",
+    )
+    off = {r.image_id: r.dedup_keep
+           for r in image_admission(imgs, dedup_hamming=6).collect()}
+    assert off == {0: True, 1: True, 2: True}
+    on = {r.image_id: r.dedup_keep
+          for r in image_admission(
+              imgs, dedup_hamming=6, caption_near_threshold=0.5).collect()}
+    assert on == {0: True, 1: False, 2: True}

@@ -321,6 +321,7 @@ def cmd_curate_images(args) -> int:
         spark, imgs, store, eval_df=ev, clip_pairs=pairs,
         clip_threshold=args.clip_threshold,
         dedup_hamming=args.dedup_hamming,
+        caption_near_threshold=args.caption_near_threshold,
         decontam_hamming=args.decontam_hamming,
         batch_size=args.batch_size,
         world_size=args.world_size,
@@ -443,6 +444,9 @@ def main(argv=None) -> int:
     cu.add_argument("--job-id", default=None, help="resume an existing job")
     cu.add_argument("--clip-threshold", type=float, default=0.28)
     cu.add_argument("--dedup-hamming", type=int, default=6)
+    cu.add_argument("--caption-near-threshold", type=float, default=None,
+                    help="also connect caption NEAR-dups (MinHash-LSH "
+                         "shingle-Jaccard >= this) in the pair dedup")
     cu.add_argument("--decontam-hamming", type=int, default=2)
     cu.add_argument("--batch-size", type=int, default=64)
     cu.add_argument("--world-size", type=int, default=8)

@@ -449,6 +449,7 @@ def image_admission(
     *,
     clip_threshold: float = 0.28,
     dedup_hamming: int = 6,
+    caption_near_threshold: float | None = None,
     decontam_hamming: int = 2,
     batch_size: int = 64,
     buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
@@ -473,6 +474,10 @@ def image_admission(
     - ``dedup_keep`` — caption-equal OR phash-near pair dedup, min-id
       survivor per connected component
       (``operators/image_dedup.py:image_caption_dedup``);
+      ``caption_near_threshold`` additionally connects caption NEAR-dups
+      (MinHash-LSH over one representative per distinct caption — the r7
+      edge family catching a re-encode whose caption was trivially
+      edited);
     - ``admitted`` = clip_keep AND NOT contaminated AND dedup_keep;
     - ``bucket`` for every image (:func:`bucket_expr`), and
       ``batch_index``/``slot`` (:func:`aspect_bucket_pack`) packed over
@@ -490,7 +495,10 @@ def image_admission(
     """
     from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
 
-    dd = image_caption_dedup(imgs, dedup_hamming, id_col=id_col).select(
+    dd = image_caption_dedup(
+        imgs, dedup_hamming, id_col=id_col,
+        caption_near_threshold=caption_near_threshold,
+    ).select(
         id_col, F.col("keep").alias("dedup_keep")
     )
     cf = None

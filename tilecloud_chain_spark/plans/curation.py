@@ -57,6 +57,7 @@ def curate_images(
     *,
     clip_threshold: float = 0.28,
     dedup_hamming: int = 6,
+    caption_near_threshold: float | None = None,
     decontam_hamming: int = 2,
     batch_size: int = 64,
     world_size: int = 8,
@@ -80,6 +81,10 @@ def curate_images(
     params = json.dumps({
         "clip_threshold": float(clip_threshold),
         "dedup_hamming": int(dedup_hamming),
+        "caption_near_threshold": (
+            None if caption_near_threshold is None
+            else float(caption_near_threshold)
+        ),
         "decontam_hamming": int(decontam_hamming),
         "batch_size": int(batch_size),
         "world_size": int(world_size),
@@ -103,7 +108,10 @@ def curate_images(
     cell = F.col("image_id").alias("cell")
 
     def _dedup() -> DataFrame:
-        return image_caption_dedup(imgs, dedup_hamming).select(
+        return image_caption_dedup(
+            imgs, dedup_hamming,
+            caption_near_threshold=caption_near_threshold,
+        ).select(
             "image_id", "dup_group", "keep", cell
         )
 
