@@ -616,3 +616,97 @@ def test_reprojected_geometry_filter_lcc(spark):
     a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_native).collect()}
     b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_reproj).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal Area (round 7): EPSG:3035 (EU grid), +proj=laea
+# literals, equal-area Jacobian check, reprojected geometry-filter golden
+# ---------------------------------------------------------------------------
+
+
+def test_laea_epsg_guidance_note_worked_example():
+    """EPSG GN7-2 'Lambert Azimuthal Equal Area' worked example
+    (ETRS89-extended / LAEA Europe): 50°N 5°E reproduces the published
+    easting/northing exactly, and inverts to machine precision."""
+    e, n = crs.transform_coords("EPSG:4326", "EPSG:3035", [5.0], [50.0])
+    assert float(e[0]) == pytest.approx(3_962_799.45, abs=0.01)
+    assert float(n[0]) == pytest.approx(2_999_718.85, abs=0.01)
+    lon, lat = crs.transform_coords("EPSG:3035", "EPSG:4326", e, n)
+    assert float(lon[0]) == pytest.approx(5.0, abs=1e-12)
+    assert float(lat[0]) == pytest.approx(50.0, abs=1e-12)
+    # natural origin lands on the false origin by construction
+    e0, n0 = crs.transform_coords("EPSG:4326", "EPSG:3035", [10.0], [52.0])
+    assert float(e0[0]) == pytest.approx(4_321_000.0, abs=1e-6)
+    assert float(n0[0]) == pytest.approx(3_210_000.0, abs=1e-6)
+
+
+def test_laea_equal_area_jacobian():
+    """The projection's DEFINING property, checked numerically (independent
+    of any remembered golden): the Jacobian determinant of (E, N) wrt
+    (lon, lat) equals the ellipsoid's area element
+    a²(1-e²)cosφ/(1-e²sin²φ)² at every probe point — areal scale is 1."""
+    a, f = crs.GRS80_A, crs.GRS80_F
+    e2 = (2 - f) * f
+    p = crs._LambertAzimuthalEqualArea(
+        lat0_deg=52.0, lon0_deg=10.0, fe=0.0, fn=0.0, a=a, f=f
+    )
+    d = 1e-6
+    for lon, lat in [(10.0, 52.0), (5.0, 50.0), (25.0, 65.0), (-8.0, 38.0)]:
+        x0, y0 = p.fwd(lon, lat)
+        xl, yl = p.fwd(lon + d, lat)
+        xp, yp = p.fwd(lon, lat + d)
+        jac = abs(
+            (float(xl - x0) * float(yp - y0) - float(xp - x0) * float(yl - y0))
+        ) / (d * d * crs._D2R ** 2)
+        sp = np.sin(np.radians(lat))
+        want = a * a * (1 - e2) * np.cos(np.radians(lat)) / (1 - e2 * sp**2) ** 2
+        assert jac == pytest.approx(float(want), rel=1e-5), (lon, lat)
+
+
+def test_laea_literal_and_validation():
+    lit = ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+           "+ellps=GRS80 +units=m +no_defs")
+    for lon, lat in [(5.0, 50.0), (24.0, 61.0), (-3.7, 40.4)]:
+        xr, yr = crs.transform_coords("EPSG:4326", "EPSG:3035", [lon], [lat])
+        xl, yl = crs.transform_coords("EPSG:4326", lit, [lon], [lat])
+        assert float(xl[0]) == float(xr[0]) and float(yl[0]) == float(yr[0])
+    with pytest.raises(NotImplementedError, match="not implemented"):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80 +units=km",
+            [1.0], [46.0],
+        )
+    # 3-param datum shift composes: shifting the datum moves the result by
+    # roughly the shift magnitude
+    base = crs.transform_coords(
+        "EPSG:4326", "+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80",
+        [10.0], [52.0])
+    shifted = crs.transform_coords(
+        "EPSG:4326",
+        "+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80 +towgs84=-87,-98,-121",
+        [10.0], [52.0])
+    dd = float(np.hypot(shifted[0][0] - base[0][0], shifted[1][0] - base[1][0]))
+    assert 50 < dd < 300  # horizontal component of a ~179 m 3D shift
+
+
+def test_reprojected_geometry_filter_laea(spark):
+    """Layer geometry delivered in EPSG:3035 against the Swiss grid must
+    produce the identical filtered tile set as the native-SRS geometry
+    (same guarantee as the UTM and Lambert-93 goldens)."""
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.sources import enumerate as EN
+
+    grid = SWISSGRID_5
+    layer = LAYERS["polygon"]
+    native = parse_wkt(layer.geom_wkt)
+    g_laea = GE.transform_geom("EPSG:21781", "EPSG:3035", native)
+    geoms_native = GE.resolve_geoms(grid, layer, zooms=range(3))
+    geoms_reproj = GE.resolve_geoms(
+        grid, layer,
+        geom_rows=[{"wkt": _to_wkt(g_laea)}],
+        zooms=range(3), layer_srs="EPSG:3035",
+    )
+    tiles = EN.dense_tiles(spark, grid, range(3))
+    a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_native).collect()}
+    b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_reproj).collect()}
+    assert a == b and len(a) > 0

@@ -444,6 +444,107 @@ class _LambertConformal:
         return lam * _R2D, phi * _R2D
 
 
+
+class _LambertAzimuthalEqualArea:
+    """Ellipsoidal Lambert Azimuthal Equal Area (EPSG method 9820),
+    equations per EPSG Guidance Note 7-2 (public) — the EU statistical
+    grid family (ETRS89-extended / LAEA Europe, EPSG:3035).
+
+    Correctness is pinned three independent ways in tests: the GN7-2
+    worked example, a NUMERIC check of the projection's defining property
+    (areal scale == 1: the Jacobian determinant equals the ellipsoid's
+    area element at every probe point — checks the math, not a remembered
+    number), and fwd∘inv round-trip to machine precision."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float, fe: float, fn: float,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.fe, self.fn = a, fe, fn
+        self.lam0 = lon0_deg * _D2R
+        self.e2 = _e2(f)
+        self.e = float(np.sqrt(self.e2))
+        self.qp = float(self._q(np.pi / 2.0))
+        self.rq = a * float(np.sqrt(self.qp / 2.0))
+        phi0 = lat0_deg * _D2R
+        q0 = float(self._q(phi0))
+        self.beta0 = float(np.arcsin(q0 / self.qp))
+        self.d = (
+            a * float(np.cos(phi0) / np.sqrt(1.0 - self.e2 * np.sin(phi0) ** 2))
+            / (self.rq * float(np.cos(self.beta0)))
+        )
+        # authalic -> geodetic latitude series coefficients (GN7-2)
+        e2, e4, e6 = self.e2, self.e2 ** 2, self.e2 ** 3
+        self._c2 = e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+        self._c4 = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+        self._c6 = 761.0 * e6 / 45360.0
+
+    def _q(self, phi):
+        sp = np.sin(phi)
+        return (1.0 - self.e2) * (
+            sp / (1.0 - self.e2 * sp ** 2)
+            - (1.0 / (2.0 * self.e)) * np.log(
+                (1.0 - self.e * sp) / (1.0 + self.e * sp)
+            )
+        )
+
+    def fwd(self, lon_deg, lat_deg):
+        phi = np.asarray(lat_deg, dtype=np.float64) * _D2R
+        lam = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
+        dl = lam - self.lam0
+        b = self.rq * np.sqrt(
+            2.0 / (1.0 + np.sin(self.beta0) * np.sin(beta)
+                   + np.cos(self.beta0) * np.cos(beta) * np.cos(dl))
+        )
+        e_ = self.fe + (b * self.d) * np.cos(beta) * np.sin(dl)
+        n_ = self.fn + (b / self.d) * (
+            np.cos(self.beta0) * np.sin(beta)
+            - np.sin(self.beta0) * np.cos(beta) * np.cos(dl)
+        )
+        return e_, n_
+
+    def inv(self, e_, n_):
+        x = (np.asarray(e_, dtype=np.float64) - self.fe) / self.d
+        y = (np.asarray(n_, dtype=np.float64) - self.fn) * self.d
+        rho = np.sqrt(x * x + y * y)
+        c = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore"):
+            beta_p = np.where(
+                rho == 0.0,
+                self.beta0,
+                np.arcsin(np.clip(
+                    np.cos(c) * np.sin(self.beta0)
+                    + y * np.sin(c) * np.cos(self.beta0) / np.where(rho == 0, 1, rho),
+                    -1.0, 1.0,
+                )),
+            )
+            lam = self.lam0 + np.where(
+                rho == 0.0,
+                0.0,
+                np.arctan2(
+                    x * np.sin(c),
+                    rho * np.cos(self.beta0) * np.cos(c)
+                    - y * np.sin(self.beta0) * np.sin(c),
+                ),
+            )
+        phi = (
+            beta_p
+            + self._c2 * np.sin(2.0 * beta_p)
+            + self._c4 * np.sin(4.0 * beta_p)
+            + self._c6 * np.sin(6.0 * beta_p)
+        )
+        # the GN7-2 series truncates at e^6 (~3e-9 deg residual); two
+        # Newton steps on q(phi) = qp*sin(beta') reach float64 fixed point
+        # (dq/dphi = 2(1-e^2)cos(phi)/(1-e^2 sin^2 phi)^2, closed form)
+        q_t = self.qp * np.sin(beta_p)
+        for _ in range(2):
+            sp = np.sin(phi)
+            dq = 2.0 * (1.0 - self.e2) * np.cos(phi) / (
+                1.0 - self.e2 * sp ** 2
+            ) ** 2
+            phi = phi - np.where(dq == 0.0, 0.0, (self._q(phi) - q_t) / np.where(dq == 0.0, 1.0, dq))
+        return lam * _R2D, phi * _R2D
+
+
 def _utm(zone: int, south: bool) -> _TransverseMercator:
     """UTM zone on WGS84: k0=0.9996, central meridian zone*6-183, FE 500 km,
     FN 10 000 km in the southern hemisphere."""
@@ -510,6 +611,15 @@ _LAMBERT93 = _LambertConformal(
     a=GRS80_A, f=GRS80_F,
 )
 _REGISTRY["EPSG:2154"] = (_LAMBERT93.fwd, _LAMBERT93.inv)
+
+# ETRS89-extended / LAEA Europe (EPSG:3035) — the EU statistical grid,
+# Lambert Azimuthal Equal Area on GRS80 at (52°N, 10°E), FE 4 321 000 /
+# FN 3 210 000; ETRS89 coincides with WGS84 at this engine's tolerance
+_LAEA_EUROPE = _LambertAzimuthalEqualArea(
+    lat0_deg=52.0, lon0_deg=10.0, fe=4_321_000.0, fn=3_210_000.0,
+    a=GRS80_A, f=GRS80_F,
+)
+_REGISTRY["EPSG:3035"] = (_LAEA_EUROPE.fwd, _LAEA_EUROPE.inv)
 
 
 # named ellipsoids (public PROJ table values) for +ellps= literals
@@ -681,6 +791,31 @@ def _register_lcc(toks: dict) -> str:
     return key
 
 
+def _register_laea(toks: dict) -> str:
+    """Arbitrary ``+proj=laea`` literal (EPSG method 9820 — EU grids,
+    global equal-area tiles). Same refuse-loudly token policy and 3-param
+    datum wrapping as the lcc/tmerc arms; kernel pinned against the GN7-2
+    worked example plus a numeric areal-scale==1 check."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    _require_known_tokens(
+        toks, _ELLIPSOID_TOKENS | {"lat_0", "lon_0", "x_0", "y_0"}
+    )
+    a, f = _ellipsoid_from_tokens(toks)
+    laea = _LambertAzimuthalEqualArea(
+        lat0_deg=float(toks.get("lat_0", 0.0)),
+        lon0_deg=float(toks.get("lon_0", 0.0)),
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+        a=a, f=f,
+    )
+    _REGISTRY[key] = _datum_wrapped(laea, a, f, _towgs84(toks))
+    return key
+
+
 def _register_merc(toks: dict) -> str:
     """Arbitrary ellipsoidal ``+proj=merc`` literal — Mercator variant A
     (``+k``) or variant B (``+lat_ts``: k0 = cos(phi_ts) /
@@ -784,6 +919,8 @@ def _parse_proj4(literal: str) -> str | None:
         return _register_merc(toks)
     if proj == "lcc":
         return _register_lcc(toks)
+    if proj == "laea":
+        return _register_laea(toks)
     if proj == "somerc":
         return _register_somerc(toks)
     if proj == "utm" and toks.get("zone", "").isdigit():
