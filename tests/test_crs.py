@@ -710,3 +710,96 @@ def test_reprojected_geometry_filter_laea(spark):
     a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_native).collect()}
     b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(tiles, grid, geoms_reproj).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Polar Stereographic (round 7): UPS (variant A), NSIDC sea-ice grids
+# (variant B), +proj=stere polar literals
+# ---------------------------------------------------------------------------
+
+
+def test_ups_epsg_guidance_note_worked_example():
+    """EPSG GN7-2 'Polar Stereographic variant A' worked example (WGS84 /
+    UPS North, k0=0.994): 73°N 44°E reproduces the published coordinates
+    exactly; the pole lands on the false origin; the south aspect mirrors."""
+    e, n = crs.transform_coords("EPSG:4326", "EPSG:5041", [44.0], [73.0])
+    assert float(e[0]) == pytest.approx(3_320_416.75, abs=0.01)
+    assert float(n[0]) == pytest.approx(632_668.43, abs=0.01)
+    lon, lat = crs.transform_coords("EPSG:5041", "EPSG:4326", e, n)
+    assert float(lon[0]) == pytest.approx(44.0, abs=1e-12)
+    assert float(lat[0]) == pytest.approx(73.0, abs=1e-12)
+    e0, n0 = crs.transform_coords("EPSG:4326", "EPSG:5041", [17.0], [90.0])
+    assert float(e0[0]) == pytest.approx(2_000_000.0, abs=1e-6)
+    assert float(n0[0]) == pytest.approx(2_000_000.0, abs=1e-6)
+    # south aspect: the mirrored point lands at the mirrored offset
+    es, ns = crs.transform_coords("EPSG:4326", "EPSG:5042", [44.0], [-73.0])
+    assert float(es[0]) == pytest.approx(float(e[0]), abs=1e-6)
+    assert float(ns[0]) == pytest.approx(4_000_000.0 - float(n[0]), abs=1e-6)
+
+
+def test_polar_stereographic_defining_properties():
+    """Numeric checks independent of any remembered golden: the projection
+    is CONFORMAL (locally isotropic scale at every probe) and variant B's
+    linear scale is exactly 1 on its standard parallel."""
+    a, f = crs.WGS84_A, crs.WGS84_F
+    e2 = (2 - f) * f
+    p = crs._PolarStereographic(False, 0.0, 0.0, lon0_deg=-45.0, lat_ts_deg=70.0)
+    d = 1e-7
+
+    def scales(lon, lat):
+        x0, y0 = p.fwd(lon, lat)
+        xl, yl = p.fwd(lon + d, lat)
+        xp, yp = p.fwd(lon, lat + d)
+        sp = np.sin(np.radians(lat))
+        nu = a / np.sqrt(1 - e2 * sp**2)
+        rho = a * (1 - e2) / (1 - e2 * sp**2) ** 1.5
+        k_lon = float(np.hypot(xl - x0, yl - y0)) / (
+            d * crs._D2R * nu * np.cos(np.radians(lat)))
+        k_lat = float(np.hypot(xp - x0, yp - y0)) / (d * crs._D2R * rho)
+        return k_lon, k_lat
+
+    for lon, lat in [(0.0, 70.0), (-45.0, 85.0), (120.0, 66.0), (30.0, 75.0)]:
+        k_lon, k_lat = scales(lon, lat)
+        assert k_lon == pytest.approx(k_lat, rel=1e-6), (lon, lat)  # conformal
+    k_lon, _ = scales(13.0, 70.0)
+    # finite-difference derivative carries ~1e-8 noise at d=1e-7
+    assert k_lon == pytest.approx(1.0, abs=1e-6)  # variant B standard parallel
+    k_lon, _ = scales(13.0, 66.0)
+    assert k_lon > 1.0 + 1e-4  # grows away from the parallel
+
+
+def test_stere_literals_and_validation():
+    lit_b = ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+             "+ellps=WGS84 +units=m +no_defs")
+    for lon, lat in [(-30.0, 75.0), (100.0, 82.0)]:
+        xr, yr = crs.transform_coords("EPSG:4326", "EPSG:3413", [lon], [lat])
+        xl, yl = crs.transform_coords("EPSG:4326", lit_b, [lon], [lat])
+        assert float(xl[0]) == float(xr[0]) and float(yl[0]) == float(yr[0])
+    lit_a = "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84"
+    xr, yr = crs.transform_coords("EPSG:4326", "EPSG:5041", [44.0], [73.0])
+    xl, yl = crs.transform_coords("EPSG:4326", lit_a, [44.0], [73.0])
+    assert float(xl[0]) == float(xr[0]) and float(yl[0]) == float(yr[0])
+    # oblique stereographic is a DIFFERENT projection — refused loudly
+    with pytest.raises(NotImplementedError, match="POLAR"):
+        crs.transform_coords(
+            "EPSG:4326", "+proj=stere +lat_0=52 +lon_0=5 +ellps=WGS84",
+            [5.0], [52.0])
+    # underdetermined polar literal (no k, no lat_ts) defaults to the pole
+    # as its standard parallel (k0=1) — PROJ's behavior
+    x1, _ = crs.transform_coords(
+        "EPSG:4326", "+proj=stere +lat_0=90 +ellps=WGS84", [44.0], [73.0])
+    x2, _ = crs.transform_coords(
+        "EPSG:4326", "+proj=stere +lat_0=90 +lat_ts=90 +ellps=WGS84",
+        [44.0], [73.0])
+    assert float(x1[0]) == pytest.approx(float(x2[0]), abs=1e-9)
+
+
+def test_south_polar_roundtrip():
+    lons = np.linspace(-180.0, 180.0, 19)
+    lats = np.linspace(-89.9, -60.0, 11)
+    lo, la = (a.ravel() for a in np.meshgrid(lons, lats))
+    px, py = crs.transform_coords("EPSG:4326", "EPSG:3976", lo, la)
+    lo2, la2 = crs.transform_coords("EPSG:3976", "EPSG:4326", px, py)
+    dl = (np.abs(lo2 - lo) + 180.0) % 360.0 - 180.0
+    assert np.abs(dl).max() < 1e-9
+    assert np.abs(la2 - la).max() < 1e-9

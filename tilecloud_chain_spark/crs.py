@@ -545,6 +545,92 @@ class _LambertAzimuthalEqualArea:
         return lam * _R2D, phi * _R2D
 
 
+
+class _PolarStereographic:
+    """Ellipsoidal Polar Stereographic (EPSG method 9810), variant A
+    (``+k_0`` at the pole — UPS) and variant B (``+lat_ts`` standard
+    parallel — Antarctic/Arctic grids), equations per EPSG Guidance Note
+    7-2 (public). ``south=True`` is the south-pole aspect.
+
+    Correctness is pinned three independent ways in tests: the GN7-2 UPS
+    worked example, NUMERIC checks of the defining properties (conformal:
+    isotropic local scale at every probe; variant B: linear scale exactly
+    1 on the standard parallel — checks the math, not a remembered
+    number), and fwd∘inv round-trip to machine precision."""
+
+    def __init__(self, south: bool, fe: float, fn: float,
+                 lon0_deg: float = 0.0, k0: float | None = None,
+                 lat_ts_deg: float | None = None,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.fe, self.fn, self.south = a, fe, fn, south
+        self.lam0 = lon0_deg * _D2R
+        self.e2 = _e2(f)
+        self.e = float(np.sqrt(self.e2))
+        e = self.e
+        self._croot = float(np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
+        if k0 is None:
+            if lat_ts_deg is None:
+                raise NotImplementedError(
+                    "+proj=stere polar needs +k_0 (variant A) or +lat_ts "
+                    "(variant B)"
+                )
+            # variant B: k0 from the standard parallel (GN7-2); the
+            # pole itself is the k0=1 limit of m_F / (2 t_F)
+            if abs(lat_ts_deg) == 90.0:
+                k0 = 1.0
+            else:
+                phi_f = abs(lat_ts_deg) * _D2R
+                sp = np.sin(phi_f)
+                m_f = float(np.cos(phi_f) / np.sqrt(1 - self.e2 * sp ** 2))
+                t_f = float(self._t(phi_f))
+                k0 = m_f * self._croot / (2.0 * t_f)
+        self.k0 = float(k0)
+
+    def _t(self, phi):
+        # polar-aspect isometric factor at |phi| (north-pole form)
+        es = self.e * np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) * (
+            (1.0 + es) / (1.0 - es)
+        ) ** (self.e / 2.0)
+
+    def fwd(self, lon_deg, lat_deg):
+        lam = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        phi = np.asarray(lat_deg, dtype=np.float64) * _D2R
+        if self.south:
+            phi, lam = -phi, -lam
+            lam0 = -self.lam0
+        else:
+            lam0 = self.lam0
+        rho = 2.0 * self.a * self.k0 * self._t(phi) / self._croot
+        x = rho * np.sin(lam - lam0)
+        y = -rho * np.cos(lam - lam0)
+        if self.south:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inv(self, e_, n_):
+        x = np.asarray(e_, dtype=np.float64) - self.fe
+        y = np.asarray(n_, dtype=np.float64) - self.fn
+        if self.south:
+            x, y = -x, -y
+            lam0 = -self.lam0
+        else:
+            lam0 = self.lam0
+        rho = np.hypot(x, y)
+        t = rho * self._croot / (2.0 * self.a * self.k0)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(15):  # standard fixed point, float64-exact
+            es = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (self.e / 2.0)
+            )
+        lam = lam0 + np.arctan2(x, -y)
+        lam = np.where(rho == 0.0, lam0, lam)
+        if self.south:
+            phi, lam = -phi, -lam
+        return lam * _R2D, phi * _R2D
+
+
 def _utm(zone: int, south: bool) -> _TransverseMercator:
     """UTM zone on WGS84: k0=0.9996, central meridian zone*6-183, FE 500 km,
     FN 10 000 km in the southern hemisphere."""
@@ -620,6 +706,19 @@ _LAEA_EUROPE = _LambertAzimuthalEqualArea(
     a=GRS80_A, f=GRS80_F,
 )
 _REGISTRY["EPSG:3035"] = (_LAEA_EUROPE.fwd, _LAEA_EUROPE.inv)
+
+# WGS84 / UPS North + South (EPSG:5041 / 5042 — polar grid zones, variant A,
+# k0 = 0.994, FE = FN = 2 000 000) and the two standard polar science grids
+# (EPSG:3413 NSIDC Sea Ice North on lat_ts 70N lon0 -45; EPSG:3976 South on
+# lat_ts -70) — variant B
+_UPS_N = _PolarStereographic(False, 2_000_000.0, 2_000_000.0, k0=0.994)
+_UPS_S = _PolarStereographic(True, 2_000_000.0, 2_000_000.0, k0=0.994)
+_NSIDC_N = _PolarStereographic(False, 0.0, 0.0, lon0_deg=-45.0, lat_ts_deg=70.0)
+_NSIDC_S = _PolarStereographic(True, 0.0, 0.0, lon0_deg=0.0, lat_ts_deg=-70.0)
+_REGISTRY["EPSG:5041"] = (_UPS_N.fwd, _UPS_N.inv)
+_REGISTRY["EPSG:5042"] = (_UPS_S.fwd, _UPS_S.inv)
+_REGISTRY["EPSG:3413"] = (_NSIDC_N.fwd, _NSIDC_N.inv)
+_REGISTRY["EPSG:3976"] = (_NSIDC_S.fwd, _NSIDC_S.inv)
 
 
 # named ellipsoids (public PROJ table values) for +ellps= literals
@@ -816,6 +915,47 @@ def _register_laea(toks: dict) -> str:
     return key
 
 
+def _register_stere(toks: dict) -> str:
+    """Arbitrary POLAR ``+proj=stere`` literal (EPSG method 9810 variant A
+    via ``+k_0`` or variant B via ``+lat_ts``; ``+lat_0`` must be ±90).
+    Oblique stereographic (EPSG 9809 — a different projection family) is
+    refused loudly, never approximated. Same token policy and 3-param
+    datum wrapping as the other arms."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    _require_known_tokens(
+        toks,
+        _ELLIPSOID_TOKENS | {"lat_0", "lat_ts", "lon_0", "k", "k_0",
+                             "x_0", "y_0"},
+    )
+    lat0 = float(toks.get("lat_0", 0.0))
+    if abs(lat0) != 90.0:
+        raise NotImplementedError(
+            "+proj=stere is implemented for the POLAR aspect only "
+            "(+lat_0=90 or +lat_0=-90); oblique stereographic (EPSG method "
+            "9809) is not implemented"
+        )
+    a, f = _ellipsoid_from_tokens(toks)
+    k0 = toks.get("k", toks.get("k_0"))
+    lat_ts = toks.get("lat_ts")
+    ps = _PolarStereographic(
+        south=lat0 < 0,
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+        lon0_deg=float(toks.get("lon_0", 0.0)),
+        k0=float(k0) if k0 is not None else None,
+        lat_ts_deg=float(lat_ts) if lat_ts is not None else (
+            None if k0 is not None else lat0
+        ),
+        a=a, f=f,
+    )
+    _REGISTRY[key] = _datum_wrapped(ps, a, f, _towgs84(toks))
+    return key
+
+
 def _register_merc(toks: dict) -> str:
     """Arbitrary ellipsoidal ``+proj=merc`` literal — Mercator variant A
     (``+k``) or variant B (``+lat_ts``: k0 = cos(phi_ts) /
@@ -921,6 +1061,8 @@ def _parse_proj4(literal: str) -> str | None:
         return _register_lcc(toks)
     if proj == "laea":
         return _register_laea(toks)
+    if proj == "stere":
+        return _register_stere(toks)
     if proj == "somerc":
         return _register_somerc(toks)
     if proj == "utm" and toks.get("zone", "").isdigit():
