@@ -803,3 +803,63 @@ def test_south_polar_roundtrip():
     dl = (np.abs(lo2 - lo) + 180.0) % 360.0 - 180.0
     assert np.abs(dl).max() < 1e-9
     assert np.abs(la2 - la).max() < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal Area (round 7): EPSG:5070 Conus Albers, +proj=aea literals
+# ---------------------------------------------------------------------------
+
+
+def test_aea_defining_properties():
+    """Numeric checks independent of any remembered golden: areal scale is
+    exactly 1 everywhere (Jacobian == ellipsoid area element) and linear
+    scale ALONG each standard parallel is exactly 1."""
+    a, f = crs.GRS80_A, crs.GRS80_F
+    e2 = (2 - f) * f
+    p = crs._AlbersEqualArea(
+        lat0_deg=23.0, lon0_deg=-96.0, fe=0.0, fn=0.0,
+        lat1_deg=29.5, lat2_deg=45.5, a=a, f=f,
+    )
+    d = 1e-6
+
+    def probe(lon, lat):
+        x0, y0 = p.fwd(lon, lat)
+        xl, yl = p.fwd(lon + d, lat)
+        xp, yp = p.fwd(lon, lat + d)
+        sp = np.sin(np.radians(lat))
+        nu = a / np.sqrt(1 - e2 * sp**2)
+        jac = abs(
+            float(xl - x0) * float(yp - y0) - float(xp - x0) * float(yl - y0)
+        ) / (d * d * crs._D2R**2)
+        area_el = a * a * (1 - e2) * np.cos(np.radians(lat)) / (1 - e2 * sp**2) ** 2
+        k_par = float(np.hypot(xl - x0, yl - y0)) / (
+            d * crs._D2R * nu * np.cos(np.radians(lat)))
+        return jac / float(area_el), k_par
+
+    for lon, lat in [(-96.0, 23.0), (-120.0, 40.0), (-75.0, 45.0), (-96.0, 37.5)]:
+        ratio, _ = probe(lon, lat)
+        assert ratio == pytest.approx(1.0, rel=1e-5), (lon, lat)
+    for lat in (29.5, 45.5):
+        _, k = probe(-96.0, lat)
+        assert k == pytest.approx(1.0, abs=1e-6), lat
+    _, k_mid = probe(-96.0, 37.5)
+    assert k_mid < 1.0 - 1e-4  # compressed between the parallels
+
+
+def test_aea_epsg_5070_registry_literal_and_roundtrip():
+    e, n = crs.transform_coords("EPSG:4326", "EPSG:5070", [-96.0], [23.0])
+    assert float(e[0]) == pytest.approx(0.0, abs=1e-9)
+    assert float(n[0]) == pytest.approx(0.0, abs=1e-9)
+    lit = ("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+           "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+    lons = np.linspace(-124.0, -67.0, 12)
+    lats = np.linspace(25.0, 49.0, 9)
+    lo, la = (v.ravel() for v in np.meshgrid(lons, lats))
+    xr, yr = crs.transform_coords("EPSG:4326", "EPSG:5070", lo, la)
+    xl, yl = crs.transform_coords("EPSG:4326", lit, lo, la)
+    assert np.array_equal(xr, xl) and np.array_equal(yr, yl)
+    lo2, la2 = crs.transform_coords("EPSG:5070", "EPSG:4326", xr, yr)
+    assert np.abs(lo2 - lo).max() < 1e-11
+    assert np.abs(la2 - la).max() < 1e-11
+    with pytest.raises(NotImplementedError, match="lat_1"):
+        crs.transform_coords("EPSG:4326", "+proj=aea +ellps=GRS80", [1.0], [1.0])

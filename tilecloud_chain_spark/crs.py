@@ -631,6 +631,94 @@ class _PolarStereographic:
         return lam * _R2D, phi * _R2D
 
 
+
+class _AlbersEqualArea:
+    """Ellipsoidal Albers Equal Area conic, 2SP (EPSG method 9822),
+    equations per EPSG Guidance Note 7-2 (public) — the US national
+    statistical family (NAD83 / Conus Albers EPSG:5070, Statistics
+    Canada grids).
+
+    Correctness is pinned numerically by the projection's defining
+    properties (areal scale == 1 everywhere via the Jacobian; linear scale
+    along BOTH standard parallels == 1) plus fwd∘inv round-trip to machine
+    precision — property checks, not remembered numbers."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float, fe: float, fn: float,
+                 lat1_deg: float, lat2_deg: float,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.fe, self.fn = a, fe, fn
+        self.lam0 = lon0_deg * _D2R
+        self.e2 = _e2(f)
+        self.e = float(np.sqrt(self.e2))
+        phi1, phi2 = lat1_deg * _D2R, lat2_deg * _D2R
+
+        def m(phi):
+            return np.cos(phi) / np.sqrt(1.0 - self.e2 * np.sin(phi) ** 2)
+
+        m1, m2 = float(m(phi1)), float(m(phi2))
+        q1, q2 = float(self._q(phi1)), float(self._q(phi2))
+        if abs(lat2_deg - lat1_deg) > 1e-12:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        else:
+            self.n = float(np.sin(phi1))
+        self.c = m1 * m1 + self.n * q1
+        self.rho0 = float(
+            a * np.sqrt(self.c - self.n * self._q(lat0_deg * _D2R)) / self.n
+        )
+        # authalic -> geodetic series (same GN7-2 coefficients as LAEA)
+        self.qp = float(self._q(np.pi / 2.0))
+        e2_, e4, e6 = self.e2, self.e2 ** 2, self.e2 ** 3
+        self._c2 = e2_ / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+        self._c4 = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+        self._c6 = 761.0 * e6 / 45360.0
+
+    def _q(self, phi):
+        sp = np.sin(phi)
+        return (1.0 - self.e2) * (
+            sp / (1.0 - self.e2 * sp ** 2)
+            - (1.0 / (2.0 * self.e)) * np.log(
+                (1.0 - self.e * sp) / (1.0 + self.e * sp)
+            )
+        )
+
+    def fwd(self, lon_deg, lat_deg):
+        phi = np.asarray(lat_deg, dtype=np.float64) * _D2R
+        lam = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        rho = self.a * np.sqrt(self.c - self.n * self._q(phi)) / self.n
+        th = self.n * (lam - self.lam0)
+        return (
+            self.fe + rho * np.sin(th),
+            self.fn + self.rho0 - rho * np.cos(th),
+        )
+
+    def inv(self, e_, n_):
+        x = np.asarray(e_, dtype=np.float64) - self.fe
+        y = self.rho0 - (np.asarray(n_, dtype=np.float64) - self.fn)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.sqrt(x * x + y * y)
+        th = np.arctan2(sgn * x, sgn * y)
+        lam = self.lam0 + th / self.n
+        q = (self.c - (rho * self.n / self.a) ** 2) / self.n
+        beta = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        phi = (
+            beta
+            + self._c2 * np.sin(2.0 * beta)
+            + self._c4 * np.sin(4.0 * beta)
+            + self._c6 * np.sin(6.0 * beta)
+        )
+        # Newton to float64 fixed point (same closed-form dq/dphi as LAEA)
+        for _ in range(2):
+            sp = np.sin(phi)
+            dq = 2.0 * (1.0 - self.e2) * np.cos(phi) / (
+                1.0 - self.e2 * sp ** 2
+            ) ** 2
+            phi = phi - np.where(
+                dq == 0.0, 0.0,
+                (self._q(phi) - q) / np.where(dq == 0.0, 1.0, dq),
+            )
+        return lam * _R2D, phi * _R2D
+
+
 def _utm(zone: int, south: bool) -> _TransverseMercator:
     """UTM zone on WGS84: k0=0.9996, central meridian zone*6-183, FE 500 km,
     FN 10 000 km in the southern hemisphere."""
@@ -719,6 +807,15 @@ _REGISTRY["EPSG:5041"] = (_UPS_N.fwd, _UPS_N.inv)
 _REGISTRY["EPSG:5042"] = (_UPS_S.fwd, _UPS_S.inv)
 _REGISTRY["EPSG:3413"] = (_NSIDC_N.fwd, _NSIDC_N.inv)
 _REGISTRY["EPSG:3976"] = (_NSIDC_S.fwd, _NSIDC_S.inv)
+
+# NAD83 / Conus Albers (EPSG:5070) — the US national equal-area grid;
+# NAD83 coincides with WGS84 at this engine's tile-math tolerance (~1-2 m
+# plate drift, same class of argument as ETRS89/EPSG:4258)
+_CONUS_ALBERS = _AlbersEqualArea(
+    lat0_deg=23.0, lon0_deg=-96.0, fe=0.0, fn=0.0,
+    lat1_deg=29.5, lat2_deg=45.5, a=GRS80_A, f=GRS80_F,
+)
+_REGISTRY["EPSG:5070"] = (_CONUS_ALBERS.fwd, _CONUS_ALBERS.inv)
 
 
 # named ellipsoids (public PROJ table values) for +ellps= literals
@@ -915,6 +1012,38 @@ def _register_laea(toks: dict) -> str:
     return key
 
 
+def _register_aea(toks: dict) -> str:
+    """Arbitrary ``+proj=aea`` literal (Albers 2SP, EPSG method 9822 —
+    US/Canada statistical grids). Same refuse-loudly token policy and
+    3-param datum wrapping as the other conic arms."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    _require_known_tokens(
+        toks, _ELLIPSOID_TOKENS | {"lat_0", "lat_1", "lat_2", "lon_0",
+                                   "x_0", "y_0"},
+    )
+    if "lat_1" not in toks:
+        raise NotImplementedError(
+            "+proj=aea needs +lat_1 (and usually +lat_2) — an equal-area "
+            "conic with no standard parallel is undefined"
+        )
+    a, f = _ellipsoid_from_tokens(toks)
+    aea = _AlbersEqualArea(
+        lat0_deg=float(toks.get("lat_0", 0.0)),
+        lon0_deg=float(toks.get("lon_0", 0.0)),
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+        lat1_deg=float(toks["lat_1"]),
+        lat2_deg=float(toks.get("lat_2", toks["lat_1"])),
+        a=a, f=f,
+    )
+    _REGISTRY[key] = _datum_wrapped(aea, a, f, _towgs84(toks))
+    return key
+
+
 def _register_stere(toks: dict) -> str:
     """Arbitrary POLAR ``+proj=stere`` literal (EPSG method 9810 variant A
     via ``+k_0`` or variant B via ``+lat_ts``; ``+lat_0`` must be ±90).
@@ -1063,6 +1192,8 @@ def _parse_proj4(literal: str) -> str | None:
         return _register_laea(toks)
     if proj == "stere":
         return _register_stere(toks)
+    if proj == "aea":
+        return _register_aea(toks)
     if proj == "somerc":
         return _register_somerc(toks)
     if proj == "utm" and toks.get("zone", "").isdigit():
