@@ -940,6 +940,22 @@ def q_image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_caption_dedup(imgs, max_hamming=6, caption_near_threshold=0.5)
 
 
+def q_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity filter (operators/lm.py, r7): the
+    reference model trains on the deterministic doc_id%7 slice of the
+    corpus (the in-domain "Wikipedia" stand-in), every document is scored
+    by exact micro-integer bigram log-probs (add-one smoothing, unigram
+    backoff, fixed OOV floor), and keep is the INTEGER comparison
+    lp_micro >= thr * n_bigrams. The oracle retrains the same model and
+    rescoring entirely in SQL — weights, backoffs, vocabulary size, and
+    every per-document sum."""
+    from tilecloud_chain_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bw, pw = train_bigram_lm(docs.filter(F.expr("doc_id % 7 = 0")))
+    return lm_score(docs, bw, pw, keep_threshold_micro=-3_480_000)
+
+
 def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (operators/html.py, r7): each document is
     wrapped in a crawl-shaped page — head with title+script payload, a
@@ -1433,7 +1449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
-        "quantized_topk": q_quantized_topk,
         "ivf_topk": q_ivf_topk,
         "host_limit_slots": q_host_limit_slots,
         "url_dedup_docs": q_url_dedup_docs,
@@ -1453,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "langid_ngram": q_langid_ngram,
         "quality_score_docs": q_quality_score_docs,
+        "lm_quality_docs": q_lm_quality_docs,
         "substring_dedup_docs": q_substring_dedup_docs,
         "semantic_dedup_docs": q_semantic_dedup_docs,
         "line_dedup_docs": q_line_dedup_docs,
@@ -1489,15 +1505,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image_admission, image_admission_staged); image_curation.py
         # (broadcast-join prefix-sum offsets) -> aspect_buckets,
         # epoch_schedule, token_chunks; urls.py (r7-committed canonicalizer
-        # guards) -> url_dedup_docs; the two NEW html entries
-        # (html_extract_docs + html_blocks_docs, operators/html.py).
+        # guards) -> url_dedup_docs; the three NEW r7 entries
+        # (html_extract_docs + html_blocks_docs, operators/html.py;
+        # lm_quality_docs, operators/lm.py — CCNet-style bigram-LM
+        # perplexity filter).
         # Rotated OUT to make room, all r6-driver-gate green with modules
         # untouched this round:
         # serving_decisions + host_serving_decisions (plans/serving.py),
         # styled_tiles (raster styling), media_frames (sources/media.py,
-        # freshly re-evidenced r6), embedding_near_dups + cosine_topk
-        # (similarity cosine paths, no dedup/CC dependency). The below sit
-        # outside the
+        # freshly re-evidenced r6), embedding_near_dups + cosine_topk +
+        # quantized_topk (similarity cosine/quantize paths, no dedup/CC
+        # dependency). The below sit outside the
         # window this round: those four, feature_info [serving.py
         # untouched, green since r3], legend_dedup [green since r2],
         # expire_tiles [green r4], fingerprint_docs + hash_drop_docs
@@ -1515,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
         "expire_tiles": q_expire_tiles,
         "fingerprint_docs": q_fingerprint_docs,
         "hash_drop_docs": q_hash_drop_docs,
@@ -2877,6 +2896,73 @@ def oracle_sql() -> dict[str, str]:
         FROM imgs i LEFT JOIN comp c ON c.id = i.image_id
     """
 
+    # CCNet-style bigram-LM filter: the WHOLE pipeline — training slice,
+    # add-one bigram weights, unigram backoff, vocabulary size, scoring,
+    # integer keep — recomputed in SQL (micro-integer ln convention as
+    # langid); bigram lists via list_transform over 1-based ranges
+    lm_quality_docs = """
+        WITH dt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tr AS (SELECT * FROM dt WHERE doc_id % 7 = 0),
+        tpairs AS (
+          SELECT unnest(list_transform(
+                   range(1, len(toks)),
+                   i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+          FROM tr WHERE len(toks) >= 2
+        ),
+        big AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+          FROM tpairs GROUP BY 1, 2
+        ),
+        pref AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+        voc AS (
+          SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM tr)
+        ),
+        bw AS (
+          SELECT w1, w2,
+                 CAST(round(1e6 * ln((c12 + 1.0) / (c1 + v + 1.0)))
+                      AS BIGINT) AS w_micro
+          FROM big JOIN pref USING (w1) CROSS JOIN voc
+        ),
+        pw AS (
+          SELECT w1,
+                 CAST(round(1e6 * ln(1.0 / (c1 + v + 1.0))) AS BIGINT)
+                   AS backoff_micro
+          FROM pref CROSS JOIN voc
+        ),
+        dpairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(toks)),
+                   i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+          FROM dt WHERE len(toks) >= 2
+        ),
+        sc AS (
+          SELECT d.doc_id,
+                 coalesce(bw.w_micro, pw.backoff_micro, -14000000) AS s
+          FROM dpairs d
+          LEFT JOIN bw ON bw.w1 = d.p.w1 AND bw.w2 = d.p.w2
+          LEFT JOIN pw ON pw.w1 = d.p.w1
+        ),
+        agg AS (
+          SELECT doc_id, CAST(sum(s) AS BIGINT) AS lp,
+                 CAST(count(*) AS INTEGER) AS n
+          FROM sc GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(a.lp, 0) AS lp_micro,
+               coalesce(a.n, 0) AS n_bigrams,
+               CASE WHEN a.n IS NULL THEN 0.0
+                    ELSE round(a.lp / a.n / 1e6, 6) END AS avg_logprob,
+               coalesce(a.lp >= -3480000::BIGINT * a.n, TRUE) AS keep
+        FROM dt d LEFT JOIN agg a USING (doc_id)
+    """
+
     # per-block twin: every block's text/link layout rebuilt from
     # documents.text with plain string functions; block_idx via the
     # positional zip of parallel unnests (DuckDB zips them by position)
@@ -3334,6 +3420,7 @@ def oracle_sql() -> dict[str, str]:
         "host_limit_slots": host_limit_slots,
         "url_dedup_docs": url_dedup_docs,
         "image_caption_dedup": image_caption_dedup,
+        "lm_quality_docs": lm_quality_docs,
         "html_extract_docs": html_extract_docs,
         "html_blocks_docs": html_blocks_docs,
         "clip_filter_pairs": clip_filter_pairs,

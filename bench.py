@@ -501,6 +501,17 @@ def w_quality(spark: SparkSession, sf_dir: str) -> int:
     return Q.quality_classify_udf(docs, profiles).count()
 
 
+def w_lm_quality(spark: SparkSession, sf_dir: str) -> int:
+    """CCNet bigram-LM perplexity filter at sf, SCALE path (Arrow twin,
+    broadcast weight dicts, no bigram explode): train on the doc_id%7
+    reference slice, score the full corpus."""
+    from tilecloud_chain_spark.operators.lm import lm_score_udf, train_bigram_lm
+
+    docs = _read_docs(spark, sf_dir).select("doc_id", "text")
+    bw, pw = train_bigram_lm(docs.filter(F.expr("doc_id % 7 = 0")))
+    return lm_score_udf(docs, bw, pw).filter(F.col("keep")).count()
+
+
 def w_html_extract(spark: SparkSession, sf_dir: str) -> int:
     """HTML -> text extraction at sf (r7, the crawl front door): the gate
     fixture's page template over the documents table, one zero-shuffle
@@ -604,6 +615,7 @@ WORKLOADS = {
     "span_dedup": w_span_dedup,
     "quality": w_quality,
     "html_extract": w_html_extract,
+    "lm_quality": w_lm_quality,
     "semantic": w_semantic_dedup,
     "clean_corpus": w_clean_corpus,
     "img_admission": w_img_admission,
