@@ -1032,6 +1032,86 @@ def q_html_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_blocks(pages)
 
 
+def q_warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-first crawl ingestion (operators/warc.py, r8): each document
+    becomes one WARC/1.0 response record (HTTP envelope + an HTML payload
+    in a per-case byte encoding), records are concatenated into multi-
+    record blobs (doc_id % 64, ordered by doc_id) so the splitter's
+    framing is exercised, and warc_extract must recover per record the
+    WARC/HTTP metadata plus the correctly DECODED html. Six charset cases
+    by doc_id % 6 pin the full WHATWG precedence chain: (0) utf-8
+    declared in the header, (1) windows-1252 declared + genuine cp1252
+    bytes, (2) charset only in <meta> prescan, (3) UTF-8 BOM beating a
+    wrong windows-1252 header, (4) windows-1252-MISLABELED genuine UTF-8
+    rescued by the strict-decode heuristic, (5) no declaration anywhere +
+    non-UTF-8 bytes falling back to windows-1252. The expected decoded
+    text is a pure string function of (doc_id, text) — the oracle needs
+    no WARC parser, exactly like the html gates."""
+    from tilecloud_chain_spark.operators.warc import warc_extract
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 6
+    meta = F.when(c == 2, F.lit('<meta charset="windows-1252">')) \
+        .otherwise(F.lit(""))
+    ct = (
+        F.when(c == 0, F.lit("text/html; charset=utf-8"))
+        .when(c.isin(1, 3, 4), F.lit("text/html; charset=windows-1252"))
+        .otherwise(F.lit("text/html"))
+    )
+    head_str = F.concat(
+        F.lit("<html><head>"), meta, F.lit("<title>Doc "), ds,
+        F.lit("</title></head><body><p>Doc "), ds, F.lit(" body: "),
+        F.col("text"), F.lit(" caf"),
+    )
+    # the non-ASCII marker byte(s): é as UTF-8 (C3A9) or cp1252 (E9)
+    marker = F.when(c.isin(0, 3, 4), F.unhex(F.lit("C3A9"))) \
+        .otherwise(F.unhex(F.lit("E9")))
+    bom = F.when(c == 3, F.unhex(F.lit("EFBBBF"))) \
+        .otherwise(F.lit(b"").cast("binary"))
+    payload = F.concat(
+        bom, F.encode(head_str, "UTF-8"), marker,
+        F.encode(F.lit("</p></body></html>"), "UTF-8"),
+    )
+    block = F.concat(
+        F.encode(F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+            F.lit("\r\n\r\n")), "UTF-8"),
+        payload,
+    )
+    rec = F.concat(
+        F.encode(F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+                  "WARC-Record-ID: <urn:uuid:"), ds,
+            F.lit(">\r\nWARC-Target-URI: https://example.com/doc/"), ds,
+            F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+                  "Content-Length: "),
+            F.length(block).cast("string"), F.lit("\r\n\r\n")), "UTF-8"),
+        block, F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+    )
+    blobs = (
+        docs.select(
+            (F.col("doc_id") % 64).alias("warc_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("warc_id")
+        .agg(F.aggregate(
+            F.transform(F.array_sort(F.collect_list("s")),
+                        lambda s: s["rec"]),
+            F.lit(b"").cast("binary"),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("warc"))
+    )
+    out = warc_extract(blobs)
+    return out.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "record_idx", "warc_type", "target_uri", "http_status",
+        "content_type", "encoding_declared", "encoding_used", "truncated",
+        "html",
+    )
+
+
 def q_clip_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image curation — CLIP-score (caption<->image embedding alignment)
     filtering (operators/image_curation.py:clip_filter): each embedding
@@ -1455,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_dedup": q_image_caption_dedup,
         "html_extract_docs": q_html_extract_docs,
         "html_blocks_docs": q_html_blocks_docs,
+        "warc_extract_docs": q_warc_extract_docs,
         "clip_filter_pairs": q_clip_filter_pairs,
         "image_decontam": q_image_decontam,
         "aspect_buckets": q_aspect_buckets,
@@ -3022,6 +3103,37 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # WARC ingestion: the oracle recomputes the expected per-record
+    # metadata + DECODED html directly from (doc_id, text) — no WARC
+    # parser needed; the six doc_id%6 charset cases pin the WHATWG
+    # precedence chain (header / meta / BOM / fallback) and the UTF-8
+    # mislabel rescue. record_idx = rank of doc_id inside its
+    # doc_id%64 blob = doc_id // 64.
+    warc_extract_docs = """
+        SELECT doc_id,
+               CAST(doc_id // 64 AS INTEGER) AS record_idx,
+               'response' AS warc_type,
+               'https://example.com/doc/' || doc_id AS target_uri,
+               200 AS http_status,
+               CASE WHEN doc_id % 6 = 0 THEN 'text/html; charset=utf-8'
+                    WHEN doc_id % 6 IN (1, 3, 4)
+                      THEN 'text/html; charset=windows-1252'
+                    ELSE 'text/html' END AS content_type,
+               CASE WHEN doc_id % 6 = 0 THEN 'utf-8'
+                    WHEN doc_id % 6 IN (1, 2, 3, 4) THEN 'windows-1252'
+                    ELSE NULL END AS encoding_declared,
+               CASE WHEN doc_id % 6 IN (0, 3, 4) THEN 'utf-8'
+                    ELSE 'windows-1252' END AS encoding_used,
+               FALSE AS truncated,
+               '<html><head>' ||
+               CASE WHEN doc_id % 6 = 2
+                    THEN '<meta charset="windows-1252">' ELSE '' END ||
+               '<title>Doc ' || doc_id || '</title></head><body><p>Doc ' ||
+               doc_id || ' body: ' || text || ' café</p></body></html>'
+                 AS html
+        FROM documents
+    """
+
     # CLIP-score filter: even/odd partner pairing + cosine, keep >= 0.1
     clip_filter_pairs = """
         SELECT a.vec_id AS image_id,
@@ -3422,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
         "image_caption_dedup": image_caption_dedup,
         "lm_quality_docs": lm_quality_docs,
         "html_extract_docs": html_extract_docs,
+        "warc_extract_docs": warc_extract_docs,
         "html_blocks_docs": html_blocks_docs,
         "clip_filter_pairs": clip_filter_pairs,
         "image_decontam": image_decontam,

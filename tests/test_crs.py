@@ -863,3 +863,32 @@ def test_aea_epsg_5070_registry_literal_and_roundtrip():
     assert np.abs(la2 - la).max() < 1e-11
     with pytest.raises(NotImplementedError, match="lat_1"):
         crs.transform_coords("EPSG:4326", "+proj=aea +ellps=GRS80", [1.0], [1.0])
+
+
+def test_lcc_aea_equatorial_parallel_refused():
+    """Cone constant n = sin(0) = 0 degenerates the conic to a cylinder;
+    the kernel must refuse loudly instead of registering inf/nan math
+    (r7 ADVICE — the silent numpy divide-by-zero path)."""
+    # LCC 1SP with the standard parallel at the equator
+    with pytest.raises(NotImplementedError, match="[nN]=0|equator|cylind"):
+        crs.transform_coords(
+            "EPSG:4326", "+proj=lcc +lat_0=0 +lon_0=0 +ellps=GRS80",
+            [1.0], [1.0])
+    # LCC 2SP with parallels symmetric about the equator (log-ratio n=0)
+    with pytest.raises(NotImplementedError):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=lcc +lat_1=10 +lat_2=-10 +lat_0=0 +lon_0=0 +ellps=GRS80",
+            [1.0], [1.0])
+    # Albers with both parallels at the equator
+    with pytest.raises(NotImplementedError):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=aea +lat_1=0 +lat_2=0 +lat_0=0 +lon_0=0 +ellps=GRS80",
+            [1.0], [1.0])
+    # Albers symmetric about the equator
+    with pytest.raises(NotImplementedError):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=aea +lat_1=20 +lat_2=-20 +lat_0=0 +lon_0=0 +ellps=GRS80",
+            [1.0], [1.0])

@@ -72,7 +72,14 @@ def test_lm_twin_property(spark):
     bw, pw = LM.train_bigram_lm(ref)
     docs = spark.createDataFrame(
         [(i, f"w{i % 13} common tail phrase w{(i * 5) % 17} novel{i % 4}")
-         for i in range(80)] + [(80, "x"), (81, "")],
+         for i in range(80)] + [
+            (80, "x"),
+            (81, ""),
+            # Unicode whitespace (NBSP / line-sep / ideographic space) must
+            # NOT split tokens: Java-regex \s is ASCII-only, and the Arrow
+            # twin must match it exactly (ADVICE r7 — str.split() diverged).
+            (82, "common tail phrase common tail common　tail"),
+        ],
         "doc_id long, text string",
     )
     a = sorted(map(tuple, LM.lm_score(docs, bw, pw).collect()))

@@ -395,15 +395,27 @@ class _LambertConformal:
         if lat1_deg is None:
             lat1_deg = lat0_deg  # 1SP: the single parallel is lat_0
         phi1 = lat1_deg * _D2R
-        if lat2_deg is not None and abs(lat2_deg - lat1_deg) > 1e-12:
+        two_sp = lat2_deg is not None and abs(lat2_deg - lat1_deg) > 1e-12
+        if two_sp:
             phi2 = lat2_deg * _D2R
             m1, m2 = self._m(phi1), self._m(phi2)
             t1, t2 = self._t(phi1), self._t(phi2)
             self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        else:
+            self.n = float(np.sin(phi1))
+        if not np.isfinite(self.n) or self.n == 0.0:
+            # parallels at / symmetric about the equator: cone constant
+            # n=0 degenerates the cone to a cylinder (use Mercator) —
+            # refuse loudly rather than register an inf/nan kernel
+            raise NotImplementedError(
+                f"LCC degenerate cone constant n={self.n!r} for standard "
+                f"parallel(s) ({lat1_deg}, {lat2_deg}) at/about the equator; "
+                "the conic degenerates to a cylinder — not implemented"
+            )
+        if two_sp:
             self.F = float(m1 / (self.n * t1 ** self.n))
             k0 = 1.0  # 2SP has no scale factor token
         else:
-            self.n = float(np.sin(phi1))
             t1 = self._t(phi1)
             self.F = float(self._m(phi1) / (self.n * t1 ** self.n))
         self.aFk = self.a * self.F * k0
@@ -661,6 +673,12 @@ class _AlbersEqualArea:
             self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
         else:
             self.n = float(np.sin(phi1))
+        if not np.isfinite(self.n) or self.n == 0.0:
+            raise NotImplementedError(
+                "Albers with cone constant n=0 (standard parallels symmetric "
+                "about / at the equator) degenerates to a cylindrical "
+                "equal-area; refusing rather than registering a NaN kernel"
+            )
         self.c = m1 * m1 + self.n * q1
         self.rho0 = float(
             a * np.sqrt(self.c - self.n * self._q(lat0_deg * _D2R)) / self.n

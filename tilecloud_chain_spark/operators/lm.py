@@ -167,8 +167,14 @@ def lm_score_udf(
     broadcast weight dicts — no bigram explode, no shuffle, one pass per
     document. The weight tables are reference-corpus-sized (bounded by
     its bigram vocabulary), the standard broadcast-dimension assumption."""
+    import re
+
     import pandas as pd
 
+    # Java-regex \s parity: Spark's tokens() splits on ASCII whitespace
+    # only; Python str.split() is Unicode-wide (NBSP, U+2028, ...) and
+    # would diverge on real crawl text (same rule as quality_classify_udf).
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     bmap = {(r["w1"], r["w2"]): int(r["w_micro"])
             for r in bigram_weights.collect()}
     pmap = {r["w1"]: int(r["backoff_micro"])
@@ -183,7 +189,7 @@ def lm_score_udf(
         for pdf in batches:
             lps, ns, avgs, keeps = [], [], [], []
             for t in pdf[text_col]:
-                toks = [w for w in (t or "").lower().split() if w]
+                toks = [w for w in ws.split((t or "").lower()) if w]
                 lp = 0
                 n = len(toks) - 1 if len(toks) >= 2 else 0
                 for i in range(n):
