@@ -956,6 +956,21 @@ def q_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, bw, pw, keep_threshold_micro=-3_480_000)
 
 
+def q_lm3_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM perplexity filter with stupid backoff (operators/lm.py,
+    r8): same doc_id%7 reference slice as the bigram gate, but each scored
+    trigram falls through the three-level chain — observed trigram ->
+    observed bigram (w2,w3) + ln(0.4) -> known prefix w2 + ln(0.4) -> OOV
+    floor — all micro-integer exact. The oracle retrains ALL THREE levels
+    and the scoring chain in SQL. thr=-4_200_000 splits 244/500 at
+    sf0.01."""
+    from tilecloud_chain_spark.operators.lm import lm3_score, train_trigram_lm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tw, bw, pw = train_trigram_lm(docs.filter(F.expr("doc_id % 7 = 0")))
+    return lm3_score(docs, tw, bw, pw, keep_threshold_micro=-4_200_000)
+
+
 def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (operators/html.py, r7): each document is
     wrapped in a crawl-shaped page — head with title+script payload, a
@@ -1550,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ngram": q_langid_ngram,
         "quality_score_docs": q_quality_score_docs,
         "lm_quality_docs": q_lm_quality_docs,
+        "lm3_quality_docs": q_lm3_quality_docs,
         "substring_dedup_docs": q_substring_dedup_docs,
         "semantic_dedup_docs": q_semantic_dedup_docs,
         "line_dedup_docs": q_line_dedup_docs,
@@ -3044,6 +3060,97 @@ def oracle_sql() -> dict[str, str]:
         FROM dt d LEFT JOIN agg a USING (doc_id)
     """
 
+    # trigram-LM filter with stupid backoff (r8): the bigram oracle's CTEs
+    # plus the trigram level — prefix counts over (w1,w2), add-one trigram
+    # weights, and the three-level coalesce chain with the pinned
+    # ln(0.4)*1e6 = -916291 backoff discount
+    lm3_quality_docs = """
+        WITH dt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tr AS (SELECT * FROM dt WHERE doc_id % 7 = 0),
+        tpairs AS (
+          SELECT unnest(list_transform(
+                   range(1, len(toks)),
+                   i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+          FROM tr WHERE len(toks) >= 2
+        ),
+        big AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+          FROM tpairs GROUP BY 1, 2
+        ),
+        pref AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+        voc AS (
+          SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM tr)
+        ),
+        bw AS (
+          SELECT w1, w2,
+                 CAST(round(1e6 * ln((c12 + 1.0) / (c1 + v + 1.0)))
+                      AS BIGINT) AS w_micro
+          FROM big JOIN pref USING (w1) CROSS JOIN voc
+        ),
+        pw AS (
+          SELECT w1,
+                 CAST(round(1e6 * ln(1.0 / (c1 + v + 1.0))) AS BIGINT)
+                   AS backoff_micro
+          FROM pref CROSS JOIN voc
+        ),
+        ttrips AS (
+          SELECT unnest(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> {'w1': toks[i], 'w2': toks[i + 1],
+                         'w3': toks[i + 2]})) AS p
+          FROM tr WHERE len(toks) >= 3
+        ),
+        tri AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, count(*) AS c123
+          FROM ttrips GROUP BY 1, 2, 3
+        ),
+        tpre AS (SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2),
+        tw AS (
+          SELECT w1, w2, w3,
+                 CAST(round(1e6 * ln((c123 + 1.0) / (c12 + v + 1.0)))
+                      AS BIGINT) AS t_micro
+          FROM tri JOIN tpre USING (w1, w2) CROSS JOIN voc
+        ),
+        dtrips AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> {'w1': toks[i], 'w2': toks[i + 1],
+                         'w3': toks[i + 2]})) AS p
+          FROM dt WHERE len(toks) >= 3
+        ),
+        sc AS (
+          SELECT d.doc_id,
+                 coalesce(tw.t_micro,
+                          bw.w_micro - 916291,
+                          pw.backoff_micro - 916291,
+                          -14000000) AS s
+          FROM dtrips d
+          LEFT JOIN tw ON tw.w1 = d.p.w1 AND tw.w2 = d.p.w2
+                      AND tw.w3 = d.p.w3
+          LEFT JOIN bw ON bw.w1 = d.p.w2 AND bw.w2 = d.p.w3
+          LEFT JOIN pw ON pw.w1 = d.p.w2
+        ),
+        agg AS (
+          SELECT doc_id, CAST(sum(s) AS BIGINT) AS lp,
+                 CAST(count(*) AS INTEGER) AS n
+          FROM sc GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(a.lp, 0) AS lp_micro,
+               coalesce(a.n, 0) AS n_trigrams,
+               CASE WHEN a.n IS NULL THEN 0.0
+                    ELSE round(a.lp / a.n / 1e6, 6) END AS avg_logprob,
+               coalesce(a.lp >= -4200000::BIGINT * a.n, TRUE) AS keep
+        FROM dt d LEFT JOIN agg a USING (doc_id)
+    """
+
     # per-block twin: every block's text/link layout rebuilt from
     # documents.text with plain string functions; block_idx via the
     # positional zip of parallel unnests (DuckDB zips them by position)
@@ -3533,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": url_dedup_docs,
         "image_caption_dedup": image_caption_dedup,
         "lm_quality_docs": lm_quality_docs,
+        "lm3_quality_docs": lm3_quality_docs,
         "html_extract_docs": html_extract_docs,
         "warc_extract_docs": warc_extract_docs,
         "html_blocks_docs": html_blocks_docs,

@@ -98,3 +98,107 @@ def test_lm_scale_path_plan(spark):
     assert out.filter(F.col("keep")).count() == 32
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1 and "Exchange" not in plan, plan
+
+
+# ==========================================================================
+# trigram model (r8)
+# ==========================================================================
+
+
+def test_trigram_train_weights_hand_derived(spark):
+    """Trigram weights checked against hand-computed add-one log-probs;
+    the lower levels are exactly the bigram model's tables."""
+    ref = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("a cat sat",)], "text string"
+    )
+    tw, bw, pw = LM.train_trigram_lm(ref)
+    t = {(r.w1, r.w2, r.w3): r.t_micro for r in tw.collect()}
+    # V = 5; trigram-prefix counts: (the,cat)=2, (a,cat)=1
+    assert t[("the", "cat", "sat")] == _micro(math.log((1 + 1) / (2 + 5 + 1)))
+    assert t[("the", "cat", "ran")] == _micro(math.log((1 + 1) / (2 + 5 + 1)))
+    assert t[("a", "cat", "sat")] == _micro(math.log((1 + 1) / (1 + 5 + 1)))
+    assert set(t) == {("the", "cat", "sat"), ("the", "cat", "ran"),
+                      ("a", "cat", "sat")}
+    # bigram tables identical to train_bigram_lm's
+    bw0, pw0 = LM.train_bigram_lm(ref)
+    assert sorted(map(tuple, bw.collect())) == sorted(map(tuple, bw0.collect()))
+    assert sorted(map(tuple, pw.collect())) == sorted(map(tuple, pw0.collect()))
+
+
+def test_trigram_backoff_chain(spark):
+    ref = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("a cat sat",)], "text string"
+    )
+    tw, bw, pw = LM.train_trigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"),      # observed trigram
+         (1, "a cat ran"),        # trigram unseen -> bigram (cat,ran)+alpha
+         (2, "the cat slept"),    # bigram unseen -> prefix(cat)+alpha
+         (3, "zebra quux bogus"), # OOV context -> floor
+         (4, "two words"),        # <3 tokens -> vacuous keep
+         (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in LM.lm3_score(docs, tw, bw, pw).collect()}
+    a = LM.BACKOFF_ALPHA_MICRO
+    assert out[0].lp_micro == _micro(math.log(2 / 8)) and out[0].n_trigrams == 1
+    assert out[1].lp_micro == _micro(math.log(2 / 9)) + a  # bw (cat,ran)
+    assert out[2].lp_micro == _micro(math.log(1 / 9)) + a  # pw cat
+    assert out[3].lp_micro == LM.MISS_PENALTY_MICRO
+    for i in (4, 5):
+        assert out[i].n_trigrams == 0 and out[i].keep is True
+
+
+def test_trigram_twin_property(spark):
+    ref = spark.createDataFrame(
+        [(f"w{i} w{(i * 3) % 11} common tail phrase end",) for i in range(24)],
+        "text string",
+    )
+    tw, bw, pw = LM.train_trigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 13} common tail phrase w{(i * 5) % 17} novel{i % 4} end")
+         for i in range(80)] + [
+            (80, "x"), (81, ""), (82, "two tokens"),
+            (83, "common tail phrase common tail common　tail end"),  # NBSP-ish
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, LM.lm3_score(docs, tw, bw, pw).collect()))
+    b = sorted(map(tuple, LM.lm3_score_udf(docs, tw, bw, pw).collect()))
+    assert a == b
+
+
+def test_trigram_separates_common_word_spam(spark):
+    """The held-out test the r7 verdict asked for: spam CHAINED from
+    observed word pairs (every adjacent bigram occurs in the reference)
+    looks fluent to the bigram model but not to the trigram model —
+    separation must widen by a clear margin."""
+    sents = ["the cat sat on the mat",
+             "the dog ran in the park",
+             "the cat ran to the dog",
+             "a dog sat by the cat",
+             "the mat lay in the sun"]
+    # x10 repetition: a reference where the observed transitions are
+    # genuinely frequent, as in a real reference corpus
+    ref = spark.createDataFrame(
+        [(s,) for s in sents for _ in range(10)], "text string")
+    tw, bw, pw = LM.train_trigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),           # held-in fluent
+         # spam: every adjacent PAIR is observed in the reference
+         # ((the,cat),(cat,ran),(ran,in),(in,the),(the,dog),(dog,sat),
+         #  (sat,on),(on,the),(the,mat)) but most TRIPLES are not
+         (1, "the cat ran in the dog sat on the mat")],
+        "doc_id long, text string",
+    )
+    b2 = {r.doc_id: r.avg_logprob for r in LM.lm_score(docs, bw, pw).collect()}
+    b3 = {r.doc_id: r.avg_logprob
+          for r in LM.lm3_score(docs, tw, bw, pw).collect()}
+    gap2 = b2[0] - b2[1]   # bigram separation
+    gap3 = b3[0] - b3[1]   # trigram separation
+    # scoring is exact micro-integer math, so these are deterministic:
+    # the bigram model actually prefers the spam slightly (every pair is
+    # high-frequency), while the trigram model separates it cleanly
+    assert gap2 < 0.0, (b2, "bigram model cannot see pair-chained spam")
+    assert gap3 > 0.6, (b3, "trigram model must separate pair-chained spam")
+    assert gap3 > gap2 + 0.5
