@@ -808,6 +808,112 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_inputs(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the corpus_admission gates: crawl-shaped pages
+    built from documents with (a) an injected PII email on every 4th doc,
+    (b) EXACT body clones (doc_id%23==7 copies the previous doc's body,
+    pii included) and NEAR clones (doc_id%17==5 copies + ' extraneous'),
+    wrapped in the nav/h1/body/summary/footer page template so extraction
+    keeps exactly the body + summary blocks. Returns (pages,
+    langid_profiles, (bw, pw), eval_df) — the LM trains on the doc_id%7
+    slice of the EXTRACTED text, the decontamination eval set is the
+    3..7-token slice of every 40th doc's redacted text."""
+    from tilecloud_chain_spark.operators import corpus as CP
+    from tilecloud_chain_spark.operators.langid import train_ngram_profiles
+    from tilecloud_chain_spark.operators.lm import train_bigram_lm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = F.col("doc_id").cast("string")
+    base = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"), ds,
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+    ).alias("body"))
+    prev = base.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.col("body").alias("pbody"))
+    src = base.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 7, F.coalesce("pbody", "body"))
+        .when(F.col("doc_id") % 17 == 5,
+              F.concat(F.coalesce("pbody", "body"), F.lit(" extraneous")))
+        .otherwise(F.col("body")).alias("body"),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), ds,
+        F.lit("</title><script>var x = 1;</script></head><body>"
+              "<nav><a href='/'>home</a> <a href='/about'>about</a> "
+              "<a href='/contact'>contact</a></nav><h1>Doc "), ds,
+        F.lit("</h1><p>Article body: "), F.col("body"),
+        F.lit("</p><p>Summary &amp; notes follow here.</p>"
+              "<div class='footer'><a href='/terms'>terms</a> "
+              "<a href='/privacy'>privacy</a></div></body></html>"),
+    )
+    pages = src.select("doc_id", page.alias("html"))
+    profiles = train_ngram_profiles(
+        spark.createDataFrame(_LANGID_TRAIN, "lang string, text string"))
+    ext_train = CP.extract_stage(pages.filter(F.expr("doc_id % 7 = 0")))
+    bw, pw = train_bigram_lm(ext_train.select(F.col("clean_text").alias("text")))
+    red = CP.redact_stage(CP.extract_stage(pages))
+    eval_df = red.filter(F.expr("doc_id % 40 = 0")).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 3, 5)).alias("text"),
+    )
+    return pages, profiles, (bw, pw), eval_df
+
+
+_CORPUS_LANG_ALLOW = ("en", "fr", "sv", "it")
+
+
+def q_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed text-corpus admission capstone (operators/corpus.py,
+    r8 — the text twin of image_admission): html_extract -> langid ->
+    bigram-LM perplexity -> quality floor -> PII redaction -> exact +
+    LSH-CC near dedup -> benchmark decontamination -> token-stream shard
+    packing, one row per document with every stage flag and (for admitted
+    docs) the chunk span. The oracle recomputes the ENTIRE chain in SQL —
+    template extraction as string functions, the trained langid + LM
+    twins over the extracted text, the LSH pair formulation + recursive
+    CC over the redacted text, the eval-shingle overlap, and the packing
+    cumsum — one composed oracle, every stage load-bearing."""
+    from tilecloud_chain_spark.operators.corpus import corpus_admission
+
+    pages, profiles, lm_model, eval_df = _corpus_inputs(spark, sf_dir)
+    return corpus_admission(
+        pages, profiles, lm_model, eval_df,
+        lang_allow=_CORPUS_LANG_ALLOW,
+        lm_threshold_micro=-3_480_000,
+        chunk_tokens=512,
+    )
+
+
+def q_corpus_admission_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESUMABLE staged form (plans/corpus.py:curate_corpus): the same
+    fixture runs stage-by-stage through the CheckpointStore — committed
+    parquet + per-partition lineage per stage, later stages reading
+    earlier stages' committed output — and admission_table() reassembles
+    the composed-operator-shaped result. Pinned against the SAME DuckDB
+    oracle as corpus_admission: the staged checkpointed path must be
+    row-identical to the single-shot operator."""
+    import shutil
+    import tempfile
+
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+    from tilecloud_chain_spark.plans.corpus import admission_table, curate_corpus
+
+    pages, profiles, lm_model, eval_df = _corpus_inputs(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "corpus_gate_store")
+    shutil.rmtree(root, ignore_errors=True)
+    store = CheckpointStore(spark, root)
+    job = curate_corpus(
+        spark, pages, store, profiles, lm_model, eval_df,
+        lang_allow=_CORPUS_LANG_ALLOW,
+        lm_threshold_micro=-3_480_000,
+        chunk_tokens=512,
+    )
+    return admission_table(store, job)
+
+
 def q_host_limit_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host fetch concurrency limiting (reference URLTileStore
     semaphores, store/url.py:43-117): z0-z1 tiles build WMTS URLs across
@@ -1566,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_docs": q_quality_score_docs,
         "lm_quality_docs": q_lm_quality_docs,
         "lm3_quality_docs": q_lm3_quality_docs,
+        "corpus_admission": q_corpus_admission,
+        "corpus_admission_staged": q_corpus_admission_staged,
         "substring_dedup_docs": q_substring_dedup_docs,
         "semantic_dedup_docs": q_semantic_dedup_docs,
         "line_dedup_docs": q_line_dedup_docs,
@@ -1653,11 +1761,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ==========================================================================
 
 
-def _langid_sql() -> str:
-    """Exact SQL twin of train_ngram_profiles + langid_ngram over the shared
-    _LANGID_TRAIN corpus: trigram profiles (top-200, count desc / gram asc)
-    with micro-integer ln-frequency weights, integer score sums (order-
-    independent, unlike float aggregation), fixed -14e6 miss penalty."""
+def _langid_cte_sql(src: str = "documents") -> str:
+    """CTE chain (no leading WITH) ending in ``langid_out(doc_id,
+    lang_pred, score)`` — the exact SQL twin of train_ngram_profiles +
+    langid_ngram over the shared _LANGID_TRAIN corpus, parameterized on
+    the scored relation ``src`` (doc_id, text) so composed oracles
+    (corpus_admission) can run it over derived text."""
     values = ", ".join(
         "('" + lang + "', '" + text.replace("'", "''") + "')"
         for lang, text in _LANGID_TRAIN
@@ -1668,7 +1777,7 @@ def _langid_sql() -> str:
         "ELSE []::VARCHAR[] END"
     )
     return f"""
-        WITH train(lang, text) AS (VALUES {values}),
+        train(lang, text) AS (VALUES {values}),
         tg AS (
           SELECT lang, unnest({grams}) AS gram
           FROM (SELECT lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
@@ -1688,7 +1797,7 @@ def _langid_sql() -> str:
         ),
         dnorm AS (
           SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
-          FROM documents
+          FROM {src}
         ),
         dn AS (
           SELECT doc_id,
@@ -1716,14 +1825,93 @@ def _langid_sql() -> str:
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY score_micro DESC, lang ASC) AS rn
           FROM scored
-        )
-        SELECT doc_id,
-               CASE WHEN n_grams = 0 THEN 'und' ELSE lang END AS lang_pred,
-               CASE WHEN n_grams = 0 THEN 0.0
-                    ELSE CAST(round(score_micro / n_grams / 1e6, 6) AS DOUBLE)
-               END AS score
-        FROM best WHERE rn = 1
+        ),
+        langid_out AS (
+          SELECT doc_id,
+                 CASE WHEN n_grams = 0 THEN 'und' ELSE lang END AS lang_pred,
+                 CASE WHEN n_grams = 0 THEN 0.0
+                      ELSE CAST(round(score_micro / n_grams / 1e6, 6) AS DOUBLE)
+                 END AS score
+          FROM best WHERE rn = 1
+        )"""
+
+
+def _langid_sql() -> str:
+    """Standalone langid oracle over the documents view."""
+    return f"""
+        WITH {_langid_cte_sql('documents')}
+        SELECT doc_id, lang_pred, score FROM langid_out
     """
+
+
+def _lm_cte_sql(src: str = "documents", thr: int = -3_480_000) -> str:
+    """CTE chain (no leading WITH) ending in ``lm_out(doc_id, lp_micro,
+    n_bigrams, avg_logprob, keep)`` — the full bigram-LM retrain + rescore
+    (operators/lm.py) in SQL, parameterized on the scored relation ``src``
+    (doc_id, text; the doc_id%7 slice trains) and the keep threshold."""
+    return f"""
+        lm_dt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM {src}
+        ),
+        lm_tr AS (SELECT * FROM lm_dt WHERE doc_id % 7 = 0),
+        lm_tpairs AS (
+          SELECT unnest(list_transform(
+                   range(1, len(toks)),
+                   i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+          FROM lm_tr WHERE len(toks) >= 2
+        ),
+        lm_big AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+          FROM lm_tpairs GROUP BY 1, 2
+        ),
+        lm_pref AS (SELECT w1, sum(c12) AS c1 FROM lm_big GROUP BY 1),
+        lm_voc AS (
+          SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM lm_tr)
+        ),
+        lm_bw AS (
+          SELECT w1, w2,
+                 CAST(round(1e6 * ln((c12 + 1.0) / (c1 + v + 1.0)))
+                      AS BIGINT) AS w_micro
+          FROM lm_big JOIN lm_pref USING (w1) CROSS JOIN lm_voc
+        ),
+        lm_pw AS (
+          SELECT w1,
+                 CAST(round(1e6 * ln(1.0 / (c1 + v + 1.0))) AS BIGINT)
+                   AS backoff_micro
+          FROM lm_pref CROSS JOIN lm_voc
+        ),
+        lm_dpairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(toks)),
+                   i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+          FROM lm_dt WHERE len(toks) >= 2
+        ),
+        lm_sc AS (
+          SELECT d.doc_id,
+                 coalesce(bw.w_micro, pw.backoff_micro, -14000000) AS s
+          FROM lm_dpairs d
+          LEFT JOIN lm_bw bw ON bw.w1 = d.p.w1 AND bw.w2 = d.p.w2
+          LEFT JOIN lm_pw pw ON pw.w1 = d.p.w1
+        ),
+        lm_agg AS (
+          SELECT doc_id, CAST(sum(s) AS BIGINT) AS lp,
+                 CAST(count(*) AS INTEGER) AS n
+          FROM lm_sc GROUP BY 1
+        ),
+        lm_out AS (
+          SELECT d.doc_id,
+                 coalesce(a.lp, 0) AS lp_micro,
+                 coalesce(a.n, 0) AS n_bigrams,
+                 CASE WHEN a.n IS NULL THEN 0.0
+                      ELSE round(a.lp / a.n / 1e6, 6) END AS avg_logprob,
+                 coalesce(a.lp >= {thr}::BIGINT * a.n, TRUE) AS keep
+          FROM lm_dt d LEFT JOIN lm_agg a USING (doc_id)
+        )"""
 
 
 def _quality_sql() -> str:
@@ -1879,6 +2067,154 @@ def _lsh_prs_sql(src: str, threshold: float = 0.5,
           JOIN lsh_sizes sb ON sb.id = c.id_b
           WHERE round(c.i / (sa.sz + sb.sz - c.i), 6) >= {threshold}
         )"""
+
+
+def _corpus_admission_sql() -> str:
+    """Composed oracle for corpus_admission / corpus_admission_staged:
+    the full crawl-to-corpus chain recomputed in SQL. The page template
+    makes extraction a pure string function of (doc_id, text) — clean
+    text is 'Article body: ' || body || NL || summary, with the PII email
+    and the exact/near clone logic applied at the body level BEFORE
+    templating, so the redacted twin is the same construction with
+    '<EMAIL>' substituted. Reuses the parameterized langid + LM CTE twins
+    and the LSH pair formulation; CC via recursive reach; packing via the
+    global-window cumsum (the Spark side runs the distributed prefix sum
+    — different formulation, identical math, as token_chunks)."""
+    return f"""
+        WITH RECURSIVE
+        cabase AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 4 = 0
+                   THEN ' contact user' || doc_id || '@example.com now'
+                   ELSE '' END AS body,
+                 text || CASE WHEN doc_id % 4 = 0
+                   THEN ' contact <EMAIL> now'
+                   ELSE '' END AS rbody
+          FROM documents
+        ),
+        casrc AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 23 = 7 THEN coalesce(p.body, d.body)
+                      WHEN d.doc_id % 17 = 5
+                        THEN coalesce(p.body, d.body) || ' extraneous'
+                      ELSE d.body END AS body,
+                 CASE WHEN d.doc_id % 23 = 7 THEN coalesce(p.rbody, d.rbody)
+                      WHEN d.doc_id % 17 = 5
+                        THEN coalesce(p.rbody, d.rbody) || ' extraneous'
+                      ELSE d.rbody END AS rbody
+          FROM cabase d LEFT JOIN cabase p ON p.doc_id = d.doc_id - 1
+        ),
+        cacl AS (
+          SELECT doc_id,
+                 'Article body: ' || body || chr(10) ||
+                   'Summary & notes follow here.' AS text,
+                 'Article body: ' || rbody || chr(10) ||
+                   'Summary & notes follow here.' AS rtext,
+                 CASE WHEN contains(body, '@example.com') THEN 1 ELSE 0 END
+                   AS n_pii
+          FROM casrc
+        ),
+        cdocs AS (SELECT doc_id, text FROM cacl),
+        red_docs AS (SELECT doc_id, rtext AS text FROM cacl),
+        {_langid_cte_sql('cdocs')},
+        {_lm_cte_sql('cdocs', -3_480_000)},
+        caq AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '')) >= 5
+                 AND 1.0 - len(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')))
+                     / greatest(len(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')), 1) <= 0.8 AS quality_keep
+          FROM cdocs
+        ),
+        caex AS (
+          SELECT doc_id,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                   AS exact_keep
+          FROM red_docs
+        ),
+        {_lsh_prs_sql('red_docs', threshold=0.5)},
+        caedges AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs
+        ),
+        careach(a, b) AS (
+          SELECT u, v FROM caedges
+          UNION
+          SELECT r.a, e.v FROM careach r JOIN caedges e ON r.b = e.u
+        ),
+        cacomp AS (
+          SELECT a AS id, least(a, min(b)) AS component
+          FROM careach GROUP BY a
+        ),
+        caev AS (
+          SELECT doc_id + 5000000 AS doc_id,
+                 array_to_string(toks[3:7], ' ') AS text
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM red_docs)
+          WHERE doc_id % 40 = 0
+        ),
+        caevsh AS (
+          SELECT DISTINCT shingle FROM ({_shingles_sql('caev', 5)})
+          WHERE shingle <> ''
+        ),
+        catrsh AS (
+          SELECT DISTINCT doc_id AS id, shingle
+          FROM ({_shingles_sql('red_docs', 5)})
+        ),
+        cahits AS (
+          SELECT id, count(*) AS n
+          FROM catrsh JOIN caevsh USING (shingle) GROUP BY id
+        ),
+        caadm AS (
+          SELECT c.doc_id,
+                 2 AS n_blocks_kept,
+                 li.lang_pred, li.score AS lang_score,
+                 li.lang_pred IN ('en', 'fr', 'sv', 'it') AS lang_keep,
+                 lm.keep AS lm_keep,
+                 q.quality_keep,
+                 c.n_pii,
+                 ex.exact_keep,
+                 COALESCE(cc.component, c.doc_id) = c.doc_id AS neardup_keep,
+                 (h.id IS NULL) AS decontam_keep,
+                 li.lang_pred IN ('en', 'fr', 'sv', 'it')
+                   AND lm.keep AND q.quality_keep AND ex.exact_keep
+                   AND (COALESCE(cc.component, c.doc_id) = c.doc_id)
+                   AND (h.id IS NULL) AS admitted
+          FROM cacl c
+          JOIN langid_out li USING (doc_id)
+          JOIN lm_out lm USING (doc_id)
+          JOIN caq q USING (doc_id)
+          JOIN caex ex USING (doc_id)
+          LEFT JOIN cacomp cc ON cc.id = c.doc_id
+          LEFT JOIN cahits h ON h.id = c.doc_id
+        ),
+        capk AS (
+          SELECT f.doc_id,
+                 len(list_filter(string_split_regex(trim(r.text), '\\s+'),
+                                 x -> x <> '')) AS nt,
+                 SUM(len(list_filter(string_split_regex(trim(r.text), '\\s+'),
+                                     x -> x <> '')))
+                   OVER (ORDER BY f.doc_id ROWS UNBOUNDED PRECEDING)
+                   AS end_off
+          FROM caadm f JOIN red_docs r USING (doc_id)
+          WHERE f.admitted
+        )
+        SELECT a.doc_id, a.n_blocks_kept, a.lang_pred, a.lang_score,
+               a.lang_keep, a.lm_keep, a.quality_keep, a.n_pii,
+               a.exact_keep, a.neardup_keep, a.decontam_keep, a.admitted,
+               CAST(p.nt AS INTEGER) AS n_tokens,
+               CAST(floor((p.end_off - p.nt) / 512.0) AS BIGINT)
+                 AS chunk_first,
+               CAST(floor((p.end_off - 1) / 512.0) AS BIGINT) AS chunk_last
+        FROM caadm a LEFT JOIN capk p USING (doc_id)
+    """
 
 
 def _simhash_sql(src: str) -> str:
@@ -2997,67 +3333,9 @@ def oracle_sql() -> dict[str, str]:
     # add-one bigram weights, unigram backoff, vocabulary size, scoring,
     # integer keep — recomputed in SQL (micro-integer ln convention as
     # langid); bigram lists via list_transform over 1-based ranges
-    lm_quality_docs = """
-        WITH dt AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
-                             t -> t <> '') AS toks
-          FROM documents
-        ),
-        tr AS (SELECT * FROM dt WHERE doc_id % 7 = 0),
-        tpairs AS (
-          SELECT unnest(list_transform(
-                   range(1, len(toks)),
-                   i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
-          FROM tr WHERE len(toks) >= 2
-        ),
-        big AS (
-          SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
-          FROM tpairs GROUP BY 1, 2
-        ),
-        pref AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
-        voc AS (
-          SELECT count(DISTINCT w) AS v
-          FROM (SELECT unnest(toks) AS w FROM tr)
-        ),
-        bw AS (
-          SELECT w1, w2,
-                 CAST(round(1e6 * ln((c12 + 1.0) / (c1 + v + 1.0)))
-                      AS BIGINT) AS w_micro
-          FROM big JOIN pref USING (w1) CROSS JOIN voc
-        ),
-        pw AS (
-          SELECT w1,
-                 CAST(round(1e6 * ln(1.0 / (c1 + v + 1.0))) AS BIGINT)
-                   AS backoff_micro
-          FROM pref CROSS JOIN voc
-        ),
-        dpairs AS (
-          SELECT doc_id,
-                 unnest(list_transform(
-                   range(1, len(toks)),
-                   i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
-          FROM dt WHERE len(toks) >= 2
-        ),
-        sc AS (
-          SELECT d.doc_id,
-                 coalesce(bw.w_micro, pw.backoff_micro, -14000000) AS s
-          FROM dpairs d
-          LEFT JOIN bw ON bw.w1 = d.p.w1 AND bw.w2 = d.p.w2
-          LEFT JOIN pw ON pw.w1 = d.p.w1
-        ),
-        agg AS (
-          SELECT doc_id, CAST(sum(s) AS BIGINT) AS lp,
-                 CAST(count(*) AS INTEGER) AS n
-          FROM sc GROUP BY 1
-        )
-        SELECT d.doc_id,
-               coalesce(a.lp, 0) AS lp_micro,
-               coalesce(a.n, 0) AS n_bigrams,
-               CASE WHEN a.n IS NULL THEN 0.0
-                    ELSE round(a.lp / a.n / 1e6, 6) END AS avg_logprob,
-               coalesce(a.lp >= -3480000::BIGINT * a.n, TRUE) AS keep
-        FROM dt d LEFT JOIN agg a USING (doc_id)
+    lm_quality_docs = f"""
+        WITH {_lm_cte_sql('documents', -3_480_000)}
+        SELECT doc_id, lp_micro, n_bigrams, avg_logprob, keep FROM lm_out
     """
 
     # trigram-LM filter with stupid backoff (r8): the bigram oracle's CTEs
@@ -3641,6 +3919,8 @@ def oracle_sql() -> dict[str, str]:
         "image_caption_dedup": image_caption_dedup,
         "lm_quality_docs": lm_quality_docs,
         "lm3_quality_docs": lm3_quality_docs,
+        "corpus_admission": _corpus_admission_sql(),
+        "corpus_admission_staged": _corpus_admission_sql(),
         "html_extract_docs": html_extract_docs,
         "warc_extract_docs": warc_extract_docs,
         "html_blocks_docs": html_blocks_docs,

@@ -592,6 +592,38 @@ def w_img_admission(spark: SparkSession, sf_dir: str) -> int:
     return sched.count() + adm.filter(F.col("admitted")).count()
 
 
+def w_warc_extract(spark: SparkSession, sf_dir: str) -> int:
+    """Bytes-first crawl ingestion at sf (r8): WARC record splitting +
+    charset-sniffing decode over the gate fixture's multi-record blobs —
+    the new front door ahead of html_extract. Full-materialization agg so
+    neither framing nor decode prunes from the plan."""
+    import __spark_entry__ as E
+
+    out = E.q_warc_extract_docs(spark, sf_dir)
+    r = out.agg(
+        F.sum(F.length("html")).alias("chars"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return int(r["chars"]) + int(r["n"])
+
+
+def w_corpus_admission(spark: SparkSession, sf_dir: str) -> int:
+    """Composed text-admission capstone at sf (r8 — the text twin of
+    img_admission): html_extract -> langid -> bigram-LM -> quality -> PII
+    -> exact + LSH-CC dedup -> decontaminate -> token-stream packing over
+    the gate fixture (PII injection, exact/near clones, eval overlaps).
+    Training passes included, as the lm_quality row."""
+    import __spark_entry__ as E
+
+    out = E.q_corpus_admission(spark, sf_dir)
+    r = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("admitted").cast("long")).alias("k"),
+        F.sum("n_tokens").alias("t"),
+    ).collect()[0]
+    return int(r["n"]) + int(r["k"] or 0) + int(r["t"] or 0)
+
+
 WORKLOADS = {
     "assign": w_assign,
     "cell_join": w_cell_join,
@@ -615,7 +647,9 @@ WORKLOADS = {
     "span_dedup": w_span_dedup,
     "quality": w_quality,
     "html_extract": w_html_extract,
+    "warc_extract": w_warc_extract,
     "lm_quality": w_lm_quality,
+    "corpus_admission": w_corpus_admission,
     "semantic": w_semantic_dedup,
     "clean_corpus": w_clean_corpus,
     "img_admission": w_img_admission,

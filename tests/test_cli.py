@@ -324,3 +324,59 @@ def test_cli_curate_images_runs_and_resumes(spark, tmp_path, capsys):
                   for r in spark.read.parquet(out).collect()) == got
     assert store.lineage(job, "dedup").agg(
         F.sum("wall_ms")).collect()[0][0] == wall_before
+
+
+def test_cli_curate_corpus_runs_and_resumes(spark, tmp_path, capsys):
+    """curate-corpus over a crawl-shaped (doc_id, html) parquet: runs the
+    staged text-admission plan, writes the admission table, and a
+    --job-id rerun skips every committed stage (same lineage) while
+    reproducing the same output."""
+    from pyspark.sql import functions as F
+
+    from tilecloud_chain_spark import cli
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+
+    adj = "quick lazy sleepy hungry clever brave timid shiny".split()
+    rows = []
+    for i in range(24):
+        body = (f"the {adj[i % 8]} fox number {i} jumps over a "
+                f"{adj[(i * 3) % 8]} dog near gate {(i * 5) % 19} and "
+                f"rests beside stone {(i * 7) % 23} until dusk falls")
+        if i % 9 == 4:
+            body = rows[i - 1][1]
+        rows.append((i, body))
+    pages_path = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, body string").select(
+        "doc_id",
+        F.concat(F.lit("<html><body><p>"), F.col("body"),
+                 F.lit("</p></body></html>")).alias("html"),
+    ).write.parquet(pages_path)
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    argv = [
+        "curate-corpus", "--pages", pages_path, "--checkpoint", ckpt,
+        "--out", out, "--lm-threshold-micro", "-6000000",
+        "--chunk-tokens", "32",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ]
+    rc = cli.main(argv)
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "admitted" in line and "tokens packed" in line
+    job = line.split()[1].rstrip(":")
+    adm = spark.read.parquet(out)
+    got = sorted((r.doc_id, r.admitted, r.exact_keep, r.n_tokens,
+                  r.chunk_first) for r in adm.collect())
+    assert len(got) == 24
+    assert 0 < adm.filter("admitted").count() < 24
+    assert adm.filter("NOT exact_keep").count() > 0
+    store = CheckpointStore(spark, ckpt)
+    wall_before = store.lineage(job, "extract").agg(
+        F.sum("wall_ms")).collect()[0][0]
+    rc = cli.main(argv + ["--job-id", job])
+    assert rc == 0
+    assert sorted((r.doc_id, r.admitted, r.exact_keep, r.n_tokens,
+                   r.chunk_first)
+                  for r in spark.read.parquet(out).collect()) == got
+    assert store.lineage(job, "extract").agg(
+        F.sum("wall_ms")).collect()[0][0] == wall_before

@@ -348,6 +348,72 @@ def cmd_curate_images(args) -> int:
     return 0
 
 
+def cmd_curate_corpus(args) -> int:
+    """Run (or resume with --job-id) the staged corpus-admission plan over
+    a crawl-shaped parquet table (doc_id, html): extract -> redact ->
+    langid / LM / quality -> dedup -> decontaminate -> admitted -> pack,
+    each stage checkpointed with per-partition lineage so a killed
+    spark-submit resumes exactly. The language-ID profiles train on the
+    embedded 9-language demo corpus (pass --langid-train for your own) and
+    the LM trains on the doc_id%7 slice of the extracted text — both
+    deterministic, so a resume retrains identical weights."""
+    from pyspark.sql import functions as F
+
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+    from tilecloud_chain_spark.operators import corpus as CP
+    from tilecloud_chain_spark.operators import text as TX
+    from tilecloud_chain_spark.operators.langid import (
+        DEMO_TRAIN, train_ngram_profiles,
+    )
+    from tilecloud_chain_spark.operators.lm import train_bigram_lm
+    from tilecloud_chain_spark.operators.postprocess import duration_format
+    from tilecloud_chain_spark.plans.corpus import admission_table, curate_corpus
+
+    spark, owned = _spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(args.pages)
+    train = (
+        spark.read.parquet(args.langid_train)
+        if args.langid_train
+        else spark.createDataFrame(DEMO_TRAIN, "lang string, text string")
+    )
+    profiles = train_ngram_profiles(train)
+    lm_train = CP.extract_stage(pages.filter(F.expr("doc_id % 7 = 0")))
+    lm_model = train_bigram_lm(
+        lm_train.select(F.col("clean_text").alias("text")))
+    eval_df = (
+        spark.read.parquet(args.eval).select("doc_id", "text")
+        if args.eval else None
+    )
+    store = CheckpointStore(spark, args.checkpoint)
+    t0 = time.time()
+    job = curate_corpus(
+        spark, pages, store, profiles, lm_model, eval_df,
+        lang_allow=tuple(args.lang_allow.split(",")),
+        lm_threshold_micro=args.lm_threshold_micro,
+        near_threshold=args.near_threshold,
+        chunk_tokens=args.chunk_tokens,
+        job_id=args.job_id,
+    )
+    adm = admission_table(store, job)
+    if args.out:
+        adm.write.mode("overwrite").parquet(args.out)
+        adm = spark.read.parquet(args.out)
+    counts = adm.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("admitted").cast("long")).alias("k"),
+        F.sum("n_tokens").alias("toks"),
+    ).collect()[0]
+    rep = store.report(job)
+    print(f"job {job}: {int(counts['k'] or 0)}/{counts['n']} admitted, "
+          f"{int(counts['toks'] or 0)} tokens packed "
+          f"({rep['partitions']} lineage partitions, "
+          f"{duration_format((time.time() - t0) * 1000)})")
+    if owned:
+        spark.stop()
+    return 0
+
+
 def cmd_get_limits(args) -> int:
     from tilecloud_chain_spark.config_yaml import load_config
     from tilecloud_chain_spark.plans.wmts import capabilities_matrices, tile_matrix_limits
@@ -453,6 +519,27 @@ def main(argv=None) -> int:
     cu.add_argument("--seed", default="epoch0")
     cu.add_argument("--cores", type=int, default=None)
     cu.set_defaults(fn=cmd_curate_images)
+
+    cc = sub.add_parser("curate-corpus")
+    cc.add_argument("--pages", required=True,
+                    help="parquet of (doc_id, html)")
+    cc.add_argument("--checkpoint", required=True)
+    cc.add_argument("--eval", default=None,
+                    help="parquet of (doc_id, text) benchmark excerpts "
+                         "for decontamination")
+    cc.add_argument("--out", default=None,
+                    help="write the admission table parquet here")
+    cc.add_argument("--job-id", default=None, help="resume an existing job")
+    cc.add_argument("--langid-train", default=None,
+                    help="parquet of (lang, text) to train language-ID "
+                         "profiles (default: embedded demo corpus)")
+    cc.add_argument("--lang-allow", default="en",
+                    help="comma-separated language codes to admit")
+    cc.add_argument("--lm-threshold-micro", type=int, default=-9_000_000)
+    cc.add_argument("--near-threshold", type=float, default=0.5)
+    cc.add_argument("--chunk-tokens", type=int, default=2048)
+    cc.add_argument("--cores", type=int, default=None)
+    cc.set_defaults(fn=cmd_curate_corpus)
 
     cap = sub.add_parser("capabilities")
     cap.add_argument("--config", required=True)

@@ -1,0 +1,239 @@
+"""The composed text-corpus admission capstone (r8 — the text-side twin
+of ``operators/image_curation.py:image_admission``): one call that runs
+the full crawl-to-training-corpus decision a real LLM data pipeline makes,
+
+    html_extract -> langid -> lm perplexity -> quality -> PII redaction
+    -> exact + near dedup -> benchmark decontamination -> shard packing
+
+and returns ONE row per document with every stage flag, the final
+``admitted`` boolean, and (for admitted docs) the token-stream packing
+coordinates. Stage helpers are single-source: the resumable staged plan
+(``plans/corpus.py:curate_corpus``) composes exactly these functions, so
+the staged result is row-identical to this operator (gate-pinned).
+
+Scale shape: every stage is the already-scale-shaped operator it wraps —
+one Arrow stage for extraction, broadcast-joined micro-integer models for
+langid/LM, pure-Column quality/PII, collapsed-LSH star edges + CC for
+near-dup, broadcast eval shingles for decontamination, distributed prefix
+sum for packing. The composition adds only narrow flag-table joins keyed
+by doc_id (hash joins on a single long key — no wide rows in any
+shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from tilecloud_chain_spark.operators import dedup as DD
+from tilecloud_chain_spark.operators import lm as LM
+from tilecloud_chain_spark.operators import text as TX
+from tilecloud_chain_spark.operators.html import html_extract
+from tilecloud_chain_spark.operators.langid import langid_ngram
+
+
+def extract_stage(
+    pages: DataFrame,
+    *,
+    max_link_density: float = 0.4,
+    min_block_chars: int = 25,
+    stopwords=None,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """(doc_id, clean_text, n_blocks_kept, n_blocks_dropped)."""
+    return html_extract(
+        pages, max_link_density, min_block_chars,
+        id_col=id_col, html_col=html_col, stopwords=stopwords,
+    )
+
+
+def redact_stage(extracted: DataFrame) -> DataFrame:
+    """(doc_id, text, n_pii) — PII-scrubbed clean text; ``n_pii`` is the
+    total typed-match count (audit column)."""
+    c = F.col("clean_text")
+    pii = TX.pii_counts(c)
+    return extracted.select(
+        "doc_id",
+        TX.redact_pii(c).alias("text"),
+        (pii["email"] + pii["phone"] + pii["ipv4"]).cast("int").alias("n_pii"),
+    )
+
+
+def lang_stage(extracted: DataFrame, profiles: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_score) over the extracted clean text."""
+    return langid_ngram(
+        extracted.select("doc_id", F.col("clean_text").alias("text")),
+        profiles,
+    ).select("doc_id", "lang_pred", F.col("score").alias("lang_score"))
+
+
+def lm_stage(
+    extracted: DataFrame,
+    bigram_weights: DataFrame,
+    prefix_backoff: DataFrame,
+    keep_threshold_micro: int = LM.KEEP_THRESHOLD_MICRO,
+) -> DataFrame:
+    """(doc_id, lm_keep) — perplexity gate over the extracted clean text."""
+    return LM.lm_score(
+        extracted.select("doc_id", F.col("clean_text").alias("text")),
+        bigram_weights, prefix_backoff,
+        keep_threshold_micro=keep_threshold_micro,
+    ).select("doc_id", F.col("keep").alias("lm_keep"))
+
+
+def quality_stage(
+    extracted: DataFrame,
+    min_tokens: int = 5,
+    max_repetition: float = 0.8,
+) -> DataFrame:
+    """(doc_id, quality_keep) — the corpus-hygiene floor rule (token count
+    + repetition ratio, the ``clean_corpus`` convention); the full Gopher
+    rule set stays available as ``text.gopher_keep`` for corpora long
+    enough to clear its 50-token floor."""
+    c = F.col("clean_text")
+    return extracted.select(
+        "doc_id",
+        ((TX.token_count(c) >= min_tokens)
+         & (TX.repetition_ratio(c) <= F.lit(max_repetition)))
+        .alias("quality_keep"),
+    )
+
+
+def dedup_stage(redacted: DataFrame, near_threshold: float = 0.5) -> DataFrame:
+    """(doc_id, exact_keep, neardup_keep) over the redacted text: exact =
+    min doc_id per content hash; near = min-id representative of the
+    connected component over MinHash-LSH-verified jaccard pairs (collapsed
+    star-edge scale recipe, as ``clean_corpus``)."""
+    exact_keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text")))
+    )
+    prs = DD.minhash_dedup_pairs(
+        redacted.select("doc_id", "text"),
+        threshold=near_threshold, exact_pairs="star",
+    )
+    cc = DD.connected_components(prs)
+    base = redacted.select("doc_id", exact_keep.alias("exact_keep"))
+    out = base.join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+    return out.select(
+        "doc_id", "exact_keep",
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+        .alias("neardup_keep"),
+    )
+
+
+def decontam_stage(
+    redacted: DataFrame, eval_df: DataFrame, n: int = 5
+) -> DataFrame:
+    """(doc_id, decontam_keep) — keep iff the doc shares no n-gram with
+    the (broadcast) eval set."""
+    out = DD.decontaminate(redacted.select("doc_id", "text"), eval_df, n=n)
+    return out.select("doc_id", (~F.col("contaminated")).alias("decontam_keep"))
+
+
+def compose_corpus_flags(
+    extracted: DataFrame,
+    redacted: DataFrame,
+    lang: DataFrame,
+    lm_flags: DataFrame,
+    quality: DataFrame,
+    dedup_flags: DataFrame,
+    decontam: DataFrame | None,
+    lang_allow: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Join the narrow flag tables into the admission row (every stage
+    flag + the final boolean). ``decontam`` may be None (no eval set) —
+    the flag column is then literal True, mirroring the image capstone's
+    optional stages."""
+    out = (
+        extracted.select("doc_id", "n_blocks_kept")
+        .join(lang, "doc_id")
+        .join(lm_flags, "doc_id")
+        .join(quality, "doc_id")
+        .join(redacted.select("doc_id", "n_pii"), "doc_id")
+        .join(dedup_flags, "doc_id")
+    )
+    if decontam is not None:
+        out = out.join(decontam, "doc_id")
+    else:
+        out = out.withColumn("decontam_keep", F.lit(True))
+    lang_keep = F.col("lang_pred").isin(*lang_allow)
+    admitted = (
+        lang_keep & F.col("lm_keep") & F.col("quality_keep")
+        & F.col("exact_keep") & F.col("neardup_keep") & F.col("decontam_keep")
+    )
+    return out.select(
+        "doc_id", "n_blocks_kept", "lang_pred", "lang_score",
+        lang_keep.alias("lang_keep"), "lm_keep", "quality_keep", "n_pii",
+        "exact_keep", "neardup_keep", "decontam_keep",
+        admitted.alias("admitted"),
+    )
+
+
+def pack_stage(
+    redacted: DataFrame, flags: DataFrame, chunk_tokens: int = 2048
+) -> DataFrame:
+    """(doc_id, n_tokens, chunk_first, chunk_last) — token-stream packing
+    over the ADMITTED documents only, in doc_id order."""
+    adm = flags.filter(F.col("admitted")).select("doc_id")
+    chunks = TX.token_stream_chunks(
+        redacted.join(adm, "doc_id").select("doc_id", "text"),
+        chunk_tokens=chunk_tokens,
+    )
+    return chunks.select(
+        F.col("id").alias("doc_id"), "n_tokens", "chunk_first", "chunk_last"
+    )
+
+
+def assemble_corpus_admission(flags: DataFrame, packed: DataFrame) -> DataFrame:
+    """Final admission table: flags + packing coordinates (NULL n_tokens /
+    chunk span for rejected documents)."""
+    return flags.join(packed, "doc_id", "left")
+
+
+def corpus_admission(
+    pages: DataFrame,
+    langid_profiles: DataFrame,
+    lm_model: tuple[DataFrame, DataFrame],
+    eval_df: DataFrame | None = None,
+    *,
+    lang_allow: tuple[str, ...] = ("en",),
+    lm_threshold_micro: int = LM.KEEP_THRESHOLD_MICRO,
+    min_tokens: int = 5,
+    max_repetition: float = 0.8,
+    near_threshold: float = 0.5,
+    decontam_n: int = 5,
+    chunk_tokens: int = 2048,
+    max_link_density: float = 0.4,
+    min_block_chars: int = 25,
+    stopwords=None,
+) -> DataFrame:
+    """The single-shot composed admission decision (see module docstring).
+
+    ``pages``: (doc_id, html); ``langid_profiles``: a trained
+    ``train_ngram_profiles`` table; ``lm_model``: ``train_bigram_lm``'s
+    (bigram_weights, prefix_backoff); ``eval_df``: optional (doc_id, text)
+    benchmark set for decontamination."""
+    bw, pw = lm_model
+    extracted = extract_stage(
+        pages, max_link_density=max_link_density,
+        min_block_chars=min_block_chars, stopwords=stopwords,
+    )
+    # extraction is the one Python-kernel stage every branch consumes —
+    # pin it once so the Arrow pass doesn't re-run per downstream branch
+    extracted = extracted.localCheckpoint(eager=False)
+    redacted = redact_stage(extracted)
+    flags = compose_corpus_flags(
+        extracted,
+        redacted,
+        lang_stage(extracted, langid_profiles),
+        lm_stage(extracted, bw, pw, lm_threshold_micro),
+        quality_stage(extracted, min_tokens, max_repetition),
+        dedup_stage(redacted, near_threshold),
+        decontam_stage(redacted, eval_df, decontam_n)
+        if eval_df is not None else None,
+        lang_allow=lang_allow,
+    )
+    # consumed twice (pack filter + final join) — pin the narrow flag table
+    flags = flags.localCheckpoint(eager=False)
+    packed = pack_stage(redacted, flags, chunk_tokens)
+    return assemble_corpus_admission(flags, packed)
