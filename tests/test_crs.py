@@ -892,3 +892,149 @@ def test_lcc_aea_equatorial_parallel_refused():
             "EPSG:4326",
             "+proj=aea +lat_1=20 +lat_2=-20 +lat_0=0 +lon_0=0 +ellps=GRS80",
             [1.0], [1.0])
+
+
+# ---------------------------------------------------------------------------
+# Hotine Oblique Mercator (round 8): EPSG method 9812 (variant A) + 9815
+# (variant B / RSO), EPSG:29873 registry pin, +proj=omerc literals
+# ---------------------------------------------------------------------------
+
+_RSO_LIT = ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+            "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+            "+y_0=442857.65 +ellps=evrstSS")
+_RSO_PT = (115.0 + 48.0 / 60.0 + 19.8196 / 3600.0,
+           5.0 + 23.0 / 60.0 + 14.1129 / 3600.0)
+
+
+def test_omerc_epsg_guidance_note_worked_example():
+    """EPSG GN7-2 'Hotine Oblique Mercator (variant B)' worked example —
+    Timbalai 1948 / RSO Borneo (m): the test point at 5d23'14.1129N,
+    115d48'19.8196E must land on E 679245.73, N 596562.78 (published to
+    cm). Implemented first, golden checked by reproduction (r7 memory
+    protocol); the intermediate constants B=1.003303209 and
+    A=6376278.686 reproduce too."""
+    from tilecloud_chain_spark.crs import _HotineObliqueMercator
+
+    hom = _HotineObliqueMercator(
+        latc_deg=4.0, lonc_deg=115.0,
+        alpha_deg=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+        gamma_deg=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+        kc=0.99984, fe=590476.87, fn=442857.65,
+        variant_b=True, a=6377298.556, f=1.0 / 300.8017)
+    assert hom.B == pytest.approx(1.003303209, abs=1e-9)
+    assert hom.A == pytest.approx(6376278.686, abs=1e-3)
+    e, n = hom.fwd([_RSO_PT[0]], [_RSO_PT[1]])
+    assert e[0] == pytest.approx(679245.73, abs=0.02)
+    assert n[0] == pytest.approx(596562.78, abs=0.02)
+    # the projection centre maps exactly to (Ec, Nc) in variant B
+    ec, nc = hom.fwd([115.0], [4.0])
+    assert ec[0] == pytest.approx(590476.87, abs=1e-6)
+    assert nc[0] == pytest.approx(442857.65, abs=1e-6)
+    # literal arm reproduces the same kernel
+    x, y = crs.transform_coords("EPSG:4326", _RSO_LIT,
+                                [_RSO_PT[0]], [_RSO_PT[1]])
+    assert x[0] == pytest.approx(e[0], abs=1e-6)
+    assert y[0] == pytest.approx(n[0], abs=1e-6)
+
+
+def test_omerc_defining_properties():
+    """Numeric checks of the math, not remembered numbers: conformality
+    (isotropic local scale at every probe), local scale == kc exactly AT
+    the projection centre, fwd-inv round-trip to machine precision, and
+    the variant A/B relation (a rigid |uc| shift along the rotated u
+    axis)."""
+    import math
+
+    from tilecloud_chain_spark.crs import _HotineObliqueMercator
+
+    kw = dict(latc_deg=4.0, lonc_deg=115.0,
+              alpha_deg=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+              gamma_deg=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+              kc=0.99984, a=6377298.556, f=1.0 / 300.8017)
+    hom = _HotineObliqueMercator(fe=0.0, fn=0.0, variant_b=True, **kw)
+    e2 = hom.e2
+    d = 1e-6
+    for lon, lat in [(115.0, 4.0), (116.2, 5.1), (113.5, 2.3), (117.0, 6.5)]:
+        x0, y0 = hom.fwd([lon], [lat])
+        xe, ye = hom.fwd([lon + d], [lat])
+        xn, yn = hom.fwd([lon], [lat + d])
+        p = math.radians(lat)
+        nrad = kw["a"] / math.sqrt(1 - e2 * math.sin(p) ** 2)
+        mrad = kw["a"] * (1 - e2) / (1 - e2 * math.sin(p) ** 2) ** 1.5
+        ge = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (
+            math.radians(d) * nrad * math.cos(p))
+        gn = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (
+            math.radians(d) * mrad)
+        assert ge == pytest.approx(gn, rel=1e-5), (lon, lat)  # conformal
+        if (lon, lat) == (115.0, 4.0):
+            assert ge == pytest.approx(0.99984, rel=1e-5)  # scale == kc
+        # round-trip
+        lo, la = hom.inv(x0, y0)
+        assert lo[0] == pytest.approx(lon, abs=1e-9)
+        assert la[0] == pytest.approx(lat, abs=1e-9)
+    # variant A = variant B shifted by |uc| along the rotated u axis
+    hom_a = _HotineObliqueMercator(fe=0.0, fn=0.0, variant_b=False, **kw)
+    xb, yb = hom.fwd([116.0], [5.0])
+    xa, ya = hom_a.fwd([116.0], [5.0])
+    uc = abs(hom.uc)
+    assert xa[0] - xb[0] == pytest.approx(uc * math.sin(hom.gammac), abs=1e-6)
+    assert ya[0] - yb[0] == pytest.approx(uc * math.cos(hom.gammac), abs=1e-6)
+    # +no_off literal selects variant A
+    xl, yl = crs.transform_coords(
+        "EPSG:4326",
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.13010236111111 +k=0.99984 +ellps=evrstSS +no_off",
+        [116.0], [5.0])
+    assert xl[0] == pytest.approx(xa[0], abs=1e-6)
+    assert yl[0] == pytest.approx(ya[0], abs=1e-6)
+
+
+def test_omerc_epsg_29873_registry_and_refusals():
+    """EPSG:29873 (Timbalai RSO Borneo) is registered with the 3-param
+    datum shift and round-trips; degenerate/unimplemented omerc forms are
+    refused loudly."""
+    e, n = crs.transform_coords("EPSG:4326", "EPSG:29873", [115.5], [5.0])
+    lo, la = crs.transform_coords("EPSG:29873", "EPSG:4326", e, n)
+    assert lo[0] == pytest.approx(115.5, abs=1e-7)
+    assert la[0] == pytest.approx(5.0, abs=1e-7)
+    # the datum shift is live: ~ hundreds of meters vs the shiftless kernel
+    e0, n0 = crs.transform_coords("EPSG:4326", _RSO_LIT, [115.5], [5.0])
+    assert 100 < abs(e[0] - e0[0]) + abs(n[0] - n0[0]) < 2000
+    with pytest.raises(NotImplementedError, match="two-point"):
+        crs.transform_coords(
+            "EPSG:4326",
+            "+proj=omerc +lat_1=1 +lon_1=110 +lat_2=5 +lon_2=116 +ellps=WGS84",
+            [1.0], [1.0])
+    with pytest.raises(NotImplementedError, match="alpha"):
+        crs.transform_coords(
+            "EPSG:4326", "+proj=omerc +lat_0=47 +lonc=19 +alpha=90 +ellps=WGS84",
+            [1.0], [1.0])
+    with pytest.raises(NotImplementedError, match="equator|pole"):
+        crs.transform_coords(
+            "EPSG:4326", "+proj=omerc +lat_0=0 +lonc=115 +alpha=53 +ellps=WGS84",
+            [1.0], [1.0])
+
+
+def test_reprojected_geometry_filter_omerc(spark):
+    """Layer geometry delivered in RSO Borneo grid coordinates against the
+    Swiss grid must produce the identical filtered tile set as the
+    native-SRS geometry (same guarantee as the LCC/LAEA/UTM goldens)."""
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.sources import enumerate as EN
+
+    grid = SWISSGRID_5
+    layer = LAYERS["polygon"]
+    native = parse_wkt(layer.geom_wkt)
+    g_rso = GE.transform_geom("EPSG:21781", "EPSG:29873", native)
+    geoms_native = GE.resolve_geoms(grid, layer, zooms=range(3))
+    geoms_reproj = GE.resolve_geoms(
+        grid, layer,
+        geom_rows=[{"wkt": _to_wkt(g_rso)}],
+        zooms=range(3), layer_srs="EPSG:29873",
+    )
+    tiles = EN.dense_tiles(spark, grid, range(3))
+    a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(
+        tiles, grid, geoms_native).collect()}
+    b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(
+        tiles, grid, geoms_reproj).collect()}
+    assert a == b and len(a) > 0

@@ -43,6 +43,14 @@ are implemented from their published definitions:
   exactly to the spherical formulas (e=0). 7-parameter Helmert and
   unknown ellipsoids are refused loudly — never approximated.
 
+- **Hotine Oblique Mercator (r8): EPSG:29873 (Timbalai 1948 / RSO Borneo)
+  and arbitrary azimuth-form ``+proj=omerc`` literals** — EPSG methods
+  9812 (variant A, ``+no_off``) and 9815 (variant B / RSO), GN7-2
+  equations, pinned against the Timbalai worked example plus numeric
+  conformality / scale-at-centre / variant-relation checks. The two-point
+  form, ``alpha=+/-90`` (Hungarian EOV), and equatorial/polar centres are
+  refused loudly.
+
 Accuracy evidence (no pyproj in this environment): (a) the reference's OWN
 pinned PostGIS ``ST_Transform(…, 21781)`` coordinates (proj-computed,
 tests/test_expiretiles.py:38-52) are reproduced through this chain to
@@ -558,6 +566,125 @@ class _LambertAzimuthalEqualArea:
 
 
 
+class _HotineObliqueMercator:
+    """Ellipsoidal Hotine Oblique Mercator, variant A (EPSG method 9812,
+    false grid coordinates at the natural origin) and variant B (EPSG
+    method 9815, grid coordinates of the projection centre — the
+    Rectified Skew Orthomorphic family: Borneo RSO EPSG:29873, Malaysia
+    GDM2000 RSO, Alaska zone 1), equations per EPSG Guidance Note 7-2
+    (public). Azimuth form only (projection centre + initial-line azimuth
+    ``alpha_c`` + rectified-grid angle ``gamma_c``); the two-point form
+    and the ``alpha_c = +/-90`` special case (Hungarian EOV-style) are
+    refused loudly by the literal arm.
+
+    Correctness is pinned three independent ways in tests: the GN7-2
+    Timbalai 1948 / RSO Borneo worked example, NUMERIC checks of the
+    defining properties (conformal: isotropic local scale at every probe;
+    local scale exactly ``kc`` AT the projection centre; the projection
+    centre maps exactly to (Ec, Nc) in variant B — checks the math, not
+    remembered numbers), and fwd∘inv round-trip to machine precision."""
+
+    def __init__(self, latc_deg: float, lonc_deg: float,
+                 alpha_deg: float, gamma_deg: float,
+                 kc: float, fe: float, fn: float,
+                 variant_b: bool = True,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.fe, self.fn = a, fe, fn
+        self.variant_b = variant_b
+        self.e2 = _e2(f)
+        self.e = float(np.sqrt(self.e2))
+        if latc_deg == 0.0 or abs(latc_deg) >= 90.0:
+            raise NotImplementedError(
+                "Hotine Oblique Mercator with the projection centre at the "
+                "equator or a pole is a degenerate aspect — not implemented"
+            )
+        if abs(abs(alpha_deg) - 90.0) < 1e-12:
+            raise NotImplementedError(
+                "alpha_c = +/-90 (Hungarian EOV-style) needs the GN7-2 "
+                "special-case equations — not implemented"
+            )
+        phic = latc_deg * _D2R
+        alphac = alpha_deg * _D2R
+        self.gammac = gamma_deg * _D2R
+        e, e2 = self.e, self.e2
+        sphi, cphi = np.sin(phic), np.cos(phic)
+        self.B = float(np.sqrt(1.0 + e2 * cphi ** 4 / (1.0 - e2)))
+        self.A = float(
+            a * self.B * kc * np.sqrt(1.0 - e2) / (1.0 - e2 * sphi ** 2)
+        )
+        t0 = float(
+            np.tan(np.pi / 4.0 - phic / 2.0)
+            / ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
+        )
+        D = float(
+            self.B * np.sqrt(1.0 - e2) / (cphi * np.sqrt(1.0 - e2 * sphi ** 2))
+        )
+        D2 = max(D * D, 1.0)  # GN7-2: if D < 1 (near-equator), use D^2 = 1
+        sign = 1.0 if latc_deg >= 0 else -1.0
+        Fc = D + np.sqrt(D2 - 1.0) * sign
+        self.H = float(Fc * t0 ** self.B)
+        G = (Fc - 1.0 / Fc) / 2.0
+        self.gamma0 = float(np.arcsin(np.sin(alphac) / D))
+        self.lam0 = lonc_deg * _D2R - float(
+            np.arcsin(G * np.tan(self.gamma0))
+        ) / self.B
+        # u at the projection centre (variant B offsets u by |uc|*SIGN(phic))
+        self.uc = float(
+            (self.A / self.B)
+            * np.arctan2(np.sqrt(D2 - 1.0), np.cos(alphac)) * sign
+        )
+
+    def _t(self, phi):
+        es = self.e * np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - es) / (1.0 + es)
+        ) ** (self.e / 2.0)
+
+    def fwd(self, lon_deg, lat_deg):
+        phi = np.asarray(lat_deg, dtype=np.float64) * _D2R
+        lam = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        Q = self.H / self._t(phi) ** self.B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        dl = self.B * (lam - self.lam0)
+        V = np.sin(dl)
+        U = (-V * np.cos(self.gamma0) + S * np.sin(self.gamma0)) / T
+        v = self.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * self.B)
+        u = self.A * np.arctan2(
+            S * np.cos(self.gamma0) + V * np.sin(self.gamma0), np.cos(dl)
+        ) / self.B
+        if self.variant_b:
+            u = u - abs(self.uc) * (1.0 if self.uc >= 0 else -1.0)
+        cg, sg = np.cos(self.gammac), np.sin(self.gammac)
+        return self.fe + v * cg + u * sg, self.fn + u * cg - v * sg
+
+    def inv(self, e_, n_):
+        x = np.asarray(e_, dtype=np.float64) - self.fe
+        y = np.asarray(n_, dtype=np.float64) - self.fn
+        cg, sg = np.cos(self.gammac), np.sin(self.gammac)
+        v = x * cg - y * sg
+        u = y * cg + x * sg
+        if self.variant_b:
+            u = u + abs(self.uc) * (1.0 if self.uc >= 0 else -1.0)
+        Q = np.exp(-self.B * v / self.A)
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        bu = self.B * u / self.A
+        V = np.sin(bu)
+        U = (V * np.cos(self.gamma0) + S * np.sin(self.gamma0)) / T
+        t = (self.H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / self.B)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # standard GN7-2 fixed point, float64-exact
+            es = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (self.e / 2.0)
+            )
+        lam = self.lam0 - np.arctan2(
+            S * np.cos(self.gamma0) - V * np.sin(self.gamma0), np.cos(bu)
+        ) / self.B
+        return lam * _R2D, phi * _R2D
+
+
 class _PolarStereographic:
     """Ellipsoidal Polar Stereographic (EPSG method 9810), variant A
     (``+k_0`` at the pole — UPS) and variant B (``+lat_ts`` standard
@@ -845,6 +972,8 @@ _ELLIPSOIDS: dict[str, tuple[float, float]] = {
     "airy": (6377563.396, 1.0 / 299.3249646),
     "krass": (6378245.0, 1.0 / 298.3),
     "clrk66": (6378206.4, 1.0 / 294.9786982),
+    # Everest 1830 (1967 Definition) — Sabah/Sarawak, Borneo RSO
+    "evrstSS": (6377298.556, 1.0 / 300.8017),
 }
 
 
@@ -937,6 +1066,67 @@ def _datum_wrapped(proj, a: float, f: float, shift):
         return _shift_datum(lon_l, lat_l, a, f, WGS84_A, WGS84_F, shift)
 
     return fwd, inv
+
+
+# Timbalai 1948 / RSO Borneo (m) (EPSG:29873) — Hotine Oblique Mercator
+# variant B (EPSG method 9815), THE GN7-2 worked example: projection
+# centre (4N, 115E), initial-line azimuth 53deg18'56.9537", rectified-grid
+# angle 53deg07'48.3685", kc 0.99984, Ec/Nc 590476.87/442857.65 on
+# Everest 1830 (1967). Datum: EPSG:1158 3-param shift (-679, 669, -48).
+_RSO_BORNEO = _HotineObliqueMercator(
+    latc_deg=4.0, lonc_deg=115.0,
+    alpha_deg=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+    gamma_deg=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+    kc=0.99984, fe=590476.87, fn=442857.65,
+    variant_b=True, a=6377298.556, f=1.0 / 300.8017,
+)
+_REGISTRY["EPSG:29873"] = _datum_wrapped(
+    _RSO_BORNEO, 6377298.556, 1.0 / 300.8017, np.array([-679.0, 669.0, -48.0])
+)
+
+
+def _register_omerc(toks: dict) -> str:
+    """Arbitrary ``+proj=omerc`` literal (Hotine Oblique Mercator, azimuth
+    form): variant B by default (PROJ semantics — grid coordinates at the
+    projection centre), variant A with ``+no_off``/``+no_uoff`` (EPSG
+    method 9812, natural-origin false coordinates). The two-point form
+    (+lat_1/+lon_1/+lat_2/+lon_2) is refused loudly. Kernel pinned against
+    the GN7-2 Timbalai RSO Borneo worked example plus numeric
+    conformality / scale-at-centre checks."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    if {"lat_1", "lon_1", "lat_2", "lon_2"} & set(toks):
+        raise NotImplementedError(
+            "+proj=omerc two-point form (+lat_1/+lon_1/+lat_2/+lon_2) not "
+            "implemented — give the azimuth form (+lonc/+alpha[/+gamma])"
+        )
+    _require_known_tokens(
+        toks,
+        _ELLIPSOID_TOKENS | {"lat_0", "lonc", "alpha", "gamma", "k", "k_0",
+                             "x_0", "y_0", "no_off", "no_uoff"},
+    )
+    if "alpha" not in toks or "lat_0" not in toks or "lonc" not in toks:
+        raise NotImplementedError(
+            "+proj=omerc needs +lat_0, +lonc and +alpha (azimuth form)"
+        )
+    a, f = _ellipsoid_from_tokens(toks)
+    alpha = float(toks["alpha"])
+    hom = _HotineObliqueMercator(
+        latc_deg=float(toks["lat_0"]),
+        lonc_deg=float(toks["lonc"]),
+        alpha_deg=alpha,
+        gamma_deg=float(toks.get("gamma", alpha)),  # PROJ default: gamma=alpha
+        kc=float(toks.get("k", toks.get("k_0", 1.0))),
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+        variant_b=not ({"no_off", "no_uoff"} & set(toks)),
+        a=a, f=f,
+    )
+    _REGISTRY[key] = _datum_wrapped(hom, a, f, _towgs84(toks))
+    return key
 
 
 def _register_tmerc(toks: dict) -> str:
@@ -1214,6 +1404,8 @@ def _parse_proj4(literal: str) -> str | None:
         return _register_aea(toks)
     if proj == "somerc":
         return _register_somerc(toks)
+    if proj == "omerc":
+        return _register_omerc(toks)
     if proj == "utm" and toks.get("zone", "").isdigit():
         _require_known_tokens(toks, frozenset({"proj", "zone", "south", "ellps"}))
         if toks.get("ellps", "WGS84") != "WGS84":
