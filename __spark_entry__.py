@@ -1650,8 +1650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
-        "ivf_topk": q_ivf_topk,
-        "host_limit_slots": q_host_limit_slots,
         "url_dedup_docs": q_url_dedup_docs,
         "image_caption_dedup": q_image_caption_dedup,
         "html_extract_docs": q_html_extract_docs,
@@ -1681,57 +1679,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_metatiles": q_sparse_metatiles,
         "multi_grid_identifiers": q_multi_grid_identifiers,
         "image_pipeline_stored": q_image_pipeline_stored,
-        "ann_topk": q_ann_topk,
         "simhash_pairs": q_simhash_pairs,
         "knn_adaptive_docs": q_knn_adaptive_docs,
         "lsh_candidates": q_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
-        "quantize_embeddings": q_quantize_embeddings,
-        "wmts_paths": q_wmts_paths,
-        "cell_key_roundtrip": q_cell_key_roundtrip,
-        "process_partition": q_process_partition,
         "web_mercator": q_web_mercator,
+        "top_events_per_user": q_top_events_per_user,
+        "pricing_summary": q_pricing_summary,
+        "orders_rollup": q_orders_rollup,
         # --- gate-ordering note: the driver's correctness gate runs the
         # FIRST 50 entries. STANDING POLICY (r4 verdict): any entry whose
         # implementation OR composed dependencies changed in-round must sit
-        # inside the window. Round 7 rotation (r6 verdict task 9): the
-        # three OLDEST outside entries rotate back in — wmts_paths +
-        # cell_key_roundtrip + process_partition (outside since r6,
-        # gridmath untouched but the policy is the policy) — plus
-        # web_mercator, which is FORCED in because crs.py changed this
-        # round (Lambert Conformal Conic). Everything whose module or
-        # composed dependencies changed in r7 is inside: dedup.py
-        # (window-form stars + two-hop CC + edge-sized loop parallelism)
-        # -> every minhash/lsh/jaccard/simhash/span/line/decontaminate
-        # entry and every connected_components consumer (dedup_clusters,
-        # clean_corpus, semantic_dedup_docs, image_caption_dedup — which
-        # also gained the caption NEAR-dup LSH edge family this round —
-        # image_admission, image_admission_staged); image_curation.py
-        # (broadcast-join prefix-sum offsets) -> aspect_buckets,
-        # epoch_schedule, token_chunks; urls.py (r7-committed canonicalizer
-        # guards) -> url_dedup_docs; the three NEW r7 entries
-        # (html_extract_docs + html_blocks_docs, operators/html.py;
-        # lm_quality_docs, operators/lm.py — CCNet-style bigram-LM
-        # perplexity filter).
-        # Rotated OUT to make room, all r6-driver-gate green with modules
-        # untouched this round:
-        # serving_decisions + host_serving_decisions (plans/serving.py),
-        # styled_tiles (raster styling), media_frames (sources/media.py,
-        # freshly re-evidenced r6), embedding_near_dups + cosine_topk +
-        # quantized_topk (similarity cosine/quantize paths, no dedup/CC
-        # dependency). The below sit outside the
-        # window this round: those four, feature_info [serving.py
-        # untouched, green since r3], legend_dedup [green since r2],
-        # expire_tiles [green r4], fingerprint_docs + hash_drop_docs
-        # [filters.py untouched, green r5], utfgrid_tiles, asof_join,
-        # sessionize, interval_islands, event_rollup, top_events, two
-        # TPC-H rollups, daily windows (the last four pure-SQL, green
-        # since r1).
-        # The FULL registry (including these eighteen) is still cross-
-        # engine-checked every round by tests/test_entry_oracle.py, which
-        # parametrizes over ALL oracle_sql() keys — the rotation only
-        # affects which rows land in the driver's CORRECTNESS file.
+        # inside the window. Round 8 rotation (r7 verdict task 7):
+        # IN because NEW this round — warc_extract_docs (operators/warc.py),
+        # lm3_quality_docs (trigram LM, operators/lm.py), corpus_admission
+        # + corpus_admission_staged (operators/corpus.py, plans/corpus.py).
+        # IN because modules changed — every dedup.py consumer (Arrow
+        # union-find collect): exact_dedup, minhash_signatures,
+        # jaccard_pairs, simhash_pairs, lsh_candidates, dedup_clusters,
+        # clean_corpus, line/substring/decontaminate, semantic_dedup_docs,
+        # image_caption_dedup + both image admissions (also
+        # image_curation.py/image_dedup.py lazy-checkpoint rework);
+        # html_extract_docs + html_blocks_docs (startendtag flush, anchor
+        # depth, stopword rule); lm_quality_docs (ASCII-whitespace UDF
+        # tokenizer); token_chunks + text_profile (text.py lazy ckpt);
+        # clip_filter_pairs/image_decontam/aspect_buckets/epoch_schedule
+        # (image_curation.py); web_mercator FORCED in (crs.py changed —
+        # degenerate-cone guards + Hotine Oblique Mercator).
+        # ROTATED IN per policy (the three oldest outside entries):
+        # top_events_per_user, pricing_summary, orders_rollup (pure SQL,
+        # driver-gate evidence aging since r1).
+        # ROTATED OUT to make room, all r7-driver-gate green with modules
+        # untouched this round: ivf_topk, ann_topk, quantize_embeddings
+        # (similarity cosine/IVF/quantize paths — no dedup/CC dependency),
+        # host_limit_slots (routing.py untouched), plus wmts_paths /
+        # cell_key_roundtrip / process_partition (gridmath, rotated in r7,
+        # green again there). The below stay outside this round:
+        # serving_decisions, host_serving_decisions, feature_info
+        # [serving.py untouched], styled_tiles, utfgrid_tiles, media_frames,
+        # embedding_near_dups, cosine_topk, quantized_topk, expire_tiles,
+        # fingerprint_docs + hash_drop_docs [filters.py untouched],
+        # legend_dedup, asof_join, sessionize, interval_islands,
+        # event_rollup, daily_event_windows.
+        # The FULL registry (all 75) is still cross-engine-checked every
+        # round by tests/test_entry_oracle.py, which parametrizes over ALL
+        # oracle_sql() keys — the rotation only affects which rows land in
+        # the driver's CORRECTNESS file.
+        "ivf_topk": q_ivf_topk,
+        "ann_topk": q_ann_topk,
+        "quantize_embeddings": q_quantize_embeddings,
+        "host_limit_slots": q_host_limit_slots,
+        "wmts_paths": q_wmts_paths,
+        "cell_key_roundtrip": q_cell_key_roundtrip,
+        "process_partition": q_process_partition,
         "serving_decisions": q_serving_decisions,
         "host_serving_decisions": q_host_serving_decisions,
         "styled_tiles": q_styled_tiles,
@@ -1749,10 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "interval_islands": q_interval_islands,
         "event_rollup": q_event_rollup,
-        "top_events_per_user": q_top_events_per_user,
         "daily_event_windows": q_daily_event_windows,
-        "pricing_summary": q_pricing_summary,
-        "orders_rollup": q_orders_rollup,
     }
 
 

@@ -175,7 +175,11 @@ def _distributed_rank(
     base = (
         df.repartitionByRange(parts, *group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # LAZY: the counts collect right below is the action that
+        # materializes the checkpoint — eager would pay a second full
+        # blocking job per prefix-sum call site (r8, ~0.3-0.5 s each of
+        # pure toy-scale scheduling floor in img_admission)
+        .localCheckpoint(eager=False)
     )
     counts = base.groupBy("_pid", *group_cols).count().collect()
     acc: dict[tuple, int] = {}
@@ -517,9 +521,14 @@ def image_admission(
         F.col(h_col),
         bucket_expr(w_col, h_col, buckets).alias("bucket"),
     )
+    # LAZY: the packing prefix-sum's counts collect is the first action
+    # over the flag table and materializes the checkpoint in the same job
+    # (eager cost a dedicated blocking pass; the reuse guarantee — CC +
+    # decontam lineage executes once — is unchanged, the checkpoint just
+    # materializes at first consumption)
     staged = compose_admission_flags(
         base, dd, clip_flags=cf, contam_flags=ct, id_col=id_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     packed = aspect_bucket_pack(
         staged.filter(F.col("admitted")),
         batch_size,

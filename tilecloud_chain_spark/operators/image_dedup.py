@@ -85,7 +85,10 @@ def image_caption_dedup(
     previous inner-join semantics: an absent caption equals nothing)."""
     base = imgs.select(
         F.col(id_col), F.col(phash_col).alias("_ph"), F.col(caption_col).alias("_cap")
-    ).localCheckpoint(eager=True)  # referenced by the edge builders + final join
+    ).localCheckpoint(eager=False)  # referenced by the edge builders + final
+    # join; LAZY — the reps aggregation below is the first action and
+    # materializes it in the same job (r8: each eager ckpt here was a
+    # dedicated ~0.3 s toy-scale job)
 
     cap_key = F.struct(
         F.lit(0).alias("kind"),
@@ -109,9 +112,11 @@ def image_caption_dedup(
     # join's flood probe + both self-join sides, and (with caption_near)
     # the caption-rep semi-join — unmaterialized, the group aggregate
     # would re-run per reference
+    # LAZY ckpt: int64_near_pairs' flood probe is the first action and
+    # materializes this (and base) in one job
     reps = keyed.groupBy("kind", "k1", "k2").agg(
         F.min(id_col).alias("_rep")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     star_edges = (
         keyed.join(reps, ["kind", "k1", "k2"])
         .filter(F.col(id_col) != F.col("_rep"))

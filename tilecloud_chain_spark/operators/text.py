@@ -154,7 +154,9 @@ def token_stream_chunks(
         # no sortWithinPartitions: nothing consumes partition-local order —
         # the totals agg is order-free and the window re-sorts by id anyway
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # referenced twice: totals + cumsum
+        .localCheckpoint(eager=False)  # referenced twice: totals + cumsum
+        # (LAZY — the totals collect materializes it; eager paid an extra
+        # blocking pass per packing call, r8)
     )
     totals = {
         r["_pid"]: r["tot"]
