@@ -850,11 +850,23 @@ def _corpus_inputs(spark: SparkSession, sf_dir: str):
               "<a href='/privacy'>privacy</a></div></body></html>"),
     )
     pages = src.select("doc_id", page.alias("html"))
+    # fitted artifacts are lazily pinned: the scale twins collect each
+    # table exactly once per admission run (bw and pw otherwise re-ran
+    # the whole training explode chain per collect)
     profiles = train_ngram_profiles(
-        spark.createDataFrame(_LANGID_TRAIN, "lang string, text string"))
-    ext_train = CP.extract_stage(pages.filter(F.expr("doc_id % 7 = 0")))
-    bw, pw = train_bigram_lm(ext_train.select(F.col("clean_text").alias("text")))
-    red = CP.redact_stage(CP.extract_stage(pages))
+        spark.createDataFrame(_LANGID_TRAIN, "lang string, text string")
+    ).localCheckpoint(eager=False)
+    # ONE extraction pass feeds both fitted artifacts (LM training slice,
+    # decontamination eval set) — lazily checkpointed so the first train
+    # action materializes it; un-pinned, every later evaluation of the
+    # eval/model lineage re-parsed all pages (~1 s per action at sf0.1)
+    ext = CP.extract_stage(pages).localCheckpoint(eager=False)
+    bw, pw = train_bigram_lm(
+        ext.filter(F.expr("doc_id % 7 = 0"))
+        .select(F.col("clean_text").alias("text")))
+    bw = bw.localCheckpoint(eager=False)
+    pw = pw.localCheckpoint(eager=False)
+    red = CP.redact_stage(ext)
     eval_df = red.filter(F.expr("doc_id % 40 = 0")).select(
         (F.col("doc_id") + 5000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 3, 5)).alias("text"),

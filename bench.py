@@ -1421,8 +1421,13 @@ def _write_bench_md(result: dict) -> None:
         "",
         rep_line,
         "",
-        f"**Scaling efficiency (N -> 4N): {s['efficiency']}** (target >= 0.8;",
-        "efficiency = (sec_N / sec_4N) / 4). The two levels are INTERLEAVED",
+        f"**Scaling efficiency (N -> 4N): {s['efficiency']}** (target >= 0.8",
+        "on the overall min-of-reps ratio; efficiency = (sec_N / sec_4N) / 4).",
+        "Individual rep pairs are published as a DISTRIBUTION (min/median/max",
+        "above), not held to a per-rep floor — on a phase-drifting shared host",
+        "a single rep below 0.8 (or above 1.0) is host noise landing on one",
+        "side of a pair; the regression signal is the MAX moving down.",
+        "The two levels are INTERLEAVED",
         f"({SCALE_REPS} alternating rep pairs, per-stage minimum per level,",
         "1/10-size warm-up per session) — this shared host drifts in",
         "multi-minute speed phases, and block-ordered measurement let one",
@@ -1597,6 +1602,30 @@ def _write_bench_md(result: dict) -> None:
         "html_extract (new r7) is the crawl front door: parse + classify",
         "+ reassemble in ONE zero-shuffle Arrow stage over the gate's",
         "page-template fixture.",
+        "",
+        "r8 rows + rework: warc_extract is the BYTES front door (WARC",
+        "record framing + WHATWG charset sniff + decode, one Arrow stage",
+        "over the gate's multi-record blobs). corpus_admission is the",
+        "composed TEXT capstone (extract -> langid -> bigram-LM -> quality",
+        "-> PII -> exact/LSH-CC dedup -> decontaminate -> token packing,",
+        "TRAINING INCLUDED like the lm_quality row) — its wall is roughly",
+        "the sum of its stage rows plus two model fits, not a plan defect;",
+        "the langid/LM stages run the Arrow twins (property-equal to the",
+        "oracled SQL forms, ~16 s -> ~1.5 s at sf0.1 vs the gram-explode",
+        "SQL form). r8 fixed-cost rework of the r7 driver-action floor:",
+        "localCheckpoints adjacent to a materializing action are now LAZY",
+        "(image_caption_dedup base/reps before the flood probe, the",
+        "admission flag table before the packing prefix-sum, both",
+        "prefix-sum bases before their counts collect) — each eager ckpt",
+        "had been a dedicated ~0.3-0.5 s blocking job; img_admission",
+        "measured 7.6 -> ~5.6 s raw in same-session A/B. A second lever —",
+        "AQE size-based shuffle coalescing for the query session",
+        "(parallelismFirst=false + 8 MB advisory, promising 7.6 -> 5.8 in",
+        "a first block-ordered probe) — was REJECTED by a 3-pair",
+        "INTERLEAVED A/B (base min 5.59 / coalesce min 6.09 on",
+        "img_admission; 12.53 / 13.07 on corpus_admission): the apparent",
+        "gain was a host phase landing on one arm, the same failure mode",
+        "the scaling protocol interleaves against.",
         "",
         "| query | r3 sec | r5 norm | sec | normalized | norm (bus) | vs r3 | vs r5 |",
         "|---|---|---|---|---|---|---|---|",

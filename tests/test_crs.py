@@ -1038,3 +1038,114 @@ def test_reprojected_geometry_filter_omerc(spark):
     b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(
         tiles, grid, geoms_reproj).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Oblique ("double") Stereographic (round 8): EPSG method 9809,
+# EPSG:28992 Netherlands RD New, +proj=sterea literals
+# ---------------------------------------------------------------------------
+
+_RD_LIT = ("+proj=sterea +lat_0=52.156160555555556 +lon_0=5.387638888888889 "
+           "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+
+
+def test_sterea_epsg_guidance_note_worked_example():
+    """EPSG GN7-2 'Oblique Stereographic' worked example — Amersfoort /
+    RD New: 53N 6E must land on E 196105.283, N 557057.739 (published to
+    mm; reproduced to sub-mm). Implemented first, golden checked by
+    reproduction (r7 memory protocol)."""
+    from tilecloud_chain_spark.crs import _ObliqueStereographic
+
+    st = _ObliqueStereographic(
+        lat0_deg=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+        lon0_deg=5.0 + 23.0 / 60.0 + 15.500 / 3600.0,
+        k0=0.9999079, fe=155000.0, fn=463000.0,
+        a=6377397.155, f=1.0 / 299.15281)
+    e, n = st.fwd([6.0], [53.0])
+    assert e[0] == pytest.approx(196105.283, abs=2e-3)
+    assert n[0] == pytest.approx(557057.739, abs=2e-3)
+    # origin maps exactly to (FE, FN)
+    oe, on = st.fwd([5.0 + 23.0 / 60.0 + 15.5 / 3600.0],
+                    [52.0 + 9.0 / 60.0 + 22.178 / 3600.0])
+    assert oe[0] == pytest.approx(155000.0, abs=1e-6)
+    assert on[0] == pytest.approx(463000.0, abs=1e-6)
+    # literal arm reproduces the same kernel
+    x, y = crs.transform_coords("EPSG:4326", _RD_LIT, [6.0], [53.0])
+    assert x[0] == pytest.approx(e[0], abs=1e-6)
+    assert y[0] == pytest.approx(n[0], abs=1e-6)
+
+
+def test_sterea_defining_properties():
+    """Numeric checks, not remembered numbers: conformality (isotropic
+    local scale at every probe), scale == k0 at the origin, round-trip to
+    machine precision; the polar +proj=stere arm still refuses the
+    oblique aspect and points at sterea."""
+    import math
+
+    from tilecloud_chain_spark.crs import _ObliqueStereographic
+
+    st = _ObliqueStereographic(
+        lat0_deg=52.156160556, lon0_deg=5.387638889,
+        k0=0.9999079, fe=0.0, fn=0.0,
+        a=6377397.155, f=1.0 / 299.15281)
+    e2 = st.e2
+    d = 1e-6
+    for lon, lat in [(5.387638889, 52.156160556), (6.0, 53.0),
+                     (4.2, 51.2), (7.1, 53.6)]:
+        x0, y0 = st.fwd([lon], [lat])
+        xe, ye = st.fwd([lon + d], [lat])
+        xn, yn = st.fwd([lon], [lat + d])
+        p = math.radians(lat)
+        nrad = st.a / math.sqrt(1 - e2 * math.sin(p) ** 2)
+        mrad = st.a * (1 - e2) / (1 - e2 * math.sin(p) ** 2) ** 1.5
+        ge = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (
+            math.radians(d) * nrad * math.cos(p))
+        gn = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (
+            math.radians(d) * mrad)
+        assert ge == pytest.approx(gn, rel=1e-5), (lon, lat)  # conformal
+        if lat == 52.156160556:
+            assert ge == pytest.approx(0.9999079, rel=1e-6)
+        lo, la = st.inv(x0, y0)
+        assert lo[0] == pytest.approx(lon, abs=1e-9)
+        assert la[0] == pytest.approx(lat, abs=1e-9)
+    # registry round-trips through the datum shift
+    e, n = crs.transform_coords("EPSG:4326", "EPSG:28992", [5.5], [52.2])
+    lo, la = crs.transform_coords("EPSG:28992", "EPSG:4326", e, n)
+    assert lo[0] == pytest.approx(5.5, abs=1e-7)
+    assert la[0] == pytest.approx(52.2, abs=1e-7)
+    # the shift is live (~100+ m vs the shiftless literal kernel)
+    e0, n0 = crs.transform_coords("EPSG:4326", _RD_LIT, [5.5], [52.2])
+    assert 50 < abs(e[0] - e0[0]) + abs(n[0] - n0[0]) < 500
+    with pytest.raises(NotImplementedError, match="sterea"):
+        crs.transform_coords(
+            "EPSG:4326", "+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel",
+            [5.0], [52.0])
+    with pytest.raises(NotImplementedError, match="polar"):
+        crs.transform_coords(
+            "EPSG:4326", "+proj=sterea +lat_0=90 +lon_0=0 +ellps=WGS84",
+            [5.0], [80.0])
+
+
+def test_reprojected_geometry_filter_sterea(spark):
+    """Layer geometry delivered in RD New grid coordinates against the
+    Swiss grid must produce the identical filtered tile set as the
+    native-SRS geometry."""
+    from tilecloud_chain_spark.operators import filters as FL
+    from tilecloud_chain_spark.sources import enumerate as EN
+
+    grid = SWISSGRID_5
+    layer = LAYERS["polygon"]
+    native = parse_wkt(layer.geom_wkt)
+    g_rd = GE.transform_geom("EPSG:21781", "EPSG:28992", native)
+    geoms_native = GE.resolve_geoms(grid, layer, zooms=range(3))
+    geoms_reproj = GE.resolve_geoms(
+        grid, layer,
+        geom_rows=[{"wkt": _to_wkt(g_rd)}],
+        zooms=range(3), layer_srs="EPSG:28992",
+    )
+    tiles = EN.dense_tiles(spark, grid, range(3))
+    a = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(
+        tiles, grid, geoms_native).collect()}
+    b = {(r.z, r.x, r.y) for r in FL.geom_intersect_filter(
+        tiles, grid, geoms_reproj).collect()}
+    assert a == b and len(a) > 0

@@ -183,3 +183,48 @@ def test_warc_composes_into_html_extract_and_langid(spark):
         clean.select("doc_id", F.col("clean_text").alias("text")), profiles
     ).collect()[0]
     assert lang.lang_pred == "en"
+
+
+def test_warc_feeds_corpus_admission_end_to_end(spark):
+    """The full crawl front door: raw WARC bytes -> record split + charset
+    decode -> corpus_admission (extract/langid/LM/quality/PII/dedup/pack).
+    One mislabeled-charset page must survive with its accents intact."""
+    from tilecloud_chain_spark.operators import corpus as CP
+    from tilecloud_chain_spark.operators.langid import (
+        DEMO_TRAIN, train_ngram_profiles,
+    )
+    from tilecloud_chain_spark.operators.lm import train_bigram_lm
+
+    adj = "quick lazy sleepy hungry clever brave timid shiny".split()
+    recs = []
+    for i in range(12):
+        body = (f"the {adj[i % 8]} fox number {i} jumps over a "
+                f"{adj[(i * 3) % 8]} dog near café {(i * 5) % 19} and "
+                f"rests beside stone {(i * 7) % 23} until dusk falls")
+        page = f"<html><body><p>{body}</p></body></html>"
+        # every 3rd page: genuine UTF-8 mislabeled as windows-1252
+        ct = ("text/html; charset=windows-1252" if i % 3 == 0
+              else "text/html; charset=utf-8")
+        recs.append(_record(page.encode("utf-8"), ct=ct,
+                            uri=f"https://e/{i}"))
+    blob = b"".join(recs)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "warc_id long, warc binary")
+    pages = W.warc_extract(df).select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "html", "encoding_used",
+    )
+    assert pages.filter("encoding_used = 'utf-8'").count() == 12  # rescued
+    profiles = train_ngram_profiles(
+        spark.createDataFrame(DEMO_TRAIN, "lang string, text string"))
+    ext = CP.extract_stage(pages)
+    lm_model = train_bigram_lm(ext.select(F.col("clean_text").alias("text")))
+    out = CP.corpus_admission(
+        pages.select("doc_id", "html"), profiles, lm_model,
+        lm_threshold_micro=-6_000_000, chunk_tokens=32)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 12
+    assert all(r.lang_pred == "en" for r in rows.values())
+    adm = [r for r in rows.values() if r.admitted]
+    assert adm and all(r.chunk_first is not None for r in adm)

@@ -50,6 +50,13 @@ are implemented from their published definitions:
   conformality / scale-at-centre / variant-relation checks. The two-point
   form, ``alpha=+/-90`` (Hungarian EOV), and equatorial/polar centres are
   refused loudly.
+- **Oblique ("double") Stereographic (r8): EPSG:28992 (Amersfoort / RD
+  New) and arbitrary ``+proj=sterea`` literals** — EPSG method 9809,
+  GN7-2 equations (conformal sphere + spherical stereographic), pinned
+  against the Amersfoort worked example (sub-mm) plus numeric
+  conformality / scale-at-origin checks; inverse Newton-refined against
+  the exact forward. ``+proj=stere`` with an oblique latitude still
+  refuses loudly and points here (stere != sterea in PROJ semantics).
 
 Accuracy evidence (no pyproj in this environment): (a) the reference's OWN
 pinned PostGIS ``ST_Transform(…, 21781)`` coordinates (proj-computed,
@@ -685,6 +692,128 @@ class _HotineObliqueMercator:
         return lam * _R2D, phi * _R2D
 
 
+class _ObliqueStereographic:
+    """Ellipsoidal Oblique (and equatorial) Stereographic, EPSG method
+    9809 — the "double stereographic": conformal mapping ellipsoid ->
+    conformal sphere -> stereographic plane, equations per EPSG Guidance
+    Note 7-2 (public). The projection behind Netherlands RD New
+    (EPSG:28992, ``+proj=sterea``).
+
+    Correctness is pinned three independent ways in tests: the GN7-2
+    Amersfoort / RD New worked example, NUMERIC conformality (isotropic
+    local scale at every probe; scale == k0 at the origin), and fwd∘inv
+    round-trip to machine precision (the inverse refines the GN7-2
+    first-approximation with Newton steps against the exact forward,
+    the module's established pattern)."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float, k0: float,
+                 fe: float, fn: float,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.fe, self.fn, self.k0 = a, fe, fn, k0
+        self.e2 = _e2(f)
+        self.e = float(np.sqrt(self.e2))
+        if abs(lat0_deg) >= 90.0 - 1e-9:
+            raise NotImplementedError(
+                "oblique stereographic with a polar origin is the polar "
+                "variant — use +proj=stere (EPSG method 9810)"
+            )
+        phi0 = lat0_deg * _D2R
+        self.lam0 = lon0_deg * _D2R
+        e, e2 = self.e, self.e2
+        s0 = np.sin(phi0)
+        rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 ** 2) ** 1.5
+        nu0 = a / np.sqrt(1.0 - e2 * s0 ** 2)
+        self.R = float(np.sqrt(rho0 * nu0))
+        self.n = float(np.sqrt(1.0 + e2 * np.cos(phi0) ** 4 / (1.0 - e2)))
+        S1 = (1.0 + s0) / (1.0 - s0)
+        S2 = (1.0 - e * s0) / (1.0 + e * s0)
+        w1 = (S1 * S2 ** e) ** self.n
+        sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+        self.c = float(
+            (self.n + s0) * (1.0 - sin_chi00)
+            / ((self.n - s0) * (1.0 + sin_chi00))
+        )
+        w2 = self.c * w1
+        self.chi0 = float(np.arcsin((w2 - 1.0) / (w2 + 1.0)))
+
+    def _chi_lam(self, lon_deg, lat_deg):
+        """(chi, Lambda) on the conformal sphere."""
+        phi = np.asarray(lat_deg, dtype=np.float64) * _D2R
+        lam = np.asarray(lon_deg, dtype=np.float64) * _D2R
+        e = self.e
+        sp = np.sin(phi)
+        Sa = (1.0 + sp) / (1.0 - sp)
+        Sb = (1.0 - e * sp) / (1.0 + e * sp)
+        w = self.c * (Sa * Sb ** e) ** self.n
+        chi = np.arcsin((w - 1.0) / (w + 1.0))
+        return chi, self.n * (lam - self.lam0) + self.lam0
+
+    def fwd(self, lon_deg, lat_deg):
+        chi, Lam = self._chi_lam(lon_deg, lat_deg)
+        dl = Lam - self.lam0
+        B = (1.0 + np.sin(chi) * np.sin(self.chi0)
+             + np.cos(chi) * np.cos(self.chi0) * np.cos(dl))
+        t = 2.0 * self.R * self.k0 / B
+        return (
+            self.fe + t * np.cos(chi) * np.sin(dl),
+            self.fn + t * (np.sin(chi) * np.cos(self.chi0)
+                           - np.cos(chi) * np.sin(self.chi0) * np.cos(dl)),
+        )
+
+    def inv(self, e_, n_):
+        x = np.asarray(e_, dtype=np.float64) - self.fe
+        y = np.asarray(n_, dtype=np.float64) - self.fn
+        # exact spherical stereographic inverse on the conformal sphere
+        rho = np.hypot(x, y)
+        tc = 2.0 * np.arctan2(rho, 2.0 * self.R * self.k0)
+        with np.errstate(invalid="ignore"):
+            chi = np.where(
+                rho == 0.0, self.chi0,
+                np.arcsin(np.cos(tc) * np.sin(self.chi0)
+                          + (y / np.where(rho == 0.0, 1.0, rho))
+                          * np.sin(tc) * np.cos(self.chi0)),
+            )
+            dl = np.arctan2(
+                x * np.sin(tc),
+                rho * np.cos(self.chi0) * np.cos(tc)
+                - y * np.sin(self.chi0) * np.sin(tc),
+            )
+        lam = (dl + self.lam0 - self.lam0) / self.n + self.lam0
+        # sphere chi -> geodetic phi: first approximation + GN7-2 psi
+        # iteration (isometric-latitude Newton, float64 fixed point)
+        e = self.e
+        psi = 0.5 * np.log(
+            (1.0 + np.sin(chi)) / (self.c * (1.0 - np.sin(chi)))
+        ) / self.n
+        phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+        for _ in range(6):
+            sp = np.sin(phi)
+            psi_i = np.log(
+                np.tan(phi / 2.0 + np.pi / 4.0)
+                * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0)
+            )
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e * e * sp ** 2) / (
+                1.0 - e * e
+            )
+        # two residual Newton steps through the exact forward (module
+        # pattern): kills the conformal-sphere longitude approximation
+        lon_deg = lam * _R2D
+        lat_deg = phi * _R2D
+        e2 = self.e2
+        for _ in range(2):
+            gx, gy = self.fwd(lon_deg, lat_deg)
+            p = np.asarray(lat_deg, dtype=np.float64) * _D2R
+            sp2 = np.sin(p) ** 2
+            nrad = self.a / np.sqrt(1.0 - e2 * sp2)
+            mrad = self.a * (1.0 - e2) / (1.0 - e2 * sp2) ** 1.5
+            k = self.k0  # local scale ~ k0 near the origin; Newton-safe
+            lon_deg = lon_deg - (gx - np.asarray(e_, dtype=np.float64)) \
+                / (k * nrad * np.cos(p)) * _R2D
+            lat_deg = lat_deg - (gy - np.asarray(n_, dtype=np.float64)) \
+                / (k * mrad) * _R2D
+        return lon_deg, lat_deg
+
+
 class _PolarStereographic:
     """Ellipsoidal Polar Stereographic (EPSG method 9810), variant A
     (``+k_0`` at the pole — UPS) and variant B (``+lat_ts`` standard
@@ -1068,6 +1197,22 @@ def _datum_wrapped(proj, a: float, f: float, shift):
     return fwd, inv
 
 
+# Amersfoort / RD New (EPSG:28992) — the Netherlands national grid,
+# Oblique ("double") Stereographic EPSG method 9809, THE GN7-2 worked
+# example: origin 52deg09'22.178"N 5deg23'15.500"E, k0 0.9999079,
+# FE/FN 155000/463000 on Bessel 1841. Datum: the published legacy PROJ
+# 3-param shift (565.417, 50.3319, 465.552).
+_RD_NEW = _ObliqueStereographic(
+    lat0_deg=52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+    lon0_deg=5.0 + 23.0 / 60.0 + 15.500 / 3600.0,
+    k0=0.9999079, fe=155000.0, fn=463000.0,
+    a=BESSEL_A, f=BESSEL_F,
+)
+_REGISTRY["EPSG:28992"] = _datum_wrapped(
+    _RD_NEW, BESSEL_A, BESSEL_F, np.array([565.417, 50.3319, 465.552])
+)
+
+
 # Timbalai 1948 / RSO Borneo (m) (EPSG:29873) — Hotine Oblique Mercator
 # variant B (EPSG method 9815), THE GN7-2 worked example: projection
 # centre (4N, 115E), initial-line azimuth 53deg18'56.9537", rectified-grid
@@ -1083,6 +1228,34 @@ _RSO_BORNEO = _HotineObliqueMercator(
 _REGISTRY["EPSG:29873"] = _datum_wrapped(
     _RSO_BORNEO, 6377298.556, 1.0 / 300.8017, np.array([-679.0, 669.0, -48.0])
 )
+
+
+def _register_sterea(toks: dict) -> str:
+    """Arbitrary ``+proj=sterea`` literal (Oblique/double Stereographic,
+    EPSG method 9809 — Netherlands RD New family). Same refuse-loudly
+    token policy and 3-param datum wrapping as the other arms; kernel
+    pinned against the GN7-2 Amersfoort worked example plus numeric
+    conformality checks."""
+    key = "PROJ4:" + ",".join(
+        f"{k}={toks[k]}" for k in sorted(toks) if k != "no_defs"
+    )
+    if key in _REGISTRY:
+        return key
+    _require_known_tokens(
+        toks,
+        _ELLIPSOID_TOKENS | {"lat_0", "lon_0", "k", "k_0", "x_0", "y_0"},
+    )
+    a, f = _ellipsoid_from_tokens(toks)
+    st = _ObliqueStereographic(
+        lat0_deg=float(toks.get("lat_0", 0.0)),
+        lon0_deg=float(toks.get("lon_0", 0.0)),
+        k0=float(toks.get("k", toks.get("k_0", 1.0))),
+        fe=float(toks.get("x_0", 0.0)),
+        fn=float(toks.get("y_0", 0.0)),
+        a=a, f=f,
+    )
+    _REGISTRY[key] = _datum_wrapped(st, a, f, _towgs84(toks))
+    return key
 
 
 def _register_omerc(toks: dict) -> str:
@@ -1272,8 +1445,10 @@ def _register_stere(toks: dict) -> str:
     if abs(lat0) != 90.0:
         raise NotImplementedError(
             "+proj=stere is implemented for the POLAR aspect only "
-            "(+lat_0=90 or +lat_0=-90); oblique stereographic (EPSG method "
-            "9809) is not implemented"
+            "(+lat_0=90 or +lat_0=-90); for the oblique/double "
+            "stereographic (EPSG method 9809, Netherlands RD) use "
+            "+proj=sterea — note stere and sterea are DIFFERENT oblique "
+            "projections (PROJ semantics), so refusing here is correct"
         )
     a, f = _ellipsoid_from_tokens(toks)
     k0 = toks.get("k", toks.get("k_0"))
@@ -1406,6 +1581,8 @@ def _parse_proj4(literal: str) -> str | None:
         return _register_somerc(toks)
     if proj == "omerc":
         return _register_omerc(toks)
+    if proj == "sterea":
+        return _register_sterea(toks)
     if proj == "utm" and toks.get("zone", "").isdigit():
         _require_known_tokens(toks, frozenset({"proj", "zone", "south", "ellps"}))
         if toks.get("ellps", "WGS84") != "WGS84":

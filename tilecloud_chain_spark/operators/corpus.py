@@ -28,7 +28,7 @@ from tilecloud_chain_spark.operators import dedup as DD
 from tilecloud_chain_spark.operators import lm as LM
 from tilecloud_chain_spark.operators import text as TX
 from tilecloud_chain_spark.operators.html import html_extract
-from tilecloud_chain_spark.operators.langid import langid_ngram
+from tilecloud_chain_spark.operators.langid import langid_ngram_udf
 
 
 def extract_stage(
@@ -60,8 +60,14 @@ def redact_stage(extracted: DataFrame) -> DataFrame:
 
 
 def lang_stage(extracted: DataFrame, profiles: DataFrame) -> DataFrame:
-    """(doc_id, lang_pred, lang_score) over the extracted clean text."""
-    return langid_ngram(
+    """(doc_id, lang_pred, lang_score) over the extracted clean text.
+
+    Runs the Arrow SCALE twin (broadcast profile dict, no gram explode,
+    no shuffle) — property-tested identical to the SQL-expressible
+    ``langid_ngram``, so the composed DuckDB oracle (which recomputes the
+    SQL form) still matches hash-exactly. At sf0.1 the SQL form's gram
+    explode + profile join costs ~16 s against the twin's ~1 s."""
+    return langid_ngram_udf(
         extracted.select("doc_id", F.col("clean_text").alias("text")),
         profiles,
     ).select("doc_id", "lang_pred", F.col("score").alias("lang_score"))
@@ -73,8 +79,10 @@ def lm_stage(
     prefix_backoff: DataFrame,
     keep_threshold_micro: int = LM.KEEP_THRESHOLD_MICRO,
 ) -> DataFrame:
-    """(doc_id, lm_keep) — perplexity gate over the extracted clean text."""
-    return LM.lm_score(
+    """(doc_id, lm_keep) — perplexity gate over the extracted clean text
+    (Arrow scale twin: broadcast weight dicts, no bigram explode —
+    property-tested identical to ``lm_score``, oracle-compatible)."""
+    return LM.lm_score_udf(
         extracted.select("doc_id", F.col("clean_text").alias("text")),
         bigram_weights, prefix_backoff,
         keep_threshold_micro=keep_threshold_micro,
