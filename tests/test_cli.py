@@ -380,3 +380,77 @@ def test_cli_curate_corpus_runs_and_resumes(spark, tmp_path, capsys):
                   for r in spark.read.parquet(out).collect()) == got
     assert store.lineage(job, "extract").agg(
         F.sum("wall_ms")).collect()[0][0] == wall_before
+
+
+def test_cli_curate_corpus_warc_input_and_stopwords(spark, tmp_path, capsys):
+    """--warc feeds raw WARC blobs through the bytes-first front door
+    (record split + charset sniff) before the staged plan; --stopwords
+    enables the jusText density rule (recorded in the job marker, so a
+    resume with a different value is refused)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    adj = "quick lazy sleepy hungry clever brave timid shiny".split()
+
+    def record(payload: bytes, uri: str) -> bytes:
+        block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                 b"charset=utf-8\r\n\r\n" + payload)
+        return (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                + uri.encode() + b"\r\nContent-Length: "
+                + str(len(block)).encode() + b"\r\n\r\n" + block + b"\r\n\r\n")
+
+    recs = []
+    for i in range(16):
+        body = (f"this is the {adj[i % 8]} fox number {i} and it jumps "
+                f"over a {adj[(i * 3) % 8]} dog near gate {(i * 5) % 19} "
+                f"while the sun sets beyond stone {(i * 7) % 23}")
+        page = f"<html><body><p>{body}</p></body></html>"
+        recs.append(record(page.encode(), f"https://e/{i}"))
+    warc_path = str(tmp_path / "warc")
+    spark.createDataFrame(
+        [(0, bytearray(b"".join(recs[:8]))), (1, bytearray(b"".join(recs[8:])))],
+        "warc_id long, warc binary",
+    ).write.parquet(warc_path)
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    from tilecloud_chain_spark import cli
+
+    argv = [
+        "curate-corpus", "--warc", warc_path, "--checkpoint", ckpt,
+        "--out", out, "--lm-threshold-micro", "-6000000",
+        "--chunk-tokens", "32", "--stopwords", "en",
+        "--cores", os.environ.get("TEST_SPARK_CPUS", "8"),
+    ]
+    assert cli.main(argv) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    job = line.split()[1].rstrip(":")
+    adm = spark.read.parquet(out)
+    assert adm.count() == 16
+    # stopword rule keeps the prose ('this is the ... and ... over a ...')
+    assert adm.filter("admitted").count() > 0
+    # marker records the stopword language: resuming with a different
+    # value is refused
+    from tilecloud_chain_spark.checkpoint import CheckpointStore
+    from tilecloud_chain_spark.operators import corpus as CP
+    from tilecloud_chain_spark.operators.langid import (
+        DEMO_TRAIN, train_ngram_profiles,
+    )
+    from tilecloud_chain_spark.operators.lm import train_bigram_lm
+    from tilecloud_chain_spark.plans.corpus import curate_corpus
+
+    store = CheckpointStore(spark, ckpt)
+    assert '"stopwords_lang": "en"' in store.job(job)["command"]
+    from tilecloud_chain_spark.operators.warc import warc_extract
+
+    pages = warc_extract(spark.read.parquet(warc_path)).select(
+        (F.col("warc_id") * F.lit(1_000_000).cast("long")
+         + F.col("record_idx")).alias("doc_id"), "html")
+    profiles = train_ngram_profiles(
+        spark.createDataFrame(DEMO_TRAIN, "lang string, text string"))
+    lm_model = train_bigram_lm(CP.extract_stage(
+        pages.filter("doc_id % 7 = 0"), stopwords="en"
+    ).select(F.col("clean_text").alias("text")))
+    with _pytest.raises(ValueError, match="different parameters"):
+        curate_corpus(spark, pages, store, profiles, lm_model,
+                      lm_threshold_micro=-6_000_000, chunk_tokens=32,
+                      stopwords_lang=None, job_id=job)

@@ -371,7 +371,19 @@ def cmd_curate_corpus(args) -> int:
 
     spark, owned = _spark(args)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(args.pages)
+    if args.warc:
+        # bytes-first ingestion: WARC blobs -> record split + charset
+        # sniff -> decoded html pages keyed by a dense record id
+        from tilecloud_chain_spark.operators.warc import warc_extract
+
+        recs = warc_extract(spark.read.parquet(args.warc))
+        pages = recs.filter(F.col("warc_type") == "response").select(
+            (F.col("warc_id") * F.lit(1_000_000).cast("long")
+             + F.col("record_idx")).alias("doc_id"),
+            "html",
+        )
+    else:
+        pages = spark.read.parquet(args.pages)
     train = (
         spark.read.parquet(args.langid_train)
         if args.langid_train
@@ -393,6 +405,7 @@ def cmd_curate_corpus(args) -> int:
         lm_threshold_micro=args.lm_threshold_micro,
         near_threshold=args.near_threshold,
         chunk_tokens=args.chunk_tokens,
+        stopwords_lang=args.stopwords,
         job_id=args.job_id,
     )
     adm = admission_table(store, job)
@@ -521,8 +534,11 @@ def main(argv=None) -> int:
     cu.set_defaults(fn=cmd_curate_images)
 
     cc = sub.add_parser("curate-corpus")
-    cc.add_argument("--pages", required=True,
+    cc.add_argument("--pages", default=None,
                     help="parquet of (doc_id, html)")
+    cc.add_argument("--warc", default=None,
+                    help="parquet of (warc_id, warc BINARY) raw WARC blobs "
+                         "— the bytes-first alternative to --pages")
     cc.add_argument("--checkpoint", required=True)
     cc.add_argument("--eval", default=None,
                     help="parquet of (doc_id, text) benchmark excerpts "
@@ -538,6 +554,9 @@ def main(argv=None) -> int:
     cc.add_argument("--lm-threshold-micro", type=int, default=-9_000_000)
     cc.add_argument("--near-threshold", type=float, default=0.5)
     cc.add_argument("--chunk-tokens", type=int, default=2048)
+    cc.add_argument("--stopwords", default=None,
+                    help="language code enabling the jusText stopword-"
+                         "density keep rule (e.g. en)")
     cc.add_argument("--cores", type=int, default=None)
     cc.set_defaults(fn=cmd_curate_corpus)
 

@@ -58,6 +58,7 @@ def curate_corpus(
     chunk_tokens: int = 2048,
     max_link_density: float = 0.4,
     min_block_chars: int = 25,
+    stopwords_lang: str | None = None,
     job_id: str | None = None,
 ) -> str:
     """Run (or resume) the staged corpus-admission pipeline; returns
@@ -79,6 +80,7 @@ def curate_corpus(
         "chunk_tokens": int(chunk_tokens),
         "max_link_density": float(max_link_density),
         "min_block_chars": int(min_block_chars),
+        "stopwords_lang": stopwords_lang,
         "has_eval": eval_df is not None,
     }, sort_keys=True)
     command = f"curate_corpus {params}"
@@ -99,6 +101,10 @@ def curate_corpus(
         return CP.extract_stage(
             pages, max_link_density=max_link_density,
             min_block_chars=min_block_chars,
+            # jusText stopword-density rule, keyed by LANGUAGE CODE so the
+            # job marker stays a stable string (a raw set would not
+            # round-trip through the params JSON)
+            stopwords=stopwords_lang,
         ).withColumn("cell", F.col("doc_id"))
 
     store.run_stage(job_id, "extract", _Z, _extract)
