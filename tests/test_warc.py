@@ -228,3 +228,63 @@ def test_warc_feeds_corpus_admission_end_to_end(spark):
     assert all(r.lang_pred == "en" for r in rows.values())
     adm = [r for r in rows.values() if r.admitted]
     assert adm and all(r.chunk_first is not None for r in adm)
+
+
+# -- property: framing round-trip ---------------------------------------------
+
+def test_split_roundtrip_property():
+    """Hypothesis: ANY payload bytes (including embedded 'WARC/1.0' magic,
+    CRLFs, and high bytes) survive build -> split exactly, for any record
+    count and any mix of response/non-response records."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.binary(min_size=0, max_size=400)
+    evil = st.sampled_from([
+        b"WARC/1.0\r\n", b"\r\n\r\nWARC/", b"Content-Length: 0\r\n\r\n",
+        b"\nWARC/1.0\nContent-Length: 9\n\n", b"\x00\xff\xfe",
+    ])
+    record_payload = st.tuples(payloads, st.lists(evil, max_size=2)).map(
+        lambda t: t[0] + b"".join(t[1])
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.tuples(record_payload, st.booleans()), min_size=1, max_size=6))
+    def run(recs):
+        buf = b"".join(
+            _record(p, uri=f"https://e/{i}",
+                    warc_type="response" if is_resp else "metadata")
+            for i, (p, is_resp) in enumerate(recs)
+        )
+        got = W.split_warc_records(buf)
+        assert len(got) == len(recs)
+        for i, ((p, is_resp), r) in enumerate(zip(recs, got)):
+            assert r["target_uri"] == f"https://e/{i}"
+            assert r["payload"] == p, (i, p, r["payload"])
+            assert not r["truncated"]
+            assert r["warc_type"] == ("response" if is_resp else "metadata")
+
+    run()
+
+
+def test_sniff_ascii_invariant_property():
+    """Hypothesis: pure-ASCII payloads decode to the identical text under
+    EVERY single-byte charset declaration (ASCII is the shared subset) —
+    the invariant that makes the gate's ASCII document fixture safe."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=200)
+
+    @settings(max_examples=40, deadline=None)
+    @given(ascii_text, st.sampled_from(
+        [None, "utf-8", "windows-1252", "iso-8859-1", "windows-1250",
+         "koi8-r", "ascii"]))
+    def run(text, declared):
+        d, used, out = W.decode_payload(text.encode("ascii"), declared)
+        assert out == text
+
+    run()
