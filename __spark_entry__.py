@@ -1089,6 +1089,25 @@ def q_lm3_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm3_score(docs, tw, bw, pw, keep_threshold_micro=-4_200_000)
 
 
+def q_lm_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (operators/lm.py:lm_perplexity_buckets,
+    r8): rank every scoreable document by mean per-bigram log-prob under
+    the doc_id%7 reference model (doc_id tiebreak) and cut equal-size
+    head/middle/tail tertiles by integer rank arithmetic (rank *
+    n_buckets DIV n — exact cross-engine, unlike interpolated percentile
+    thresholds); <2-token docs bucket NULL. The Spark side ranks with the
+    distributed prefix-sum (range repartition + per-partition offsets),
+    the oracle with the global-window row_number — different formulation,
+    identical math (the token_chunks precedent)."""
+    from tilecloud_chain_spark.operators.lm import (
+        lm_perplexity_buckets, train_bigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bw, pw = train_bigram_lm(docs.filter(F.expr("doc_id % 7 = 0")))
+    return lm_perplexity_buckets(docs, bw, pw)
+
+
 def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (operators/html.py, r7): each document is
     wrapped in a crawl-shaped page — head with title+script payload, a
@@ -1682,13 +1701,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_docs": q_quality_score_docs,
         "lm_quality_docs": q_lm_quality_docs,
         "lm3_quality_docs": q_lm3_quality_docs,
+        "lm_buckets_docs": q_lm_buckets_docs,
         "corpus_admission": q_corpus_admission,
         "corpus_admission_staged": q_corpus_admission_staged,
         "substring_dedup_docs": q_substring_dedup_docs,
         "semantic_dedup_docs": q_semantic_dedup_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "decontaminate_docs": q_decontaminate_docs,
-        "sparse_metatiles": q_sparse_metatiles,
         "multi_grid_identifiers": q_multi_grid_identifiers,
         "image_pipeline_stored": q_image_pipeline_stored,
         "simhash_pairs": q_simhash_pairs,
@@ -1722,6 +1741,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROTATED IN per policy (the three oldest outside entries):
         # top_events_per_user, pricing_summary, orders_rollup (pure SQL,
         # driver-gate evidence aging since r1).
+        # Late-r8: lm_buckets_docs (new, operators/lm.py) enters the
+        # window; sparse_metatiles (enumerate.py untouched, r7-gate
+        # green) moves just below it to keep the window at 50.
+        "sparse_metatiles": q_sparse_metatiles,
         # ROTATED OUT to make room, all r7-driver-gate green with modules
         # untouched this round: ivf_topk, ann_topk, quantize_embeddings
         # (similarity cosine/IVF/quantize paths — no dedup/CC dependency),
@@ -3348,6 +3371,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lp_micro, n_bigrams, avg_logprob, keep FROM lm_out
     """
 
+    # CCNet perplexity bucketing: rank by avg desc (doc_id tiebreak) over
+    # scoreable docs, bucket = rank0 * 3 // n (exact integer tertiles);
+    # unscoreable docs NULL. Same lm retrain CTEs.
+    lm_buckets_docs = f"""
+        WITH {_lm_cte_sql('documents', -3_480_000)},
+        r AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+                   - 1 AS rk
+          FROM lm_out WHERE n_bigrams > 0
+        ),
+        nn AS (SELECT count(*) AS c FROM r)
+        SELECT l.doc_id, l.lp_micro, l.n_bigrams, l.avg_logprob,
+               CASE WHEN l.n_bigrams = 0 THEN NULL
+                    WHEN (r.rk * 3) // nn.c = 0 THEN 'head'
+                    WHEN (r.rk * 3) // nn.c = 1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lm_out l LEFT JOIN r USING (doc_id) CROSS JOIN nn
+    """
+
     # trigram-LM filter with stupid backoff (r8): the bigram oracle's CTEs
     # plus the trigram level — prefix counts over (w1,w2), add-one trigram
     # weights, and the three-level coalesce chain with the pinned
@@ -3929,6 +3972,7 @@ def oracle_sql() -> dict[str, str]:
         "image_caption_dedup": image_caption_dedup,
         "lm_quality_docs": lm_quality_docs,
         "lm3_quality_docs": lm3_quality_docs,
+        "lm_buckets_docs": lm_buckets_docs,
         "corpus_admission": _corpus_admission_sql(),
         "corpus_admission_staged": _corpus_admission_sql(),
         "html_extract_docs": html_extract_docs,

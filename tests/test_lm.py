@@ -202,3 +202,39 @@ def test_trigram_separates_common_word_spam(spark):
     assert gap2 < 0.0, (b2, "bigram model cannot see pair-chained spam")
     assert gap3 > 0.6, (b3, "trigram model must separate pair-chained spam")
     assert gap3 > gap2 + 0.5
+
+
+def test_perplexity_buckets(spark):
+    """CCNet head/middle/tail bucketing: equal-size rank tertiles over
+    the scoreable docs, best-avg docs in 'head', <2-token docs NULL."""
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog ran in the park",)],
+        "text string")
+    bw, pw = LM.train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),      # all observed: best
+         (1, "the dog ran in the park"),     # all observed: best
+         (2, "the cat ran on the park"),     # mixed backoff
+         (3, "the dog sat in the mat"),      # mixed backoff
+         (4, "zebra quux bogus words here"), # OOV: worst
+         (5, "plugh xyzzy frotz gnusto x"),  # OOV: worst
+         (6, "one"), (7, None)],             # unscoreable
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           LM.lm_perplexity_buckets(docs, bw, pw).collect()}
+    assert out[0].bucket == "head" and out[1].bucket == "head"
+    assert out[2].bucket == "middle" and out[3].bucket == "middle"
+    assert out[4].bucket == "tail" and out[5].bucket == "tail"
+    assert out[6].bucket is None and out[7].bucket is None
+    # equal-size property with a remainder: 7 scoreable docs -> 3/2/2
+    # (rank*3 DIV 7: ranks 0-2 head, 3-4 middle, 5-6 tail)
+    docs2 = docs.filter("doc_id < 6").unionAll(spark.createDataFrame(
+        [(10, "the cat sat in the park")], "doc_id long, text string"))
+    got = LM.lm_perplexity_buckets(docs2, bw, pw).groupBy("bucket").count()
+    sizes = {r.bucket: r["count"] for r in got.collect()}
+    assert sizes == {"head": 3, "middle": 2, "tail": 2}
+    # determinism: identical avg ties break by doc_id (docs 0 and 1 tie
+    # only if their avgs are equal; re-run must reproduce exactly)
+    a = sorted(map(tuple, LM.lm_perplexity_buckets(docs, bw, pw).collect()))
+    b = sorted(map(tuple, LM.lm_perplexity_buckets(docs, bw, pw).collect()))
+    assert a == b

@@ -443,3 +443,69 @@ def lm3_score_udf(
         f"{id_col} {id_type}, lp_micro long, n_trigrams int, "
         "avg_logprob double, keep boolean",
     )
+
+
+def lm_perplexity_buckets(
+    df: DataFrame,
+    bigram_weights: DataFrame,
+    prefix_backoff: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    miss_penalty_micro: int = MISS_PENALTY_MICRO,
+) -> DataFrame:
+    """CCNet's headline construct: bucket the corpus by reference-model
+    perplexity into equal-size tertiles — 'head' (most fluent, kept
+    outright), 'middle' (kept or sampled), 'tail' (dropped or
+    down-sampled). Output: (id_col, lp_micro, n_bigrams, avg_logprob,
+    bucket) with NULL bucket for unscoreable (<2 token) documents, which
+    CCNet excludes from the distribution.
+
+    Buckets are RANK-based (doc's rank by mean per-bigram log-prob
+    descending, doc_id tiebreak; bucket = rank * n_buckets DIV n) rather
+    than value-threshold-based: exact equal-size buckets, a total
+    deterministic order, and integer bucket arithmetic — cross-engine
+    exact, where interpolated percentile thresholds are not.
+
+    Scale shape: scoring is :func:`lm_score` (broadcast model joins); the
+    global rank uses the engine's distributed prefix-sum ranking (range
+    repartition + per-partition offsets — NEVER a single-partition global
+    window; ``image_curation._distributed_rank``), so the only full-data
+    movement is the range shuffle any global order costs."""
+    if len(labels) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {labels!r}")
+    # the ranking helper lives with the other prefix-sum users; imported
+    # in-function (module layering: image_curation must not load for
+    # plain lm_score users)
+    from tilecloud_chain_spark.operators.image_curation import (
+        _distributed_rank,
+    )
+
+    scored = lm_score(
+        df, bigram_weights, prefix_backoff,
+        id_col=id_col, text_col=text_col,
+        miss_penalty_micro=miss_penalty_micro,
+    ).localCheckpoint(eager=False)  # ranked branch + final join; the
+    # count below is the action that materializes it
+    scoreable = scored.filter(F.col("n_bigrams") > 0).withColumn(
+        "_neg_avg", -F.col("avg_logprob")
+    )
+    n = scoreable.count()
+    if n == 0:
+        return scored.select(
+            id_col, "lp_micro", "n_bigrams", "avg_logprob",
+            F.lit(None).cast("string").alias("bucket"),
+        )
+    base, rank = _distributed_rank(scoreable, [], ["_neg_avg", id_col])
+    bidx = F.expr(f"CAST((_rk * {int(n_buckets)}) DIV {int(n)} AS INT)")
+    label = F.when(bidx == 0, F.lit(labels[0]))
+    for i in range(1, n_buckets):
+        label = label.when(bidx == i, F.lit(labels[i]))
+    ranked = base.withColumn("_rk", rank.cast("long")).select(
+        F.col(id_col), label.alias("bucket")
+    )
+    return (
+        scored.join(ranked, id_col, "left")
+        .select(id_col, "lp_micro", "n_bigrams", "avg_logprob", "bucket")
+    )
