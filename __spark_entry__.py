@@ -780,31 +780,24 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH-verified jaccard>=0.5 pairs). One boolean per document,
     every stage oracled.
 
-    The near-dup stage runs the SCALE recipe — ``minhash_dedup_pairs`` with
-    exact-dup collapse and star edges (LSH banding over distinct texts only,
-    O(n) within-group edges) — never the all-pairs shingle co-occurrence
-    join; the oracle expresses the identical LSH formulation in SQL
-    (uncollapsed/expanded, which is pair-set-equivalent — signatures are
-    pure functions of text; property-tested)."""
-    from pyspark.sql.window import Window
-
+    The near-dup stage runs the SCALE recipe — the fused
+    ``dedup.dedup_keep_flags`` (one exact-collapse aggregate feeds BOTH
+    the exact flag and the rep-level LSH banding over distinct texts
+    only; CC over representative pairs, members attach by one join) —
+    never the all-pairs shingle co-occurrence join; the oracle expresses
+    the identical LSH formulation in SQL (uncollapsed/expanded, which is
+    pair-set-equivalent — signatures are pure functions of text;
+    property-tested)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     t = F.col("text")
     quality = (TX.token_count(t) >= 5) & (TX.repetition_ratio(t) <= F.lit(0.8))
-    exact_keep = F.col("doc_id") == F.min("doc_id").over(
-        Window.partitionBy(F.md5(t))
-    )
-    prs = DD.minhash_dedup_pairs(docs, threshold=0.5, exact_pairs="star")
-    cc = DD.connected_components(prs)
-    base = docs.select(
-        "doc_id", quality.alias("quality_pass"), exact_keep.alias("exact_keep")
-    )
-    out = base.join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-    near_keep = F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+    flags = DD.dedup_keep_flags(docs, threshold=0.5)
+    base = docs.select("doc_id", quality.alias("quality_pass"))
+    out = base.join(flags, "doc_id")
     return out.select(
-        "doc_id", "quality_pass", "exact_keep",
-        near_keep.alias("neardup_keep"),
-        (F.col("quality_pass") & F.col("exact_keep") & near_keep).alias("admitted"),
+        "doc_id", "quality_pass", "exact_keep", "neardup_keep",
+        (F.col("quality_pass") & F.col("exact_keep") & F.col("neardup_keep"))
+        .alias("admitted"),
     )
 
 

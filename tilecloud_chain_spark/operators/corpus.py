@@ -22,7 +22,6 @@ shuffle)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from tilecloud_chain_spark.operators import dedup as DD
 from tilecloud_chain_spark.operators import lm as LM
@@ -111,21 +110,13 @@ def dedup_stage(redacted: DataFrame, near_threshold: float = 0.5) -> DataFrame:
     """(doc_id, exact_keep, neardup_keep) over the redacted text: exact =
     min doc_id per content hash; near = min-id representative of the
     connected component over MinHash-LSH-verified jaccard pairs (collapsed
-    star-edge scale recipe, as ``clean_corpus``)."""
-    exact_keep = F.col("doc_id") == F.min("doc_id").over(
-        Window.partitionBy(F.md5(F.col("text")))
-    )
-    prs = DD.minhash_dedup_pairs(
-        redacted.select("doc_id", "text"),
-        threshold=near_threshold, exact_pairs="star",
-    )
-    cc = DD.connected_components(prs)
-    base = redacted.select("doc_id", exact_keep.alias("exact_keep"))
-    out = base.join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-    return out.select(
-        "doc_id", "exact_keep",
-        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
-        .alias("neardup_keep"),
+    star-edge scale recipe, as ``clean_corpus``). Both flags come out of
+    the fused single-collapse operator (``dedup.dedup_keep_flags`` — one
+    md5 group aggregate instead of a group aggregate PLUS a min-over-md5
+    window that re-hashed and re-shuffled every text; rep-level CC with
+    member attach, the ``dedup_clusters`` equivalence)."""
+    return DD.dedup_keep_flags(
+        redacted.select("doc_id", "text"), threshold=near_threshold,
     )
 
 

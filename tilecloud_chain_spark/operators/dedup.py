@@ -231,7 +231,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 2,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None, sig_materialized: bool = False,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs agreeing on ALL rows of any
     band become a candidate pair. Output: id_a < id_b distinct.
@@ -239,6 +239,13 @@ def lsh_candidate_pairs(
     Single explode over a band-struct array (one pass over the signature
     table) — a union of ``bands`` branches would re-evaluate the upstream
     signature computation per branch.
+
+    ``sig_materialized``: the caller guarantees ``sig`` is already
+    checkpointed/materialized (``_collapsed_rep_pairs`` pins the python
+    signature stage itself). The banding explode is then derived lazily —
+    each self-join side re-runs only the cheap JVM band projection over
+    the pinned signatures, and the dedicated banded-table checkpoint job
+    is dropped.
 
     Scale note — degenerate buckets: the self-join emits |bucket|² pairs per
     bucket, so a bucket holding B docs with IDENTICAL signatures (exact or
@@ -264,7 +271,11 @@ def lsh_candidate_pairs(
     ])
     banded = sig.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
-    ).localCheckpoint(eager=True)  # self-join below references it twice
+    )
+    if not sig_materialized:
+        # self-join below references it twice — without a pin, the (often
+        # python-stage) signature computation would run once per side
+        banded = banded.localCheckpoint(eager=True)
     if max_bucket is not None:
         widths = banded.groupBy("band", "band_hash").agg(
             F.count("*").alias("_bw")
@@ -413,21 +424,33 @@ def _collapsed_rep_pairs(
     # through the group shuffle — never the text bytes (at 10^12 rows the
     # text column dwarfs everything else); representatives pick their text
     # back up with a semi-join against the source table.
+    # LAZY pin: AQE materializes the group shuffle here; the cheap
+    # post-shuffle aggregate stage rides the first consumer's job and is
+    # stored for the others (its references — the reps semi-join build,
+    # the membership join — live in DIFFERENT jobs, so no double-compute
+    # race; eager cost a dedicated blocking job per call)
     groups = keyed.groupBy("_chash").agg(
         F.min("id").alias("rep_id"),
         F.count("*").alias("_gsz"),
-    ).localCheckpoint(eager=True)  # referenced by reps, membership, and fan-out
+    ).localCheckpoint(eager=False)  # referenced by reps, membership, fan-out
     reps = df.select(F.col(id_col), F.col(text_col)).join(
         groups.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
     )
 
-    sig = sig_fn(reps, num_hashes, k, text_col, id_col)
-    # checkpoint: the verify stage references the candidate list twice (the
-    # id-restriction semi-join and the pair join) — uncheckpointed, the band
-    # self-join would re-execute per reference
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket).localCheckpoint(
-        eager=True
-    )
+    # pin the SIGNATURE table (the python md5 stage — the expensive kernel
+    # of the whole pipeline) instead of the banded explode downstream: the
+    # band projection deriving from it is cheap JVM column math that each
+    # banding self-join side can re-run from the pinned signatures, which
+    # drops one dedicated checkpoint job per call
+    sig = sig_fn(reps, num_hashes, k, text_col, id_col).localCheckpoint(eager=True)
+    # LAZY pin for the candidate list: the verify stage references it twice
+    # (the id-restriction semi-join and the pair join) — the pin keeps the
+    # band self-join single-execution, while its final post-shuffle
+    # distinct stage rides the first verify job instead of a dedicated
+    # materialization job
+    cand = lsh_candidate_pairs(
+        sig, bands, rows_per_band, max_bucket, sig_materialized=True
+    ).localCheckpoint(eager=False)
     rep_pairs = jaccard_pairs(reps, threshold, k, text_col, id_col, candidates=cand)
     mem = keyed.join(groups.select("_chash", "rep_id"), "_chash").select("id", "rep_id")
     return rep_pairs, mem
@@ -1009,14 +1032,13 @@ _CC_MAX_ROWS_PER_PARTITION = 1 << 16
 _CC_DRIVER_FINISH_EDGES = 1 << 20
 
 
-def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
-    """Exact min-label components over a MEASURED-small edge list, as the
-    same (member -> component-min) edge shape the star loop converges to.
-    Union-find with path compression; second pass labels every root's tree
-    with the component's min id. The collect goes through Arrow
-    (``toPandas`` -> two int64 numpy arrays): at the 2^20-edge cap that is
-    ~16 MB of columnar payload instead of ~10x that in PySpark ``Row``
-    objects (r7 judge finding)."""
+def _union_find_pdf(spark, pdf, schema, empty_df) -> DataFrame:
+    """Exact min-label components over an ALREADY-COLLECTED small edge
+    frame (two int64-ish columns; duplicate and repeated edges are fine —
+    find/union are idempotent), as the same (member -> component-min)
+    edge shape the star loop converges to. Union-find with path
+    compression; second pass labels every root's tree with the
+    component's min id."""
     parent: dict = {}
 
     def find(x):
@@ -1027,7 +1049,6 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    pdf = edges.toPandas()
     us = pdf.iloc[:, 0].to_numpy()
     vs = pdf.iloc[:, 1].to_numpy()
     for u, v in zip(us.tolist(), vs.tolist()):
@@ -1043,9 +1064,15 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
         for n in ns
         if n != root
     ]
-    return spark.createDataFrame(out, schema=edges.schema) if out else (
-        edges.limit(0)
-    )
+    return spark.createDataFrame(out, schema=schema) if out else empty_df
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """:func:`_union_find_pdf` over a MEASURED-small edge DataFrame. The
+    collect goes through Arrow (``toPandas`` -> two int64 numpy arrays):
+    at the 2^20-edge cap that is ~16 MB of columnar payload instead of
+    ~10x that in PySpark ``Row`` objects (r7 judge finding)."""
+    return _union_find_pdf(spark, edges.toPandas(), edges.schema, edges.limit(0))
 
 
 def _cc_loop_partitions(n_edges: int, parallelism: int) -> int:
@@ -1101,7 +1128,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 50, reliable: bool | None = None
+    pairs: DataFrame, max_iters: int = 50, reliable: bool | None = None,
+    emit_singletons: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) ->
     (id, component) with component = min id of the component.
@@ -1131,6 +1159,16 @@ def connected_components(
     3 reps each): per-action plan depth doubles, and Catalyst analysis +
     AQE stage scheduling of the deeper plan cost more than the saved
     convergence actions; rejected.
+
+    ``emit_singletons=False`` returns ONLY the non-root rows (every node
+    whose component min is not itself); root nodes and nodes outside the
+    pair list simply have no row. Every consumer in this package
+    left-joins the result against its own node table and coalesces the
+    missing component to the node's own id — identical output, and the
+    dense path's extra work (a distinct over BOTH pair endpoints + a
+    second full reference to ``pairs``, hence its lineage checkpoint) is
+    dropped: at toy scale that is two fewer jobs per call, at 10^12 edges
+    it removes a full edge-list shuffle.
 
     ``reliable`` selects the per-round lineage-truncation mechanism:
     ``localCheckpoint`` (False — executor-block storage, the right local
@@ -1162,72 +1200,96 @@ def connected_components(
         cached.unpersist()
         return out
 
-    # materialize the INPUT once: ``pairs`` is referenced by both the edge
-    # seed and the final node list, and an un-checkpointed lineage would
-    # re-execute the whole upstream pair pipeline (LSH + verify) once per
-    # reference — measured at bench scale, that re-execution (~4.4 s) was
-    # 3x the entire CC loop (~1.6 s). LAZY (local path): the eager edge
-    # checkpoint job right below is a full pass over pairs and materializes
-    # this one in the same action — eager here would add a whole extra
-    # blocking job. (The reliable path ignores the flag: it must persist +
-    # checkpoint eagerly to avoid the write-job recompute — see _ckpt.)
-    pairs = _ckpt(pairs, eager=False)
+    # materialize the INPUT once WHEN REFERENCED TWICE: with singleton
+    # rows, ``pairs`` feeds both the edge seed and the final node list,
+    # and an un-checkpointed lineage would re-execute the whole upstream
+    # pair pipeline (LSH + verify) once per reference — measured at bench
+    # scale, that re-execution (~4.4 s) was 3x the entire CC loop
+    # (~1.6 s). LAZY (local path): the eager edge checkpoint job right
+    # below is a full pass over pairs and materializes this one in the
+    # same action — eager here would add a whole extra blocking job. (The
+    # reliable path ignores the flag: it must persist + checkpoint eagerly
+    # to avoid the write-job recompute — see _ckpt.) The sparse
+    # (``emit_singletons=False``) path references pairs exactly once —
+    # the edges checkpoint below already truncates that lineage.
+    if emit_singletons:
+        pairs = _ckpt(pairs, eager=False)
+    # NO up-front distinct: the driver union-find is insensitive to
+    # duplicate or repeated edges (find/union idempotent), and the
+    # distributed star loop dedups every round through small_star's
+    # terminal distinct — so the raw pair projection goes straight to the
+    # checkpoint and the whole-edge-list distinct exchange (a full extra
+    # shuffle at 10^12 edges, a dedicated job at toy scale) is dropped.
+    # ``n_edges`` is then an upper bound on distinct edges: the driver
+    # budget still holds (it bounds COLLECTED rows, ~16 MB/2^20 either
+    # way) and loop partition sizing only needs the order of magnitude.
     edges = _ckpt(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct(),
+        .filter(F.col("u") != F.col("v")),
         eager=False,
     )
-    # the count IS the action that materializes both lazy checkpoints (one
-    # job, not checkpoint-job + count-job), and it sizes the loop's
-    # parallelism to the DATA: post-collapse edge lists are often tiny even
-    # when the corpus is huge, and 32+ tasks per stage per round is then
-    # pure scheduling overhead (~2/3 of toy-scale CC wall). coalesce never
-    # increases partition counts, so a genuinely large edge list keeps its
-    # parallelism untouched.
-    par = pairs.sparkSession.sparkContext.defaultParallelism
-    n_edges = edges.count()
-    edges = edges.coalesce(_cc_loop_partitions(n_edges, par))
-
-    prev_fp = None
-    for _ in range(max_iters):
-        if n_edges <= _CC_DRIVER_FINISH_EDGES:
-            # bounded driver finish: the residual edge list fits in ~16 MB,
-            # and each remaining distributed round costs a data-INDEPENDENT
-            # ~0.5 s of plan analysis + stage scheduling regardless of how
-            # few edges are left (measured: a 4.7k-edge deep chain burned 6
-            # such rounds). Union-find over a measured-small list is exact,
-            # instant, and bounded — this is NOT a driver-side loop over
-            # big data: at 10^12 rows the loop above keeps running
-            # distributed rounds until the residual fits the budget, which
-            # it always eventually does (each round only shrinks the list).
-            edges = _driver_union_find(pairs.sparkSession, edges)
-            break
-        # LAZY checkpoint: the fingerprint aggregation is the round's single
-        # action and materializes the checkpoint as it runs — eager=True
-        # would pay a second full pass per round just to checkpoint
-        edges = _ckpt(
-            _small_star(_large_star(edges)).coalesce(
-                _cc_loop_partitions(n_edges, par)
-            ),
-            eager=False,
-        )
-        fp = edges.agg(
-            F.count("*").alias("n"),
-            F.sum(F.hash("u", "v").cast("long")).alias("h"),
-        ).collect()[0]
-        n_edges = fp["n"]
-        cur_fp = (fp["n"], fp["h"])
-        if cur_fp == prev_fp:
-            break
-        prev_fp = cur_fp
+    # ONE probe action both DECIDES the driver finish and FETCHES its
+    # edges: ``limit(cap + 1).toPandas()`` (Arrow). When the list fits the
+    # budget the limit scanned everything — the count-then-collect pair of
+    # actions this replaces paid the whole edge pass twice at toy scale.
+    # When it does not fit, CollectLimit's incremental partition scan
+    # stopped after a handful of partitions (a cheap probe even at 10^12
+    # edges) and the count below sizes the loop as before, materializing
+    # the checkpoints in the same job.
+    spark = pairs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    probe = edges.limit(_CC_DRIVER_FINISH_EDGES + 1).toPandas()
+    if len(probe) <= _CC_DRIVER_FINISH_EDGES:
+        # bounded driver finish: the edge list fits in ~16 MB, and every
+        # distributed round costs a data-INDEPENDENT ~0.5 s of plan
+        # analysis + stage scheduling regardless of how few edges there
+        # are. Union-find over a measured-small list is exact, instant,
+        # and bounded — NOT a driver-side loop over big data: past the
+        # budget the distributed rounds below keep running until the
+        # residual fits (each round only shrinks the list).
+        edges = _union_find_pdf(spark, probe, edges.schema, edges.limit(0))
     else:
-        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+        n_edges = edges.count()
+        edges = edges.coalesce(_cc_loop_partitions(n_edges, par))
 
+        prev_fp = None
+        for _ in range(max_iters):
+            if n_edges <= _CC_DRIVER_FINISH_EDGES:
+                # the residual now fits the same driver budget (see above;
+                # measured: a 4.7k-edge deep chain burned 6 distributed
+                # rounds before this finisher shipped)
+                edges = _driver_union_find(spark, edges)
+                break
+            # LAZY checkpoint: the fingerprint aggregation is the round's
+            # single action and materializes the checkpoint as it runs —
+            # eager=True would pay a second full pass per round just to
+            # checkpoint
+            edges = _ckpt(
+                _small_star(_large_star(edges)).coalesce(
+                    _cc_loop_partitions(n_edges, par)
+                ),
+                eager=False,
+            )
+            fp = edges.agg(
+                F.count("*").alias("n"),
+                F.sum(F.hash("u", "v").cast("long")).alias("h"),
+            ).collect()[0]
+            n_edges = fp["n"]
+            cur_fp = (fp["n"], fp["h"])
+            if cur_fp == prev_fp:
+                break
+            prev_fp = cur_fp
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
+
+    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if not emit_singletons:
+        return comp
     nodes = pairs.select(F.col("id_a").alias("id")).unionAll(
         pairs.select(F.col("id_b").alias("id"))
     ).distinct()
-    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     return (
         nodes.join(comp, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
@@ -1271,7 +1333,7 @@ def dedup_clusters(
         df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col,
         minhash_signatures_udf, None,
     )
-    cc = connected_components(rep_pairs)
+    cc = connected_components(rep_pairs, emit_singletons=False)
     # mem is one row per input row by construction (keyed ⋈ unique-per-hash
     # groups), and the input contract requires unique ids (jaccard_pairs
     # docstring) — a defensive distinct here would shuffle the ENTIRE
@@ -1283,6 +1345,52 @@ def dedup_clusters(
     return labeled.select(
         F.col("id").alias(id_col), "cluster",
         (F.col("cluster") == F.col("id")).alias("keep"),
+    )
+
+
+def dedup_keep_flags(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused exact + near dedup decision: (id_col, exact_keep,
+    neardup_keep) — ``exact_keep`` = the row is the min-id of its exact
+    (md5 content hash) duplicate group, ``neardup_keep`` = the row is the
+    min-id of its MinHash-LSH-verified (jaccard >= threshold) near-dup
+    connected component.
+
+    Semantically identical to the previous two-pass formulation (a
+    separate min-over-md5-window for exact_keep plus star-edge CC for
+    near), but both flags fall out of ONE exact-collapse aggregate: the
+    md5 group table already IS the exact-dup decision (``exact_keep`` =
+    id == group rep), and near components run at REPRESENTATIVE level
+    only with members attaching by one join — the ``dedup_clusters``
+    equivalence (reps are group minima, so the component min over reps is
+    the min over all members; property-tested there). Drops a whole
+    full-corpus shuffle (the md5 window re-hashed and re-exchanged every
+    text) and the member-level star edges from the CC input."""
+    df = _ensure_parallelism(df)
+    rep_pairs, mem = _collapsed_rep_pairs(
+        df, threshold, num_hashes, bands, rows_per_band, k, text_col, id_col,
+        minhash_signatures_udf, None,
+    )
+    cc = connected_components(rep_pairs, emit_singletons=False)
+    labeled = (
+        mem.join(cc.withColumnRenamed("id", "rep_id"), "rep_id", "left")
+        .select(
+            "id", "rep_id",
+            F.coalesce("component", F.col("rep_id")).alias("_cluster"),
+        )
+    )
+    return labeled.select(
+        F.col("id").alias(id_col),
+        (F.col("id") == F.col("rep_id")).alias("exact_keep"),
+        (F.col("_cluster") == F.col("id")).alias("neardup_keep"),
     )
 
 

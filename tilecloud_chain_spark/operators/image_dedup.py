@@ -156,7 +156,9 @@ def image_caption_dedup(
             max_bucket=caption_max_bucket,
         ).select("id_a", "id_b")
         edges = edges.unionAll(cap_near)
-    cc = connected_components(edges)
+    # sparse CC output — the left join + coalesce below supplies the
+    # singleton/root rows (identical dup_group labels, fewer jobs)
+    cc = connected_components(edges, emit_singletons=False)
     out = base.join(
         cc.withColumnRenamed("id", id_col), id_col, "left"
     )

@@ -73,8 +73,24 @@ def _bigram_pairs(text_col):
     )
 
 
+def _vocab_count_df(df: DataFrame, text_col: str) -> DataFrame:
+    """ONE-row (``_v`` bigint) reference-vocabulary size as a DataFrame, so
+    training consumes it as a broadcast crossJoin column instead of an
+    EAGER driver ``count()``: the old eager count was a dedicated full
+    tokenize+distinct job over the reference corpus per training call,
+    serialized before any weight could even be planned. As a column the
+    same distinct-count rides inside whichever job first materializes the
+    weights. Arithmetic parity: weights divide by ``c1 + V + 1`` — exact
+    integers far below 2^53, so bigint-add-then-cast equals the old
+    double-literal add bit-for-bit."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .agg(F.count_distinct("w").alias("_v"))
+    )
+
+
 def train_bigram_lm(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", vocab_df: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Train the reference model: returns (bigram_weights, prefix_backoff).
 
@@ -84,18 +100,30 @@ def train_bigram_lm(
     (c1+V+1)))``, where c1 is w1's count AS A PREFIX and V the reference
     vocabulary size. Weights come out of a Spark plan (JVM ln + HALF_UP
     round at micro precision — the same convention the DuckDB oracle
-    reproduces, hash-green since langid introduced it)."""
+    reproduces, hash-green since langid introduced it).
+
+    The corpus-sized part of the lineage — the bigram explode + count
+    aggregate — is materialized ONCE (lazy localCheckpoint: AQE executes
+    its shuffle stages here, the final stage rides the first consumer's
+    job) and BOTH outputs derive from it: previously each weight table
+    (and every ``collect()``/broadcast of it — the scale twins collect
+    both) re-ran the whole explode chain, and the vocabulary size was a
+    third full eager pass. ``vocab_df`` lets :func:`train_trigram_lm`
+    share one vocabulary subplan across its levels."""
     pairs = df.select(F.explode(_bigram_pairs(F.col(text_col))).alias("p")).select(
         "p.w1", "p.w2"
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    pref = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-        .distinct()
-        .count()
+    big = (
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
     )
-    denom = F.col("c1") + F.lit(float(v + 1))
+    vdf = vocab_df if vocab_df is not None else _vocab_count_df(df, text_col)
+    pref = (
+        big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        .crossJoin(F.broadcast(vdf))
+        .localCheckpoint(eager=False)
+    )
+    denom = F.col("c1") + F.col("_v") + F.lit(1)
     bw = big.join(pref, "w1").select(
         "w1", "w2",
         F.round(F.log((F.col("c12") + F.lit(1.0)) / denom) * F.lit(1e6))
@@ -273,22 +301,25 @@ def train_trigram_lm(
     the trigram level, same convention as the bigram model). The two
     lower levels are exactly :func:`train_bigram_lm`'s tables — the
     backoff target when a trigram is unobserved."""
-    bw, pw = train_bigram_lm(df, text_col)
+    # ONE vocabulary subplan shared by all levels (was: two separate eager
+    # full-corpus distinct counts), and the trigram count aggregate is
+    # checkpointed once like the bigram level — tw's collect/broadcast no
+    # longer re-runs the triple explode per reference
+    vdf = _vocab_count_df(df, text_col).localCheckpoint(eager=False)
+    bw, pw = train_bigram_lm(df, text_col, vocab_df=vdf)
     triples = df.select(
         F.explode(_trigram_triples(F.col(text_col))).alias("p")
     ).select("p.w1", "p.w2", "p.w3")
-    tri = triples.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
-    pre = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
-    v = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-        .distinct()
-        .count()
+    tri = (
+        triples.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+        .localCheckpoint(eager=False)
     )
-    tw = tri.join(pre, ["w1", "w2"]).select(
+    pre = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    tw = tri.join(pre, ["w1", "w2"]).crossJoin(F.broadcast(vdf)).select(
         "w1", "w2", "w3",
         F.round(
             F.log((F.col("c123") + F.lit(1.0))
-                  / (F.col("c12") + F.lit(float(v + 1)))) * F.lit(1e6)
+                  / (F.col("c12") + F.col("_v") + F.lit(1))) * F.lit(1e6)
         ).cast("long").alias("t_micro"),
     )
     return tw, bw, pw

@@ -385,7 +385,10 @@ def semantic_dedup(
     )
     from tilecloud_chain_spark.operators.dedup import connected_components
 
-    cc = connected_components(pairs)
+    # sparse CC output: every node missing from the map coalesces to its
+    # own id below — identical labels, two fewer jobs (no nodes-distinct
+    # pass, no second reference to the pair lineage)
+    cc = connected_components(pairs, emit_singletons=False)
     out = assigned.join(
         cc.withColumnRenamed("id", id_col), id_col, "left"
     )
