@@ -843,28 +843,32 @@ def _corpus_inputs(spark: SparkSession, sf_dir: str):
               "<a href='/privacy'>privacy</a></div></body></html>"),
     )
     pages = src.select("doc_id", page.alias("html"))
-    # fitted artifacts are lazily pinned: the scale twins collect each
-    # table exactly once per admission run (bw and pw otherwise re-ran
-    # the whole training explode chain per collect)
+    # fitted artifacts need no extra pinning since r9: train_bigram_lm
+    # checkpoints its count aggregates internally (both weight tables and
+    # every collect of them share one training pass), the tiny langid
+    # profile table is collected exactly once by the fused row stage, and
+    # an outer lazy localCheckpoint here would still execute each plan's
+    # shuffle stages at build time (AQE) — pure added jobs
     profiles = train_ngram_profiles(
         spark.createDataFrame(_LANGID_TRAIN, "lang string, text string")
-    ).localCheckpoint(eager=False)
+    )
     # ONE extraction pass feeds both fitted artifacts (LM training slice,
-    # decontamination eval set) — lazily checkpointed so the first train
-    # action materializes it; un-pinned, every later evaluation of the
-    # eval/model lineage re-parsed all pages (~1 s per action at sf0.1)
+    # decontamination eval set) AND the composed operator (passed back so
+    # it skips its own extraction) — lazily checkpointed so the first
+    # training action materializes it
     ext = CP.extract_stage(pages).localCheckpoint(eager=False)
     bw, pw = train_bigram_lm(
         ext.filter(F.expr("doc_id % 7 = 0"))
         .select(F.col("clean_text").alias("text")))
-    bw = bw.localCheckpoint(eager=False)
-    pw = pw.localCheckpoint(eager=False)
     red = CP.redact_stage(ext)
     eval_df = red.filter(F.expr("doc_id % 40 = 0")).select(
         (F.col("doc_id") + 5000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 3, 5)).alias("text"),
     )
-    return pages, profiles, (bw, pw), eval_df
+    # the pinned extraction is returned so the composed operator can skip
+    # a second identical Arrow pass over the pages (the staged plan
+    # deliberately re-extracts: its stage parquet IS the resume point)
+    return pages, profiles, (bw, pw), eval_df, ext
 
 
 _CORPUS_LANG_ALLOW = ("en", "fr", "sv", "it")
@@ -883,12 +887,13 @@ def q_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum — one composed oracle, every stage load-bearing."""
     from tilecloud_chain_spark.operators.corpus import corpus_admission
 
-    pages, profiles, lm_model, eval_df = _corpus_inputs(spark, sf_dir)
+    pages, profiles, lm_model, eval_df, ext = _corpus_inputs(spark, sf_dir)
     return corpus_admission(
         pages, profiles, lm_model, eval_df,
         lang_allow=_CORPUS_LANG_ALLOW,
         lm_threshold_micro=-3_480_000,
         chunk_tokens=512,
+        extracted=ext,
     )
 
 
@@ -906,7 +911,7 @@ def q_corpus_admission_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilecloud_chain_spark.checkpoint import CheckpointStore
     from tilecloud_chain_spark.plans.corpus import admission_table, curate_corpus
 
-    pages, profiles, lm_model, eval_df = _corpus_inputs(spark, sf_dir)
+    pages, profiles, lm_model, eval_df, _ext = _corpus_inputs(spark, sf_dir)
     root = os.path.join(tempfile.gettempdir(), "corpus_gate_store")
     shutil.rmtree(root, ignore_errors=True)
     store = CheckpointStore(spark, root)

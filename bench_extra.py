@@ -68,7 +68,7 @@ def probe_corpus(spark) -> None:
 
     for rep in range(2):
         print(f"-- rep {rep} --")
-        pages, profiles, (bw, pw), eval_df = p.run(
+        pages, profiles, (bw, pw), eval_df, _ext = p.run(
             "inputs:build(lazy)", lambda: E._corpus_inputs(spark, SF_DIR))
         p.run("inputs:profiles.collect", lambda: profiles.collect())
         p.run("inputs:bw.collect", lambda: bw.collect())
@@ -104,7 +104,7 @@ def probe_corpus2(spark) -> None:
 
     for rep in range(2):
         print(f"-- rep {rep} --")
-        pages, profiles, (bw, pw), eval_df = E._corpus_inputs(spark, SF_DIR)
+        pages, profiles, (bw, pw), eval_df, _ext = E._corpus_inputs(spark, SF_DIR)
         ext = CP.extract_stage(pages).localCheckpoint(eager=False)
         p.run("ext.materialize(count)", lambda: ext.count())
         sl = ext.filter(F.expr("doc_id % 7 = 0")).select(

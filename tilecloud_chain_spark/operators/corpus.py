@@ -106,6 +106,75 @@ def quality_stage(
     )
 
 
+def scored_rows_stage(
+    extracted: DataFrame,
+    langid_profiles: DataFrame,
+    lm_model: tuple[DataFrame, DataFrame],
+    *,
+    lm_threshold_micro: int = LM.KEEP_THRESHOLD_MICRO,
+    min_tokens: int = 5,
+    max_repetition: float = 0.8,
+) -> DataFrame:
+    """All ROW-LOCAL stages of the admission decision in one pass:
+    (doc_id, n_blocks_kept, lang_pred, lang_score, lm_keep, quality_keep,
+    text, n_pii) — ``text`` is the PII-redacted clean text.
+
+    The composed operator's fast path: langid and LM perplexity share ONE
+    Arrow stage (one JVM->Python->JVM round trip over the clean text
+    instead of two — the scoring closures are the exact ones the
+    individual twins build, factored single-source so they cannot
+    diverge), and redaction / PII counts / the quality floor are codegen
+    column math layered above it. Replaces three separate stage scans +
+    their four doc_id flag joins in ``compose_corpus_flags`` — per-stage
+    resumability (the staged plan) still composes the individual stage
+    helpers."""
+    import pandas as pd
+
+    from tilecloud_chain_spark.operators.langid import _profile_scorer
+    from tilecloud_chain_spark.operators.lm import _bigram_scorer
+
+    bw, pw = lm_model
+    prof_rows = langid_profiles.collect()  # bounded: langs x top_k
+    bw_rows = bw.collect()  # bounded: reference bigram vocabulary
+    pw_rows = pw.collect()
+    thr = int(lm_threshold_micro)
+
+    def run(batches):
+        lang_one = _profile_scorer(prof_rows)
+        lm_one = _bigram_scorer(bw_rows, pw_rows)
+        for pdf in batches:
+            preds, scores, keeps = [], [], []
+            for t in pdf["clean_text"]:
+                p, s = lang_one(t)
+                preds.append(p)
+                scores.append(s)
+                lp, n = lm_one(t)
+                keeps.append(True if n == 0 else lp >= thr * n)
+            out = pdf.copy()
+            out["lang_pred"] = preds
+            out["lang_score"] = pd.array(scores, dtype="float64")
+            out["lm_keep"] = pd.array(keeps, dtype="bool")
+            yield out
+
+    dt = dict(extracted.dtypes)
+    scored = extracted.select("doc_id", "n_blocks_kept", "clean_text").mapInPandas(
+        run,
+        f"doc_id {dt['doc_id']}, n_blocks_kept {dt['n_blocks_kept']}, "
+        "clean_text string, lang_pred string, lang_score double, "
+        "lm_keep boolean",
+    )
+    c = F.col("clean_text")
+    pii = TX.pii_counts(c)
+    return scored.select(
+        "doc_id", "n_blocks_kept", "lang_pred", "lang_score", "lm_keep",
+        ((TX.token_count(c) >= min_tokens)
+         & (TX.repetition_ratio(c) <= F.lit(max_repetition)))
+        .alias("quality_keep"),
+        TX.redact_pii(c).alias("text"),
+        (pii["email"] + pii["phone"] + pii["ipv4"]).cast("int").alias("n_pii"),
+    )
+
+
 def dedup_stage(redacted: DataFrame, near_threshold: float = 0.5) -> DataFrame:
     """(doc_id, exact_keep, neardup_keep) over the redacted text: exact =
     min doc_id per content hash; near = min-id representative of the
@@ -205,32 +274,70 @@ def corpus_admission(
     max_link_density: float = 0.4,
     min_block_chars: int = 25,
     stopwords=None,
+    extracted: DataFrame | None = None,
 ) -> DataFrame:
     """The single-shot composed admission decision (see module docstring).
 
     ``pages``: (doc_id, html); ``langid_profiles``: a trained
     ``train_ngram_profiles`` table; ``lm_model``: ``train_bigram_lm``'s
     (bigram_weights, prefix_backoff); ``eval_df``: optional (doc_id, text)
-    benchmark set for decontamination."""
-    bw, pw = lm_model
-    extracted = extract_stage(
-        pages, max_link_density=max_link_density,
-        min_block_chars=min_block_chars, stopwords=stopwords,
+    benchmark set for decontamination.
+
+    ``extracted``: an ALREADY-materialized ``extract_stage(pages)`` result
+    (same extraction parameters) — callers that extracted the pages once
+    to fit the LM / build the eval set pass it here so the Arrow
+    extraction pass is not run a second time over the identical input."""
+    if extracted is None:
+        extracted = extract_stage(
+            pages, max_link_density=max_link_density,
+            min_block_chars=min_block_chars, stopwords=stopwords,
+        )
+        # the one upstream Python-kernel stage — pin it so the Arrow parse
+        # doesn't re-run per downstream branch
+        extracted = extracted.localCheckpoint(eager=False)
+    # every row-local stage in one pass (one Arrow stage + codegen columns;
+    # see scored_rows_stage), pinned EAGERLY: dedup and decontamination
+    # both read it and run as concurrent jobs below — lazy, the two
+    # threads would race to materialize it and compute the Arrow stage
+    # twice
+    rows = scored_rows_stage(
+        extracted, langid_profiles, lm_model,
+        lm_threshold_micro=lm_threshold_micro,
+        min_tokens=min_tokens, max_repetition=max_repetition,
+    ).localCheckpoint(eager=True)
+    redacted = rows.select("doc_id", "text")
+    if eval_df is not None:
+        # dedup and decontamination are INDEPENDENT given the redacted
+        # text — overlap them (guide-standard concurrent driver jobs: the
+        # scheduler back-fills executors freed by one chain's stragglers
+        # with the other's tasks; actions are only sequential when driver
+        # code calls them sequentially). The decontam flag table is
+        # eagerly pinned inside its thread so its broadcast-join stages
+        # actually execute there rather than lazily inside the flags join
+        # below.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_dd = pool.submit(dedup_stage, redacted, near_threshold)
+            fut_ct = pool.submit(
+                lambda: decontam_stage(redacted, eval_df, decontam_n)
+                .localCheckpoint(eager=True)
+            )
+            dedup_flags, decontam_flags = fut_dd.result(), fut_ct.result()
+        out = rows.join(dedup_flags, "doc_id").join(decontam_flags, "doc_id")
+    else:
+        out = rows.join(dedup_stage(redacted, near_threshold), "doc_id")
+        out = out.withColumn("decontam_keep", F.lit(True))
+    lang_keep = F.col("lang_pred").isin(*lang_allow)
+    admitted = (
+        lang_keep & F.col("lm_keep") & F.col("quality_keep")
+        & F.col("exact_keep") & F.col("neardup_keep") & F.col("decontam_keep")
     )
-    # extraction is the one Python-kernel stage every branch consumes —
-    # pin it once so the Arrow pass doesn't re-run per downstream branch
-    extracted = extracted.localCheckpoint(eager=False)
-    redacted = redact_stage(extracted)
-    flags = compose_corpus_flags(
-        extracted,
-        redacted,
-        lang_stage(extracted, langid_profiles),
-        lm_stage(extracted, bw, pw, lm_threshold_micro),
-        quality_stage(extracted, min_tokens, max_repetition),
-        dedup_stage(redacted, near_threshold),
-        decontam_stage(redacted, eval_df, decontam_n)
-        if eval_df is not None else None,
-        lang_allow=lang_allow,
+    flags = out.select(
+        "doc_id", "n_blocks_kept", "lang_pred", "lang_score",
+        lang_keep.alias("lang_keep"), "lm_keep", "quality_keep", "n_pii",
+        "exact_keep", "neardup_keep", "decontam_keep",
+        admitted.alias("admitted"),
     )
     # consumed twice (pack filter + final join) — pin the narrow flag table
     flags = flags.localCheckpoint(eager=False)

@@ -188,24 +188,18 @@ def langid_ngram(
     )
 
 
-def langid_ngram_udf(
-    df: DataFrame,
-    profiles: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    miss_penalty_micro: int = MISS_PENALTY_MICRO,
-) -> DataFrame:
-    """Scale-path twin of :func:`langid_ngram`: profiles collected once
-    (bounded: langs x top_k rows) and broadcast inside an Arrow-batched
-    stage; each document is scored in one pass with NO gram explode and no
-    shuffle. Identical output (property-tested)."""
+def _profile_scorer(prof_rows, n: int = 3,
+                    miss_penalty_micro: int = MISS_PENALTY_MICRO):
+    """Build the per-text scoring closure (text -> (lang_pred, score))
+    from COLLECTED profile rows — the single source of the Arrow-twin
+    numerics, shared by :func:`langid_ngram_udf` and the fused corpus row
+    stage (``operators/corpus.py``) so the two cannot diverge. Construct
+    INSIDE the worker function (once per task) — the closure holds the
+    gram->weight-vector table."""
     import re
 
     import numpy as np
-    import pandas as pd
 
-    prof_rows = profiles.collect()  # bounded: len(langs) * top_k
     by_lang: dict[str, dict[str, int]] = {}
     for r in prof_rows:
         by_lang.setdefault(r["lang"], {})[r["gram"]] = int(r["w_micro"])
@@ -231,30 +225,52 @@ def langid_ngram_udf(
     # strip()/re \s additionally cover Unicode whitespace (U+00A0 etc.)
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
+    def score_one(t):
+        s = ws.sub(" ", (t or "").strip(" ").lower())
+        if len(s) < nn:
+            return "und", 0.0
+        n_grams = len(s) - nn + 1
+        acc = np.zeros(len(langs), dtype=np.int64)
+        found = 0
+        get = table.get
+        for i in range(n_grams):
+            vec = get(s[i : i + nn])
+            if vec is not None:
+                acc += vec
+                found += 1
+        tot = acc + pen_vec * (n_grams - found)
+        # argmax with lexicographic tiebreak == first max over the
+        # sorted language axis
+        best = int(np.argmax(tot))
+        return langs[best], _round6(int(tot[best]) / n_grams / 1e6)
+
+    return score_one
+
+
+def langid_ngram_udf(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    miss_penalty_micro: int = MISS_PENALTY_MICRO,
+) -> DataFrame:
+    """Scale-path twin of :func:`langid_ngram`: profiles collected once
+    (bounded: langs x top_k rows) and broadcast inside an Arrow-batched
+    stage; each document is scored in one pass with NO gram explode and no
+    shuffle. Identical output (property-tested)."""
+    import pandas as pd
+
+    prof_rows = profiles.collect()  # bounded: len(langs) * top_k
+
     def score(batches):
+        score_one = _profile_scorer(prof_rows, n, miss_penalty_micro)
         for pdf in batches:
             ids, preds, scores = pdf[id_col], [], []
             for t in pdf[text_col]:
-                s = ws.sub(" ", (t or "").strip(" ").lower())
-                if len(s) < nn:
-                    preds.append("und")
-                    scores.append(0.0)
-                    continue
-                n_grams = len(s) - nn + 1
-                acc = np.zeros(len(langs), dtype=np.int64)
-                found = 0
-                get = table.get
-                for i in range(n_grams):
-                    vec = get(s[i : i + nn])
-                    if vec is not None:
-                        acc += vec
-                        found += 1
-                tot = acc + pen_vec * (n_grams - found)
-                # argmax with lexicographic tiebreak == first max over the
-                # sorted language axis
-                best = int(np.argmax(tot))
-                preds.append(langs[best])
-                scores.append(_round6(int(tot[best]) / n_grams / 1e6))
+                p, s = score_one(t)
+                preds.append(p)
+                scores.append(s)
             yield pd.DataFrame({id_col: ids, "lang_pred": preds, "score": scores})
 
     id_type = dict(df.dtypes)[id_col]

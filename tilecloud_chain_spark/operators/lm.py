@@ -187,6 +187,36 @@ def lm_score(
     return out
 
 
+def _bigram_scorer(bw_rows, pw_rows, miss_penalty_micro: int = MISS_PENALTY_MICRO):
+    """Build the per-text scoring closure (text -> (lp_micro, n_bigrams))
+    from COLLECTED weight rows — the single source of the Arrow-twin
+    numerics, shared by :func:`lm_score_udf` and the fused corpus row
+    stage (``operators/corpus.py``). Construct inside the worker function
+    (once per task)."""
+    import re
+
+    # Java-regex \s parity: Spark's tokens() splits on ASCII whitespace
+    # only; Python str.split() is Unicode-wide (NBSP, U+2028, ...) and
+    # would diverge on real crawl text (same rule as quality_classify_udf).
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    bmap = {(r["w1"], r["w2"]): int(r["w_micro"]) for r in bw_rows}
+    pmap = {r["w1"]: int(r["backoff_micro"]) for r in pw_rows}
+    miss = int(miss_penalty_micro)
+
+    def score_one(t):
+        toks = [w for w in ws.split((t or "").lower()) if w]
+        lp = 0
+        n = len(toks) - 1 if len(toks) >= 2 else 0
+        for i in range(n):
+            w = bmap.get((toks[i], toks[i + 1]))
+            if w is None:
+                w = pmap.get(toks[i], miss)
+            lp += w
+        return lp, n
+
+    return score_one
+
+
 def lm_score_udf(
     df: DataFrame,
     bigram_weights: DataFrame,
@@ -201,18 +231,10 @@ def lm_score_udf(
     broadcast weight dicts — no bigram explode, no shuffle, one pass per
     document. The weight tables are reference-corpus-sized (bounded by
     its bigram vocabulary), the standard broadcast-dimension assumption."""
-    import re
-
     import pandas as pd
 
-    # Java-regex \s parity: Spark's tokens() splits on ASCII whitespace
-    # only; Python str.split() is Unicode-wide (NBSP, U+2028, ...) and
-    # would diverge on real crawl text (same rule as quality_classify_udf).
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
-    bmap = {(r["w1"], r["w2"]): int(r["w_micro"])
-            for r in bigram_weights.collect()}
-    pmap = {r["w1"]: int(r["backoff_micro"])
-            for r in prefix_backoff.collect()}
+    bw_rows = bigram_weights.collect()
+    pw_rows = prefix_backoff.collect()
     miss = int(miss_penalty_micro)
     thr = int(keep_threshold_micro)
     id_type = dict(df.dtypes)[id_col]
@@ -220,17 +242,11 @@ def lm_score_udf(
     def run(batches):
         from decimal import ROUND_HALF_UP, Decimal
 
+        score_one = _bigram_scorer(bw_rows, pw_rows, miss)
         for pdf in batches:
             lps, ns, avgs, keeps = [], [], [], []
             for t in pdf[text_col]:
-                toks = [w for w in ws.split((t or "").lower()) if w]
-                lp = 0
-                n = len(toks) - 1 if len(toks) >= 2 else 0
-                for i in range(n):
-                    w = bmap.get((toks[i], toks[i + 1]))
-                    if w is None:
-                        w = pmap.get(toks[i], miss)
-                    lp += w
+                lp, n = score_one(t)
                 lps.append(lp)
                 ns.append(n)
                 if n == 0:
