@@ -862,6 +862,7 @@ def int64_near_pairs(
     id_col: str = "id",
     materialize: bool = True,
     overfull_bucket: int = 1024,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Near-pairs by hamming distance over ANY int64 hash column — EXACT
     (same result as the brute-force popcount over all pairs). The shared
@@ -955,16 +956,21 @@ def int64_near_pairs(
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     a = blocked.select(F.col("id").alias("id_a"), F.col("h64").alias("sh_a"), *keys)
     b = blocked.select(F.col("id").alias("id_b"), F.col("h64").alias("sh_b"), *keys)
-    return (
+    out = (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham)
         .filter(F.col("hamming") <= max_hamming)
+    )
+    if distinct_pairs:
         # a pair is generated once per agreeing (group[, sub-group]) route —
         # the terminal distinct runs over TRUE pairs only (post-popcount),
-        # the problem's output size, not its candidate volume
-        .distinct()
-    )
+        # the problem's output size, not its candidate volume.
+        # ``distinct_pairs=False`` skips even that exchange for consumers
+        # that feed connected components (union-find and the star loop are
+        # insensitive to duplicate edges).
+        out = out.distinct()
+    return out
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,

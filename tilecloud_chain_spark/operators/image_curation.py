@@ -104,8 +104,12 @@ def phash_decontaminate(
     per partition by the partial aggregate. Nothing here depends on the
     contamination rate (a broadcast of the hit-id set would).
     """
+    # ONE distinct: duplicate eval phashes explode to duplicate
+    # (chunk, key, _ep) rows, which the terminal distinct already merges —
+    # a separate up-front distinct of the raw phashes was a second
+    # exchange over the same (small) eval set for nothing
     ev = blocked_keys(
-        eval_df.select(F.col(eval_phash_col).alias("_ep")).distinct(),
+        eval_df.select(F.col(eval_phash_col).alias("_ep")),
         "_ep", max_hamming, hash_out="_ep",
     ).select("chunk", "key", "_ep").distinct()
 
@@ -499,12 +503,12 @@ def image_admission(
     """
     from tilecloud_chain_spark.operators.image_dedup import image_caption_dedup
 
-    dd = image_caption_dedup(
-        imgs, dedup_hamming, id_col=id_col,
-        caption_near_threshold=caption_near_threshold,
-    ).select(
-        id_col, F.col("keep").alias("dedup_keep")
-    )
+    def _dd():
+        return image_caption_dedup(
+            imgs, dedup_hamming, id_col=id_col,
+            caption_near_threshold=caption_near_threshold,
+        ).select(id_col, F.col("keep").alias("dedup_keep"))
+
     cf = None
     if clip_pairs is not None:
         cf = clip_filter(clip_pairs, clip_threshold, id_col=id_col).select(
@@ -512,9 +516,25 @@ def image_admission(
         )
     ct = None
     if eval_df is not None:
-        ct = phash_decontaminate(
-            imgs, eval_df, decontam_hamming, id_col=id_col
-        ).select(id_col, F.col("contaminated").alias("_ct"))
+        # dedup's eager CC chain and the decontamination probe are
+        # independent given ``imgs`` (a scan-derived projection both can
+        # read concurrently) — run them as concurrent driver jobs
+        # (guide-standard back-fill overlap); the decontam flag table is
+        # eagerly pinned inside its thread so its broadcast-join stages
+        # execute there instead of serially inside the flags join
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _ct():
+            return phash_decontaminate(
+                imgs, eval_df, decontam_hamming, id_col=id_col
+            ).select(id_col, F.col("contaminated").alias("_ct")) \
+                .localCheckpoint(eager=True)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_dd, fut_ct = pool.submit(_dd), pool.submit(_ct)
+            dd, ct = fut_dd.result(), fut_ct.result()
+    else:
+        dd = _dd()
     base = imgs.select(
         F.col(id_col),
         F.col(w_col),

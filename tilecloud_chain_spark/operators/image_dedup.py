@@ -128,8 +128,11 @@ def image_caption_dedup(
     ph_reps = reps.filter(F.col("kind") == 1).select(
         F.col("k1").alias("_ph"), F.col("_rep").alias("id")
     )
+    # distinct_pairs=False: these edges feed connected components, which
+    # tolerates the per-agreeing-block duplicates — one exchange fewer
     near_edges = int64_near_pairs(
-        ph_reps, max_hamming, hash_col="_ph", id_col="id", materialize=False
+        ph_reps, max_hamming, hash_col="_ph", id_col="id", materialize=False,
+        distinct_pairs=False,
     ).select("id_a", "id_b")
 
     edges = star_edges.unionAll(near_edges)
