@@ -815,7 +815,16 @@ def _corpus_inputs(spark: SparkSession, sf_dir: str):
     from tilecloud_chain_spark.operators.langid import train_ngram_profiles
     from tilecloud_chain_spark.operators.lm import train_bigram_lm
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # split the one-row-group fixture parquet to the session's parallelism
+    # BEFORE the prev-body self-join: the join-fed pages plan makes
+    # html_extract's narrow-input guard back off (probing an adaptive plan
+    # would execute its stages), so without this the whole extraction +
+    # scoring Arrow chain lands on ONE post-AQE partition — a single core
+    # (measured: ext.rdd.getNumPartitions() == 1). A 100 TB crawl arrives
+    # in thousands of scan splits; partitioning is a property of the job,
+    # not of the fixture file (the bench _read_docs rationale).
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
     ds = F.col("doc_id").cast("string")
     base = docs.select("doc_id", F.concat(
         F.col("text"),

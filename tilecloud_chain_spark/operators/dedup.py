@@ -1234,28 +1234,28 @@ def connected_components(
         .filter(F.col("u") != F.col("v")),
         eager=False,
     )
-    # ONE probe action both DECIDES the driver finish and FETCHES its
-    # edges: ``limit(cap + 1).toPandas()`` (Arrow). When the list fits the
-    # budget the limit scanned everything — the count-then-collect pair of
-    # actions this replaces paid the whole edge pass twice at toy scale.
-    # When it does not fit, CollectLimit's incremental partition scan
-    # stopped after a handful of partitions (a cheap probe even at 10^12
-    # edges) and the count below sizes the loop as before, materializing
-    # the checkpoints in the same job.
+    # the count IS the action that materializes the lazy checkpoint with
+    # FULL parallelism (every partition of the — often expensive — edge
+    # plan computes concurrently), and it decides the driver finish. A
+    # fused limit-probe collect was tried instead (one action fewer) and
+    # REJECTED by an interleaved min-of-5 A/B on the semantic shape
+    # (2.44 s -> 3.21 s): CollectLimit's incremental take-jobs compute the
+    # first partitions of the expensive final stage nearly serially,
+    # which costs far more than the extra action saves.
     spark = pairs.sparkSession
     par = spark.sparkContext.defaultParallelism
-    probe = edges.limit(_CC_DRIVER_FINISH_EDGES + 1).toPandas()
-    if len(probe) <= _CC_DRIVER_FINISH_EDGES:
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_FINISH_EDGES:
         # bounded driver finish: the edge list fits in ~16 MB, and every
         # distributed round costs a data-INDEPENDENT ~0.5 s of plan
         # analysis + stage scheduling regardless of how few edges there
         # are. Union-find over a measured-small list is exact, instant,
         # and bounded — NOT a driver-side loop over big data: past the
         # budget the distributed rounds below keep running until the
-        # residual fits (each round only shrinks the list).
-        edges = _union_find_pdf(spark, probe, edges.schema, edges.limit(0))
+        # residual fits (each round only shrinks the list). The collect
+        # reads the just-materialized checkpoint, not a recompute.
+        edges = _driver_union_find(spark, edges)
     else:
-        n_edges = edges.count()
         edges = edges.coalesce(_cc_loop_partitions(n_edges, par))
 
         prev_fp = None
