@@ -416,10 +416,15 @@ def _collapsed_rep_pairs(
     ``dedup_clusters`` runs connected components over ``rep_pairs`` ONLY
     and attaches members by a join — exact-duplicate members never enter
     the CC loop at all."""
+    # (id, hash) pinned once: both the group aggregate and the membership
+    # join read it — unpinned, the md5 pass over every text ran twice (a
+    # second full corpus scan + hash at 10^12 rows; the pin itself is the
+    # narrow 48-byte projection, and its build executes no extra stages —
+    # the repartition below it runs inside the first consumer regardless)
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("_chash"),
-    )
+    ).localCheckpoint(eager=False)
     # one representative (min id) per distinct text. Only (id, hash) goes
     # through the group shuffle — never the text bytes (at 10^12 rows the
     # text column dwarfs everything else); representatives pick their text
