@@ -1211,20 +1211,23 @@ def connected_components(
         cached.unpersist()
         return out
 
-    # materialize the INPUT once WHEN REFERENCED TWICE: with singleton
-    # rows, ``pairs`` feeds both the edge seed and the final node list,
-    # and an un-checkpointed lineage would re-execute the whole upstream
-    # pair pipeline (LSH + verify) once per reference — measured at bench
-    # scale, that re-execution (~4.4 s) was 3x the entire CC loop
-    # (~1.6 s). LAZY (local path): the eager edge checkpoint job right
-    # below is a full pass over pairs and materializes this one in the
-    # same action — eager here would add a whole extra blocking job. (The
-    # reliable path ignores the flag: it must persist + checkpoint eagerly
-    # to avoid the write-job recompute — see _ckpt.) The sparse
-    # (``emit_singletons=False``) path references pairs exactly once —
-    # the edges checkpoint below already truncates that lineage.
-    if emit_singletons:
-        pairs = _ckpt(pairs, eager=False)
+    # materialize the INPUT once: ``pairs`` feeds the edge seed and (with
+    # singleton rows) the final node list, and an un-checkpointed lineage
+    # would re-execute the whole upstream pair pipeline (LSH + verify)
+    # once per reference — measured at bench scale, that re-execution
+    # (~4.4 s) was 3x the entire CC loop (~1.6 s). LAZY (local path): the
+    # edge count below is a full pass over pairs and materializes this one
+    # in the same action — eager here would add a whole extra blocking
+    # job. (The reliable path ignores the flag: it must persist +
+    # checkpoint eagerly to avoid the write-job recompute — see _ckpt.)
+    # Kept even on the sparse single-reference path: an interleaved
+    # min-of-5 A/B on the within-cluster-cosine shape measured the fused
+    # single checkpoint (edges directly over the pair plan) at ~2x the
+    # count-job wall of this split form (1.4 s vs 0.77 s per materializing
+    # count, reproduced across 10+ samples) — pinning the pair rows first
+    # and deriving the edge projection over the pinned RDD is the fast
+    # order, independent of how many references follow.
+    pairs = _ckpt(pairs, eager=False)
     # NO up-front distinct: the driver union-find is insensitive to
     # duplicate or repeated edges (find/union idempotent), and the
     # distributed star loop dedups every round through small_star's
