@@ -134,9 +134,18 @@ def scored_rows_stage(
     from tilecloud_chain_spark.operators.lm import _bigram_scorer
 
     bw, pw = lm_model
-    prof_rows = langid_profiles.collect()  # bounded: langs x top_k
-    bw_rows = bw.collect()  # bounded: reference bigram vocabulary
-    pw_rows = pw.collect()
+    # three bounded model collects (langs x top_k profile rows, reference
+    # bigram vocabulary x2) with independent lineages — run concurrently;
+    # serially each paid its own job latency back-to-back
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_prof = pool.submit(langid_profiles.collect)
+        f_bw = pool.submit(bw.collect)
+        f_pw = pool.submit(pw.collect)
+        prof_rows, bw_rows, pw_rows = (
+            f_prof.result(), f_bw.result(), f_pw.result()
+        )
     thr = int(lm_threshold_micro)
 
     def run(batches):
