@@ -109,8 +109,12 @@ def test_phash_decontaminate_radius_zero_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    # the partial aggregate runs before the exchange (map-side combine)
-    assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+    # r9: the corpus side is shuffle-free — per-chunk broadcast equi-joins
+    # plus an array `exists` verify replaced the explode + re-aggregation,
+    # so the executed plan has NO shuffle exchange and NO aggregate at all
+    # (the eval-side aggregate is behind its localCheckpoint)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,11 @@ from pyspark.sql.window import Window
 
 from tilecloud_chain_spark.operators.prefix import attach_offsets
 
-from tilecloud_chain_spark.operators.dedup import blocked_keys
+from tilecloud_chain_spark.operators.dedup import (
+    blocked_keys,
+    gather_bits,
+    interleaved_positions,
+)
 from tilecloud_chain_spark.operators.similarity import _cosine
 
 
@@ -94,39 +98,62 @@ def phash_decontaminate(
 
     Scale shape: the eval set is small (10^3-10^6 hashes) and the corpus
     is 10^12 rows, so the corpus side must never self-join or shuffle its
-    payload. Pigeonhole blocking (``int64_near_pairs``'s argument): slice
-    the 64 bits into ``max_hamming + 1`` contiguous blocks; a pair within
-    the radius agrees exactly on at least one block. The eval side
-    explodes to (chunk, key, phash) rows and is BROADCAST; the corpus
-    pays one narrow explode (x(h+1)), one broadcast LEFT join, a popcount
-    verify, and a map-side-combinable ``max(flag) GROUP BY id`` — the
-    only shuffle is (id, bool) pairs already collapsed to one row per id
-    per partition by the partial aggregate. Nothing here depends on the
-    contamination rate (a broadcast of the hit-id set would).
+    payload — or, since r9, shuffle AT ALL. Pigeonhole blocking
+    (``int64_near_pairs``'s argument): slice the 64 bits into
+    ``max_hamming + 1`` interleaved blocks; a pair within the radius
+    agrees exactly on at least one block. The eval side collapses to one
+    (chunk, key) -> [phashes] row per block key and is BROADCAST; the
+    corpus row joins each of its ``max_hamming + 1`` block keys against
+    the matching chunk's broadcast table (1:<=1 equi-joins — row count
+    never changes) and evaluates the popcount verify as an ``exists``
+    over the matched array. ZERO corpus-side shuffle and no explode: the
+    previous formulation exploded the corpus x(h+1) and re-collapsed it
+    with a ``max(flag) GROUP BY id`` exchange — a full (id, bool)
+    shuffle of the corpus that existed only to undo the explode.
+    Nothing here depends on the contamination rate (a broadcast of the
+    hit-id set would).
     """
-    # ONE distinct: duplicate eval phashes explode to duplicate
-    # (chunk, key, _ep) rows, which the terminal distinct already merges —
-    # a separate up-front distinct of the raw phashes was a second
-    # exchange over the same (small) eval set for nothing
-    ev = blocked_keys(
-        eval_df.select(F.col(eval_phash_col).alias("_ep")),
-        "_ep", max_hamming, hash_out="_ep",
-    ).select("chunk", "key", "_ep").distinct()
-
-    corpus = blocked_keys(
-        imgs.select(id_col, phash_col), phash_col, max_hamming,
-        keep_cols=[id_col],
+    nb = int(max_hamming) + 1
+    groups = interleaved_positions(nb)
+    # ONE eval-side exchange: ``collect_set`` dedups duplicate
+    # (chunk, key, _ep) rows inside the aggregate itself (set order is
+    # irrelevant — the probe below is an order-insensitive ``exists``), so
+    # the separate distinct exchange the r8 form paid is gone. The per-key
+    # array aggregate is pinned eagerly: all nb broadcast builds below
+    # read it (lazy, the concurrent stage materializations would race and
+    # compute it twice).
+    evg = (
+        blocked_keys(
+            eval_df.select(F.col(eval_phash_col).alias("_ep")),
+            "_ep", max_hamming, hash_out="_ep",
+        )
+        .groupBy("chunk", "key")
+        .agg(F.collect_set("_ep").alias("_eps"))
+        .localCheckpoint(eager=True)
     )
-    near = F.coalesce(
-        F.bit_count(F.col("_h").bitwiseXOR(F.col("_ep"))) <= max_hamming,
-        F.lit(False),
-    )
-    return (
-        corpus.join(F.broadcast(ev), ["chunk", "key"], "left")
-        .select(id_col, near.alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("contaminated"))
-    )
+    out = imgs.select(id_col, phash_col)
+    flags = []
+    for c, grp in enumerate(groups):
+        evc = evg.filter(F.col("chunk") == c).select(
+            F.col("key").alias(f"_k{c}"), F.col("_eps").alias(f"_eps{c}")
+        )
+        out = out.join(
+            F.broadcast(evc),
+            gather_bits(F.col(phash_col), grp) == F.col(f"_k{c}"),
+            "left",
+        ).drop(f"_k{c}")
+        flags.append(F.coalesce(
+            F.exists(
+                F.col(f"_eps{c}"),
+                lambda e: F.bit_count(F.col(phash_col).bitwiseXOR(e))
+                <= max_hamming,
+            ),
+            F.lit(False),
+        ))
+    contaminated = flags[0]
+    for fl in flags[1:]:
+        contaminated = contaminated | fl
+    return out.select(id_col, contaminated.alias("contaminated"))
 
 
 # ---------------------------------------------------------------------------
@@ -179,12 +206,46 @@ def _distributed_rank(
     base = (
         df.repartitionByRange(parts, *group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        # LAZY: the counts collect right below is the action that
-        # materializes the checkpoint — eager would pay a second full
-        # blocking job per prefix-sum call site (r8, ~0.3-0.5 s each of
-        # pure toy-scale scheduling floor in img_admission)
-        .localCheckpoint(eager=False)
     )
+    return _ranked_over_buckets(base, group_cols, order_cols)
+
+
+def _ranked_over_buckets(
+    base: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    pin: str = "ckpt",
+) -> tuple[DataFrame, F.Column]:
+    """Prefix-sum core shared by :func:`_distributed_rank` (range-derived
+    ``_pid`` = physical partition id) and callers that derive ``_pid``
+    deterministically from the order key (:func:`epoch_schedule` — no
+    range-partitioner sampling pass). Contract: ``base`` carries a
+    ``_pid`` bucket column whose buckets are contiguous runs of the
+    (group, order) total order, ascending with ``_pid``.
+
+    ``pin`` selects how the doubly-consumed frame (counts job + the
+    caller's final select) is pinned: ``"ckpt"`` (localCheckpoint — the
+    range path, whose window re-shuffle by ``_pid`` is unavoidable
+    anyway: RangePartitioning cannot satisfy the window's hash
+    clustering, checkpointed or not) vs ``"persist"`` (cache — for
+    callers whose ``base`` is already HASH-partitioned by ``_pid``:
+    InMemoryRelation preserves the child's outputPartitioning where a
+    checkpoint's LogicalRDD drops it, so the counts aggregate AND the
+    bucket-local window both ride the existing exchange with no further
+    shuffle — measured: one job and one whole exchange fewer per call).
+    The cache is retained (like checkpoint blocks) for the caller's
+    final consumption; a cache-miss recompute replays the full input
+    lineage, which is correct and bounded."""
+    if pin == "persist":
+        base = base.persist()
+    else:
+        base = base.localCheckpoint(
+            eager=False
+            # LAZY: the counts collect right below is the action that
+            # materializes the checkpoint — eager would pay a second full
+            # blocking job per prefix-sum call site (r8, ~0.3-0.5 s each
+            # of pure toy-scale scheduling floor in img_admission)
+        )
     counts = base.groupBy("_pid", *group_cols).count().collect()
     acc: dict[tuple, int] = {}
     rows: list[tuple] = []
@@ -276,13 +337,23 @@ def epoch_schedule(
     any step by filtering ``global_step >= resume_at``.
 
     Scale shape: the input collapses to batch KEYS first (batch_size x
-    smaller than the corpus; image payload never enters). A naive
-    ``row_number() OVER (ORDER BY md5)`` is a single-partition sort —
-    ~10^10 batch keys at the 10^12-row target — so this reuses the
-    distributed prefix-sum pattern (:func:`aspect_bucket_pack`):
-    range-repartition by the hash key, per-partition COUNT (O(partitions)
-    driver data), base offsets + partition-local rank. One narrow shuffle
-    of (hash, bucket, batch) triples total."""
+    smaller than the corpus; image payload never enters — and the
+    distinct's map-side partial aggregation dedups BEFORE its exchange,
+    so only deduped keys ever shuffle). A naive ``row_number() OVER
+    (ORDER BY md5)`` is a single-partition sort — ~10^10 batch keys at
+    the 10^12-row target — so this reuses the distributed prefix-sum
+    pattern (:func:`aspect_bucket_pack`): bucket by the hash key,
+    per-bucket COUNT (O(buckets) driver data), base offsets +
+    bucket-local rank. Unlike the generic pattern, the order key here is
+    an md5 hex string — uniform BY CONSTRUCTION — so the bucket id is
+    derived directly from the first 8 hex digits (integer-exact, and
+    monotone in the string order because fixed-length lowercase-hex
+    compares lexicographically as its numeric value): no
+    ``repartitionByRange``, which meant no range-boundary SAMPLING pass
+    (a whole extra evaluation of the deduped key set, plus a serial
+    barrier before the exchange could start — guide §2: remove passes
+    you can compute instead). Buckets outnumber partitions 8:1 so the
+    hash exchange spreads evenly (guide §2.5)."""
     if world_size < 1:
         raise ValueError(f"world_size must be >= 1, got {world_size}")
     okey = F.md5(F.concat_ws(
@@ -291,11 +362,26 @@ def epoch_schedule(
         F.col(bucket_col).cast("string"),
         F.col(batch_col).cast("string"),
     ))
-    base, pos = _distributed_rank(
+    spark = batches.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism, 2)
+    nbuck = parts * 8
+    pid = F.expr(
+        f"CAST(CAST(conv(substring(_ok, 1, 8), 16, 10) AS BIGINT) "
+        f"* {nbuck} DIV 4294967296 AS INT)"
+    )
+    prepared = (
         batches.select(bucket_col, batch_col).distinct()
-        .select(okey.alias("_ok"), bucket_col, batch_col),
+        .select(okey.alias("_ok"), bucket_col, batch_col)
+        .withColumn("_pid", pid)
+        .repartition(parts, "_pid")
+    )
+    base, pos = _ranked_over_buckets(
+        prepared,
         group_cols=[],
         order_cols=["_ok", bucket_col, batch_col],
+        pin="persist",  # hash-clustered by _pid: the window rides the
+        # bucket exchange (a checkpoint would erase the partitioning and
+        # re-shuffle the deduped keys — measured, one exchange + one job)
     )
     w = F.lit(int(world_size))
     return base.select(
