@@ -36,7 +36,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from tilecloud_chain_spark.operators.prefix import attach_offsets
 
@@ -205,6 +204,7 @@ def _distributed_rank(
     parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     base = (
         df.repartitionByRange(parts, *group_cols, *order_cols)
+        .sortWithinPartitions(*group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     return _ranked_over_buckets(base, group_cols, order_cols)
@@ -214,55 +214,57 @@ def _ranked_over_buckets(
     base: DataFrame,
     group_cols: Sequence[str],
     order_cols: Sequence[str],
-    pin: str = "ckpt",
 ) -> tuple[DataFrame, F.Column]:
     """Prefix-sum core shared by :func:`_distributed_rank` (range-derived
     ``_pid`` = physical partition id) and callers that derive ``_pid``
     deterministically from the order key (:func:`epoch_schedule` — no
-    range-partitioner sampling pass). Contract: ``base`` carries a
-    ``_pid`` bucket column whose buckets are contiguous runs of the
-    (group, order) total order, ascending with ``_pid``.
+    range-partitioner sampling pass). Contract: every (``_pid``,
+    *group) combination is ONE contiguous run of the (group, order)
+    total order, held inside a single physical partition, rows already
+    SORTED in that order within partitions, and runs ascend with
+    ``_pid`` per group.
 
-    ``pin`` selects how the doubly-consumed frame (counts job + the
-    caller's final select) is pinned: ``"ckpt"`` (localCheckpoint — the
-    range path, whose window re-shuffle by ``_pid`` is unavoidable
-    anyway: RangePartitioning cannot satisfy the window's hash
-    clustering, checkpointed or not) vs ``"persist"`` (cache — for
-    callers whose ``base`` is already HASH-partitioned by ``_pid``:
-    InMemoryRelation preserves the child's outputPartitioning where a
-    checkpoint's LogicalRDD drops it, so the counts aggregate AND the
-    bucket-local window both ride the existing exchange with no further
-    shuffle — measured: one job and one whole exchange fewer per call).
-    The cache is retained (like checkpoint blocks) for the caller's
-    final consumption; a cache-miss recompute replays the full input
-    lineage, which is correct and bounded."""
-    if pin == "persist":
-        base = base.persist()
-    else:
-        base = base.localCheckpoint(
-            eager=False
-            # LAZY: the counts collect right below is the action that
-            # materializes the checkpoint — eager would pay a second full
-            # blocking job per prefix-sum call site (r8, ~0.3-0.5 s each
-            # of pure toy-scale scheduling floor in img_admission)
-        )
-    counts = base.groupBy("_pid", *group_cols).count().collect()
+    The partition-local rank is read off ``monotonically_increasing_id``
+    (task-local counter: within a partition it increments by exactly 1
+    per row, so a contiguous sorted run's ids are consecutive) instead
+    of a ``row_number`` window: the same driver collect that sizes the
+    base offsets also fetches each run's minimum id, and
+    ``rank = _mid + (group_offset - run_min)`` is plain stored-column
+    arithmetic. The r8 window form re-shuffled the WHOLE table by
+    (_pid, group) first — the checkpoint's LogicalRDD erases the
+    partitioning, so EnsureRequirements re-exchanged rows that were
+    already perfectly clustered (planner blindness, a full extra narrow
+    shuffle per call) — and then re-sorted inside the window. Both are
+    gone; the final consume is exchange-free and sort-free."""
+    base = base.withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).localCheckpoint(
+        eager=False
+        # LAZY: the offsets collect right below is the action that
+        # materializes the checkpoint (pinning also freezes the assigned
+        # _mid values for every later consumer) — eager would pay a
+        # second full blocking job per prefix-sum call site (r8,
+        # ~0.3-0.5 s each of pure toy-scale scheduling floor)
+    )
+    agg = base.groupBy("_pid", *group_cols).agg(
+        F.count("*").alias("_n"), F.min("_mid").alias("_mn")
+    ).collect()
     acc: dict[tuple, int] = {}
     rows: list[tuple] = []
     for r in sorted(
-        counts,
+        agg,
         key=lambda r: (tuple(r[g] for g in group_cols), int(r["_pid"])),
     ):
         gkey = tuple(r[g] for g in group_cols)
         off = acc.get(gkey, 0)
-        rows.append((int(r["_pid"]), *gkey, off))
-        acc[gkey] = off + int(r["count"])
+        # one attached value folds both lookups: rank = _mid + (off - mn)
+        rows.append((int(r["_pid"]), *gkey, off - int(r["_mn"])))
+        acc[gkey] = off + int(r["_n"])
     # offsets travel as a literal map only while tiny and int-keyed; at
     # cluster partition counts (or for non-integral group values) they
     # become a broadcast-joined table — see operators/prefix.py
-    base, offset = attach_offsets(base, ["_pid", *group_cols], rows)
-    win = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-    return base, F.row_number().over(win) - 1 + offset
+    base, adj = attach_offsets(base, ["_pid", *group_cols], rows)
+    return base, F.col("_mid") + adj
 
 
 def aspect_bucket_pack(
@@ -374,14 +376,14 @@ def epoch_schedule(
         .select(okey.alias("_ok"), bucket_col, batch_col)
         .withColumn("_pid", pid)
         .repartition(parts, "_pid")
+        # _pid is monotone in _ok, so this sort leaves every bucket as
+        # one contiguous ascending run — the core's contract
+        .sortWithinPartitions("_ok", bucket_col, batch_col)
     )
     base, pos = _ranked_over_buckets(
         prepared,
         group_cols=[],
         order_cols=["_ok", bucket_col, batch_col],
-        pin="persist",  # hash-clustered by _pid: the window rides the
-        # bucket exchange (a checkpoint would erase the partitioning and
-        # re-shuffle the deduped keys — measured, one exchange + one job)
     )
     w = F.lit(int(world_size))
     return base.select(
