@@ -1253,6 +1253,7 @@ def connected_components(
     spark = pairs.sparkSession
     par = spark.sparkContext.defaultParallelism
     n_edges = edges.count()
+    driver_finished = False
     if n_edges <= _CC_DRIVER_FINISH_EDGES:
         # bounded driver finish: the edge list fits in ~16 MB, and every
         # distributed round costs a data-INDEPENDENT ~0.5 s of plan
@@ -1263,6 +1264,7 @@ def connected_components(
         # residual fits (each round only shrinks the list). The collect
         # reads the just-materialized checkpoint, not a recompute.
         edges = _driver_union_find(spark, edges)
+        driver_finished = True
     else:
         edges = edges.coalesce(_cc_loop_partitions(n_edges, par))
 
@@ -1273,6 +1275,7 @@ def connected_components(
                 # measured: a 4.7k-edge deep chain burned 6 distributed
                 # rounds before this finisher shipped)
                 edges = _driver_union_find(spark, edges)
+                driver_finished = True
                 break
             # LAZY checkpoint: the fingerprint aggregation is the round's
             # single action and materializes the checkpoint as it runs —
@@ -1299,6 +1302,18 @@ def connected_components(
             )
 
     comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if driver_finished:
+        # the driver finisher's output is bounded by construction
+        # (<= 2 x _CC_DRIVER_FINISH_EDGES rows, ~32 MB framed) but its
+        # createDataFrame plan has no size statistics, so the planner
+        # picks a sort-merge join in every consumer — shuffling AND
+        # sorting the consumer's full member/node table against a tiny
+        # component list. The explicit hint rides the returned frame
+        # into those joins and turns them into broadcast-hash probes
+        # (no exchange on the corpus side at all). The distributed-loop
+        # path stays unhinted: its residual components can be
+        # arbitrarily large.
+        comp = F.broadcast(comp)
     if not emit_singletons:
         return comp
     nodes = pairs.select(F.col("id_a").alias("id")).unionAll(
