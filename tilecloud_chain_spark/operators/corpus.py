@@ -46,16 +46,31 @@ def extract_stage(
     )
 
 
-def redact_stage(extracted: DataFrame) -> DataFrame:
-    """(doc_id, text, n_pii) — PII-scrubbed clean text; ``n_pii`` is the
-    total typed-match count (audit column)."""
-    c = F.col("clean_text")
+def _redacted_cols(c) -> tuple:
+    """The redaction projection, single-source for :func:`redact_stage`
+    and the composed operator's fused row pin: (text, n_pii) columns over
+    the clean-text column ``c``."""
     pii = TX.pii_counts(c)
-    return extracted.select(
-        "doc_id",
+    return (
         TX.redact_pii(c).alias("text"),
         (pii["email"] + pii["phone"] + pii["ipv4"]).cast("int").alias("n_pii"),
     )
+
+
+def _quality_col(c, min_tokens: int, max_repetition: float):
+    """The corpus-hygiene floor rule as one boolean Column over the
+    clean-text column ``c`` — single-source for :func:`quality_stage` and
+    the composed operator's fused row pin."""
+    return (
+        (TX.token_count(c) >= min_tokens)
+        & (TX.repetition_ratio(c) <= F.lit(max_repetition))
+    ).alias("quality_keep")
+
+
+def redact_stage(extracted: DataFrame) -> DataFrame:
+    """(doc_id, text, n_pii) — PII-scrubbed clean text; ``n_pii`` is the
+    total typed-match count (audit column)."""
+    return extracted.select("doc_id", *_redacted_cols(F.col("clean_text")))
 
 
 def lang_stage(extracted: DataFrame, profiles: DataFrame) -> DataFrame:
@@ -97,12 +112,9 @@ def quality_stage(
     + repetition ratio, the ``clean_corpus`` convention); the full Gopher
     rule set stays available as ``text.gopher_keep`` for corpora long
     enough to clear its 50-token floor."""
-    c = F.col("clean_text")
     return extracted.select(
         "doc_id",
-        ((TX.token_count(c) >= min_tokens)
-         & (TX.repetition_ratio(c) <= F.lit(max_repetition)))
-        .alias("quality_keep"),
+        _quality_col(F.col("clean_text"), min_tokens, max_repetition),
     )
 
 
@@ -114,6 +126,7 @@ def scored_rows_stage(
     lm_threshold_micro: int = LM.KEEP_THRESHOLD_MICRO,
     min_tokens: int = 5,
     max_repetition: float = 0.8,
+    scores_only: bool = False,
 ) -> DataFrame:
     """All ROW-LOCAL stages of the admission decision in one pass:
     (doc_id, n_blocks_kept, lang_pred, lang_score, lm_keep, quality_keep,
@@ -127,7 +140,15 @@ def scored_rows_stage(
     column math layered above it. Replaces three separate stage scans +
     their four doc_id flag joins in ``compose_corpus_flags`` — per-stage
     resumability (the staged plan) still composes the individual stage
-    helpers."""
+    helpers.
+
+    ``scores_only=True`` returns just (doc_id, n_blocks_kept, lang_pred,
+    lang_score, lm_keep) and — the point — does NOT pass ``clean_text``
+    back out of the Python stage: the text crosses the Arrow boundary
+    inward only, halving the stage's return bytes (guide §4.1 column
+    discipline). Used by ``corpus_admission`` since r9, whose redaction/
+    quality columns ride a separate JVM-only pin so this Arrow pass can
+    run CONCURRENTLY with the dedup chain."""
     import pandas as pd
 
     from tilecloud_chain_spark.operators.langid import _profile_scorer
@@ -159,28 +180,24 @@ def scored_rows_stage(
                 scores.append(s)
                 lp, n = lm_one(t)
                 keeps.append(True if n == 0 else lp >= thr * n)
-            out = pdf.copy()
+            out = pdf.drop(columns=["clean_text"]) if scores_only else pdf.copy()
             out["lang_pred"] = preds
             out["lang_score"] = pd.array(scores, dtype="float64")
             out["lm_keep"] = pd.array(keeps, dtype="bool")
             yield out
 
     dt = dict(extracted.dtypes)
-    scored = extracted.select("doc_id", "n_blocks_kept", "clean_text").mapInPandas(
-        run,
-        f"doc_id {dt['doc_id']}, n_blocks_kept {dt['n_blocks_kept']}, "
-        "clean_text string, lang_pred string, lang_score double, "
-        "lm_keep boolean",
-    )
+    head = f"doc_id {dt['doc_id']}, n_blocks_kept {dt['n_blocks_kept']}, "
+    tail = "lang_pred string, lang_score double, lm_keep boolean"
+    src = extracted.select("doc_id", "n_blocks_kept", "clean_text")
+    if scores_only:
+        return src.mapInPandas(run, head + tail)
+    scored = src.mapInPandas(run, head + "clean_text string, " + tail)
     c = F.col("clean_text")
-    pii = TX.pii_counts(c)
     return scored.select(
         "doc_id", "n_blocks_kept", "lang_pred", "lang_score", "lm_keep",
-        ((TX.token_count(c) >= min_tokens)
-         & (TX.repetition_ratio(c) <= F.lit(max_repetition)))
-        .alias("quality_keep"),
-        TX.redact_pii(c).alias("text"),
-        (pii["email"] + pii["phone"] + pii["ipv4"]).cast("int").alias("n_pii"),
+        _quality_col(c, min_tokens, max_repetition),
+        *_redacted_cols(c),
     )
 
 
@@ -304,38 +321,57 @@ def corpus_admission(
         # the one upstream Python-kernel stage — pin it so the Arrow parse
         # doesn't re-run per downstream branch
         extracted = extracted.localCheckpoint(eager=False)
-    # every row-local stage in one pass (one Arrow stage + codegen columns;
-    # see scored_rows_stage), pinned EAGERLY: dedup and decontamination
-    # both read it and run as concurrent jobs below — lazy, the two
-    # threads would race to materialize it and compute the Arrow stage
-    # twice
-    rows = scored_rows_stage(
-        extracted, langid_profiles, lm_model,
-        lm_threshold_micro=lm_threshold_micro,
-        min_tokens=min_tokens, max_repetition=max_repetition,
+    # the JVM-only row columns (redaction + PII counts + the quality
+    # floor) pinned FIRST, eagerly, in one codegen pass over the pinned
+    # extraction: dedup, decontamination and packing read only this —
+    # which frees the Arrow SCORING pass (langid + LM, the expensive
+    # Python boundary crossing) to run CONCURRENTLY with the whole dedup
+    # chain below instead of serially ahead of it (r8 shape: score pin,
+    # THEN dedup). Eager because three threads consume it — lazy, they
+    # would race the materialization and run the projection per thread.
+    c = F.col("clean_text")
+    red = extracted.select(
+        "doc_id", *_redacted_cols(c),
+        _quality_col(c, min_tokens, max_repetition),
     ).localCheckpoint(eager=True)
-    redacted = rows.select("doc_id", "text")
-    if eval_df is not None:
-        # dedup and decontamination are INDEPENDENT given the redacted
-        # text — overlap them (guide-standard concurrent driver jobs: the
-        # scheduler back-fills executors freed by one chain's stragglers
-        # with the other's tasks; actions are only sequential when driver
-        # code calls them sequentially). The decontam flag table is
-        # eagerly pinned inside its thread so its broadcast-join stages
-        # actually execute there rather than lazily inside the flags join
-        # below.
-        from concurrent.futures import ThreadPoolExecutor
+    redacted = red.select("doc_id", "text")
+    # three independent chains given (extracted, red) — overlap them
+    # (guide-standard concurrent driver jobs: the scheduler back-fills
+    # executors freed by one chain's stragglers with the others' tasks;
+    # actions are only sequential when driver code calls them
+    # sequentially): the Arrow scoring pass (scores_only — clean text
+    # crosses the boundary inward only), the dedup CC chain, and the
+    # decontamination probe. Scoring and decontam are eagerly pinned
+    # inside their threads so their stages actually execute there rather
+    # than lazily inside the flags join below.
+    from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_dd = pool.submit(dedup_stage, redacted, near_threshold)
-            fut_ct = pool.submit(
+    def _scored():
+        return scored_rows_stage(
+            extracted, langid_profiles, lm_model,
+            lm_threshold_micro=lm_threshold_micro, scores_only=True,
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_sc = pool.submit(_scored)
+        fut_dd = pool.submit(dedup_stage, redacted, near_threshold)
+        fut_ct = (
+            pool.submit(
                 lambda: decontam_stage(redacted, eval_df, decontam_n)
                 .localCheckpoint(eager=True)
             )
-            dedup_flags, decontam_flags = fut_dd.result(), fut_ct.result()
-        out = rows.join(dedup_flags, "doc_id").join(decontam_flags, "doc_id")
+            if eval_df is not None else None
+        )
+        scored, dedup_flags = fut_sc.result(), fut_dd.result()
+        decontam_flags = fut_ct.result() if fut_ct is not None else None
+    out = (
+        scored
+        .join(red.select("doc_id", "n_pii", "quality_keep"), "doc_id")
+        .join(dedup_flags, "doc_id")
+    )
+    if decontam_flags is not None:
+        out = out.join(decontam_flags, "doc_id")
     else:
-        out = rows.join(dedup_stage(redacted, near_threshold), "doc_id")
         out = out.withColumn("decontam_keep", F.lit(True))
     lang_keep = F.col("lang_pred").isin(*lang_allow)
     admitted = (
