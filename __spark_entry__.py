@@ -866,9 +866,20 @@ def _corpus_inputs(spark: SparkSession, sf_dir: str):
     # it skips its own extraction) — lazily checkpointed so the first
     # training action materializes it
     ext = CP.extract_stage(pages).localCheckpoint(eager=False)
-    bw, pw = train_bigram_lm(
-        ext.filter(F.expr("doc_id % 7 = 0"))
-        .select(F.col("clean_text").alias("text")))
+
+    # the LM model is returned as a THUNK, not trained here (r9):
+    # train_bigram_lm pins its count aggregate, and building that
+    # checkpoint executes the whole training-shuffle chain synchronously
+    # (AQE toRdd) — 1-1.5 s of build-time jobs that only the composed
+    # operator's SCORING thread consumes. Deferring the call lets
+    # corpus_admission run the training build inside that thread,
+    # overlapped with the dedup chain. Call it ONCE per query build (each
+    # call trains and pins anew).
+    def lm_model():
+        return train_bigram_lm(
+            ext.filter(F.expr("doc_id % 7 = 0"))
+            .select(F.col("clean_text").alias("text")))
+
     red = CP.redact_stage(ext)
     eval_df = red.filter(F.expr("doc_id % 40 = 0")).select(
         (F.col("doc_id") + 5000000).alias("doc_id"),
@@ -877,7 +888,7 @@ def _corpus_inputs(spark: SparkSession, sf_dir: str):
     # the pinned extraction is returned so the composed operator can skip
     # a second identical Arrow pass over the pages (the staged plan
     # deliberately re-extracts: its stage parquet IS the resume point)
-    return pages, profiles, (bw, pw), eval_df, ext
+    return pages, profiles, lm_model, eval_df, ext
 
 
 _CORPUS_LANG_ALLOW = ("en", "fr", "sv", "it")
@@ -921,6 +932,7 @@ def q_corpus_admission_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilecloud_chain_spark.plans.corpus import admission_table, curate_corpus
 
     pages, profiles, lm_model, eval_df, _ext = _corpus_inputs(spark, sf_dir)
+    lm_model = lm_model()  # the staged plan consumes the trained tables
     root = os.path.join(tempfile.gettempdir(), "corpus_gate_store")
     shutil.rmtree(root, ignore_errors=True)
     store = CheckpointStore(spark, root)

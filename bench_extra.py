@@ -68,8 +68,9 @@ def probe_corpus(spark) -> None:
 
     for rep in range(2):
         print(f"-- rep {rep} --")
-        pages, profiles, (bw, pw), eval_df, _ext = p.run(
+        pages, profiles, lm_thunk, eval_df, _ext = p.run(
             "inputs:build(lazy)", lambda: E._corpus_inputs(spark, SF_DIR))
+        bw, pw = p.run("inputs:lm_train(build)", lm_thunk)
         p.run("inputs:profiles.collect", lambda: profiles.collect())
         p.run("inputs:bw.collect", lambda: bw.collect())
         p.run("inputs:pw.collect", lambda: pw.collect())
@@ -104,7 +105,8 @@ def probe_corpus2(spark) -> None:
 
     for rep in range(2):
         print(f"-- rep {rep} --")
-        pages, profiles, (bw, pw), eval_df, _ext = E._corpus_inputs(spark, SF_DIR)
+        pages, profiles, lm_thunk, eval_df, _ext = E._corpus_inputs(spark, SF_DIR)
+        bw, pw = lm_thunk()
         ext = CP.extract_stage(pages).localCheckpoint(eager=False)
         p.run("ext.materialize(count)", lambda: ext.count())
         sl = ext.filter(F.expr("doc_id % 7 = 0")).select(

@@ -287,7 +287,7 @@ def assemble_corpus_admission(flags: DataFrame, packed: DataFrame) -> DataFrame:
 def corpus_admission(
     pages: DataFrame,
     langid_profiles: DataFrame,
-    lm_model: tuple[DataFrame, DataFrame],
+    lm_model,
     eval_df: DataFrame | None = None,
     *,
     lang_allow: tuple[str, ...] = ("en",),
@@ -306,7 +306,10 @@ def corpus_admission(
 
     ``pages``: (doc_id, html); ``langid_profiles``: a trained
     ``train_ngram_profiles`` table; ``lm_model``: ``train_bigram_lm``'s
-    (bigram_weights, prefix_backoff); ``eval_df``: optional (doc_id, text)
+    (bigram_weights, prefix_backoff) — or a 0-arg callable returning that
+    tuple, in which case the training plan (and its checkpoint's
+    build-time shuffle execution) is deferred into the scoring thread,
+    overlapped with the dedup chain; ``eval_df``: optional (doc_id, text)
     benchmark set for decontamination.
 
     ``extracted``: an ALREADY-materialized ``extract_stage(pages)`` result
@@ -347,8 +350,14 @@ def corpus_admission(
     from concurrent.futures import ThreadPoolExecutor
 
     def _scored():
+        # ``lm_model`` may be a 0-arg thunk: resolving it HERE (not at
+        # call time) runs the training plan construction — whose internal
+        # checkpoint executes the whole training-shuffle chain at build
+        # (AQE) — inside this thread, overlapped with the dedup chain
+        # instead of serially before it
+        model = lm_model() if callable(lm_model) else lm_model
         return scored_rows_stage(
-            extracted, langid_profiles, lm_model,
+            extracted, langid_profiles, model,
             lm_threshold_micro=lm_threshold_micro, scores_only=True,
         ).localCheckpoint(eager=True)
 
